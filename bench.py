@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the `noop` sink so the full plan executes
+(scan → compute → exchange) without sink I/O distorting the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan, hash agg, shuffle join,
+# broadcast join, as-of join, window, top-k, sort-limit, flagship pipeline,
+# streaming twin, dedup (exact/ngram/minhash), sim-search (HOF vs pandas),
+# text stats, vectorized UDF.
+HEADLINE = [
+    "scan_parquet",
+    "agg_hash",
+    "join_shuffle",
+    "join_broadcast",
+    "join_asof",
+    "win_rank",
+    "win_topk_group",
+    "sort_limit",
+    "flagship_hourly_enriched",
+    "stream_tumbling",
+    "llm_dedup_exact",
+    "llm_dedup_ngram",
+    "llm_dedup_near",
+    "llm_sim_search",
+    "llm_sim_search_fast",
+    "llm_text_stats",
+    "udf_pandas",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from bitcoin_price_etl_spark.registry import load_all
+    from bitcoin_price_etl_spark.session import get_spark
+
+    spark = get_spark("bpe-spark-bench")
+    registry = load_all()
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch JIT/IO
+    registry["scan_parquet"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        spec = registry[key]
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Shared expression helpers enforcing the oracle-parity discipline.
+
+Double summation is order-sensitive; Spark's partial aggregation order differs
+from DuckDB's, so raw SUM(double) can differ in the last ulps and break the
+driver's exact value hash. Casting each element to DECIMAL first makes the
+sum exact and associative — both engines then produce bit-identical doubles
+after the final cast. (SURVEY.md §7 hard-part 4.)
+
+Scale choice: engines convert double→decimal differently (Spark rounds the
+shortest decimal repr; C engines round the exact binary value), and the two
+disagree when the double sits within ~1 ulp of a half-quantum boundary. At
+scale 10 the quantum IS the ulp for money-magnitude values, so disagreement
+is common (observed at sf0.01). The fixture data is money-like — at most 2
+fractional digits, products at most 4 — so scale 4 keeps every conversion
+far from any boundary (distance ~1e-5 vs ulp ~1e-11) and both engines
+convert identically. DECIMAL(38,4) holds sums to 1e34: no overflow at any
+scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "DECIMAL(38,4)"
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def dsum(col: str, alias: str) -> Column:
+    """Exact, order-insensitive sum of a double column, emitted as double."""
+    return F.expr(f"CAST(SUM(CAST({col} AS {DEC})) AS DOUBLE)").alias(alias)
+
+
+def davg(col: str, alias: str) -> Column:
+    """Exact-sum average: decimal sum divided by count, as double.
+
+    Division happens once on identical operands in both engines, so the
+    result is bit-identical (unlike AVG(double) or AVG(decimal), whose
+    internal rounding differs between engines).
+    """
+    return F.expr(
+        f"CAST(SUM(CAST({col} AS {DEC})) AS DOUBLE) / COUNT({col})"
+    ).alias(alias)
+
+
+def dsum_sql(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS {DEC})) AS DOUBLE) AS {alias}"
+
+
+def davg_sql(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS {DEC})) AS DOUBLE) / COUNT({col}) AS {alias}"
+
+
+def ts_str(col: str, alias: str) -> Column:
+    """Format a timestamp to 'yyyy-MM-dd HH:mm:ss' (UTC session tz)."""
+    return F.date_format(F.col(col), TS_FMT_SPARK).alias(alias)
+
+
+def ts_str_sql(col: str, alias: str) -> str:
+    return f"strftime({col}, '{TS_FMT_DUCK}') AS {alias}"

@@ -1,0 +1,266 @@
+"""Scalar function families (SURVEY.md §2.2 "Scalar functions").
+
+Each family is exercised as one query over a real table, with reference
+citations where precedented:
+- fn_string: R8 key-building (dags/bpi_etl/bpi_etl_bigquery.py:21-23), R11
+  rename (:216-219), constr 3-char codes (common_module/pydantic_models.py:37)
+- fn_date: R4/R15/R16 timestamp parse/format (bpi_etl_bigquery.py:229-234),
+  epoch validation (pydantic_models.py:63,67-70), date key (:118)
+- fn_math: R13 double arithmetic (bpi_etl_bigquery.py:225)
+- fn_hash: R8 md5 prefix (bpi_etl_bigquery.py:16-19)
+- fn_json: R3 validated parse, R12 map lookup (bpi_etl_bigquery.py:223)
+- fn_map: R12 (the OER `rates` open map, pydantic_models.py:55-58)
+- fn_conditional: nullable handling of R17 (bpi_etl_bigquery.py:242)
+- fn_array: no precedent — needed for the embeddings table.
+
+All functions are JVM built-ins inside WholeStageCodegen — no Python in the
+hot path. Math avoids libm-dependent functions (exp/ln/pow) whose last-ulp
+behavior differs between JVM and C engines; +,-,*,/,sqrt,abs,ceil,floor,round
+are IEEE-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import DEC
+from bitcoin_price_etl_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           upper(c_mktsegment) AS seg_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INT) AS name_len,
+           concat_ws('|', c_name, c_mktsegment) AS name_seg,
+           split_part(c_name, '#', 2) AS name_num,
+           regexp_replace(c_name, '[0-9]+', 'N', 'g') AS name_masked,
+           trim('  ' || c_mktsegment || ' ') AS seg_trim
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: lower/upper/substring/length/concat_ws/split_part/
+    regexp_replace/trim (R8/R11 precedents)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("name_masked"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS due_ts,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month/day, date_trunc, epoch, interval arithmetic,
+    date_format (R4/R15/R16)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "month_start"
+        ),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("due_ts"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross,
+           CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)), 2)
+                AS DOUBLE) AS net_rounded,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           sqrt(l_quantity) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family on doubles (R13 semantics: prices are IEEE doubles,
+    deliberately not decimals — SURVEY.md §1.3)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "gross"
+        ),
+        # round() on raw doubles disagrees between engines on .xx5 decimal
+        # representations (Spark rounds the shortest decimal repr HALF_UP,
+        # C engines round the scaled double); routing through DECIMAL(38,4)
+        # makes ties exact and both engines round half-away-from-zero.
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC), 2
+        )
+        .cast("double")
+        .alias("net_rounded"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.floor(F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           substring(md5(text), 1, 6) AS key_prefix
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash family: md5 / sha2 / 6-char key prefix — the reference's
+    anti-hotspot write-key recipe (R8, bpi_etl_bigquery.py:16-19)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.substring(F.md5("text"), 1, 6).alias("key_prefix"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object / typed from_json / validity probe
+    (R3 validated parse + R12 keyed lookup)."""
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", schema).getField("k").alias("k_int"),
+        F.from_json("props", schema).isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(embedding[64] AS DOUBLE) AS last_component,
+           CAST(list_max(embedding) AS DOUBLE) AS max_component,
+           CAST(list_min(embedding) AS DOUBLE) AS min_component
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embeddings table: size / element_at /
+    array_max / array_min (float→double widening is exact)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_component"),
+        F.element_at("embedding", 64).cast("double").alias("last_component"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+        F.array_min("embedding").cast("double").alias("min_component"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS uid_val,
+           2 AS n_keys
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (R12: the OER `rates` open map — pydantic_models.py:55-58):
+    build a map column, read it back with element_at, measure cardinality.
+    The oracle is the algebraic simplification — the parity check proves the
+    map round-trip is lossless."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'high'
+                WHEN o_totalprice >= 100000.0 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_norm,
+           least(o_totalprice, 250000.0) AS capped_price,
+           greatest(o_totalprice, 10000.0) AS floored_price
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: when/otherwise, coalesce+nullif, least/greatest
+    (the R17 nullable-handling contract, bpi_etl_bigquery.py:242)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000.0, "high")
+        .when(F.col("o_totalprice") >= 100000.0, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_norm"
+        ),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("capped_price"),
+        F.greatest(F.col("o_totalprice"), F.lit(10000.0)).alias("floored_price"),
+    )

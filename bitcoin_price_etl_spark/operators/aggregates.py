@@ -1,0 +1,147 @@
+"""Aggregation operators (SURVEY.md §2.2 — no reference precedent; the
+reference aggregates nothing, these are the harness/north-star generalization).
+
+Scale notes: all groupBys here are partial-aggregated map-side by Spark
+(HashAggregate → Exchange → HashAggregate), so the shuffle moves only one row
+per (partition × group), not the raw data. Group cardinality is tiny
+(returnflag × linestatus = 6), so the exchange is negligible at any scale.
+Float sums use the DECIMAL(38,10) discipline from exprs.py so results are
+bit-identical regardless of partial-agg order (exprs.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import DEC, davg, davg_sql, dsum, dsum_sql
+from bitcoin_price_etl_spark.registry import query
+
+
+@query(
+    "agg_hash",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {dsum_sql('l_quantity', 'sum_qty')},
+           {dsum_sql('l_extendedprice', 'sum_base_price')},
+           {davg_sql('l_discount', 'avg_disc')},
+           MIN(l_quantity) AS min_qty,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped sum/avg/min/max/count (partial+final hash agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            davg("l_discount", "avg_disc"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood).
+
+    The approximate twin (`approx_count_distinct` / HLL) is exposed as
+    `agg_approx_distinct` with a rows-only check, since sketches are not
+    bit-comparable across engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — sketch output, rows-only check.
+
+    At 100 TB this is the right default for cardinality dashboards: one pass,
+    fixed memory, no expand; exact distinct shuffles every distinct value.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup_cube",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping-flag disambiguation (hierarchical subtotals).
+
+    gid is composed from per-column GROUPING() bits rather than engine
+    GROUPING_ID() so the Spark and DuckDB bit orders cannot disagree.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus").agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS {DEC}) END) AS DOUBLE)
+               AS sum_discounted_price,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregates via sum(when) — SQL FILTER twin."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice").cast(DEC))
+        )
+        .cast("double")
+        .alias("sum_discounted_price"),
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,228 @@
+"""Join operators (SURVEY.md §2.2).
+
+Reference precedents: the reference's only joins are R13, the 1-row
+scalar-broadcast enrichment (dags/bpi_etl/bpi_etl_bigquery.py:223-225), and
+R14, the as-of-date alignment between the BPI and XR sources
+(bpi_etl_bigquery.py:294,118,125-127). Everything else is the required
+generalization to N-row tables.
+
+Scale notes per strategy:
+- broadcast joins: dims (region/nation/supplier, rate tables) are
+  fixed-cardinality — broadcast them explicitly so no shuffle of the fact
+  side ever happens, at any scale factor.
+- shuffle joins: large-large equi-joins shuffle both sides on the key;
+  AQE handles skew splitting. At 100 TB the production answer is bucketing
+  both tables on the join key (see sinks.py), which this code path picks up
+  automatically once the tables are bucketed.
+- the as-of join deliberately avoids a global window over the big side:
+  the rate series is small (one row per day/hour), so it is banded with
+  lead() driver-side-small and broadcast — the big side stays unshuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import davg, davg_sql, dsum, dsum_sql
+from bitcoin_price_etl_spark.registry import query
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT r.r_name,
+           n.n_name,
+           COUNT(*) AS n_customers,
+           {dsum_sql('c.c_acctbal', 'sum_acctbal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim equi-join with explicit broadcast (R13 generalized).
+
+    nation (25 rows) and region (5 rows) are fixed-cardinality regardless of
+    scale factor — broadcasting them keeps the customer side map-side only.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_shuffle",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice, o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join (sort-merge / shuffled-hash under AQE)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "l_linenumber", "l_quantity", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join — emits each left row at most once (no fanout)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence join (NOT EXISTS) — customers that never ordered."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000.0
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched left rows as nulls."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000.0)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_cross_scalar",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           l.l_linenumber,
+           l.l_extendedprice / s.avg_price AS price_ratio
+    FROM lineitem l
+    CROSS JOIN (SELECT {davg_sql('l_extendedprice', 'avg_price')} FROM lineitem) s
+    """,
+)
+def join_cross_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join with a 1-row derived table — exactly the reference's R13
+    scalar-broadcast enrichment (bpi_etl_bigquery.py:223-225): every row is
+    multiplied/divided by a single scalar fetched in a separate step."""
+    li = load(spark, sf_dir, "lineitem")
+    scalar = li.agg(davg("l_extendedprice", "avg_price"))
+    return li.crossJoin(F.broadcast(scalar)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("avg_price")).alias("price_ratio"),
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, b.band_name
+    FROM part p
+    JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))
+         AS b(band_name, lo, hi)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join against a small banding table.
+
+    The band table is broadcast, so the non-equi predicate runs as a
+    broadcast nested-loop over 3 rows — O(1) per fact row, no shuffle.
+    """
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
+        "band_name string, lo int, hi int",
+    )
+    cond = (p.p_size >= bands.lo) & (p.p_size <= bands.hi)
+    return p.join(F.broadcast(bands), cond).select("p_partkey", "p_size", "band_name")
+
+
+@query(
+    "join_asof",
+    oracle=f"""
+    WITH rates AS (
+        SELECT date_trunc('hour', ts) AS rate_ts,
+               {davg_sql('value', 'rate')}
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY date_trunc('hour', ts)
+    )
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           r.rate AS asof_rate
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN rates r ON e.ts >= r.rate_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks the latest hourly purchase-rate at
+    or before its timestamp — the general form of the reference's R14
+    as-of-date source alignment (bpi_etl_bigquery.py:294,118,125-127), where
+    the XR rate is fetched *for the BPI run's date*.
+
+    Implementation: the rate series is banded into [rate_ts, next_rate_ts)
+    intervals with lead() — the window runs only over the tiny aggregated
+    series — then broadcast and range-joined. The big (event) side is never
+    shuffled and never globally sorted, which is what makes this hold at
+    100 TB; the union+window emulation would single-partition the fact table.
+    """
+    ev = load(spark, sf_dir, "events")
+    rates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("rate_ts"))
+        .agg(davg("value", "rate"))
+    )
+    w = Window.orderBy("rate_ts")
+    banded = rates.withColumn("next_rate_ts", F.lead("rate_ts").over(w))
+    clicks = ev.filter(F.col("event_type") == "click")
+    cond = (clicks.ts >= banded.rate_ts) & (
+        banded.next_rate_ts.isNull() | (clicks.ts < banded.next_rate_ts)
+    )
+    return clicks.join(F.broadcast(banded), cond, "left").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("rate").alias("asof_rate"),
+    )

@@ -1,0 +1,79 @@
+"""Sinks (SURVEY.md §2.2): append-only partitioned parquet with pinned
+nullability — the engine twin of R17+R18 (reference
+dags/bpi_etl/bpi_etl_bigquery.py:240-242 `has_nulls` pin, :277-291
+WRITE_APPEND load).
+
+Scale notes: writes are partitioned by a low-cardinality column so appends
+create per-partition files; the reference's anti-hotspot salted key prefix
+(R8) generalizes to hashed subpartitioning when a single partition value
+dominates. Nullability is pinned by casting to an explicit StructType before
+write — Spark otherwise flips everything nullable, which breaks strict
+warehouse schemas (the BigQuery failure mode the reference pins against,
+slides p.16).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.registry import query
+
+SINK_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType(), nullable=False),
+        T.StructField("l_linenumber", T.IntegerType(), nullable=False),
+        T.StructField("l_quantity", T.DoubleType(), nullable=False),
+        T.StructField("l_returnflag", T.StringType(), nullable=False),
+    ]
+)
+
+
+def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast/pin a DataFrame to an explicit schema incl. nullability (R17).
+
+    `DataFrame.to` reconciles column order, types, and nullability against
+    the declared StructType — the Spark-native version of the reference's
+    fastparquet `has_nulls` pin.
+    """
+    return df.to(schema)
+
+
+@query(
+    "sink_parquet_append",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_quantity >= 45.0
+    )
+    SELECT * FROM src UNION ALL SELECT * FROM src
+    """,
+)
+def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only partitioned parquet sink, read back after two appends.
+
+    Two WRITE_APPEND rounds into a fresh directory (R18 semantics: each
+    hourly run appends its batch); the readback must contain exactly two
+    copies — proven against a UNION ALL oracle. Partitioned by returnflag
+    (the serving-layout choice of slides p.21, clustering).
+    """
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    target = tempfile.mkdtemp(prefix="sink_append_") + "/bpi_xr_hourly_twin"
+    for _ in range(2):
+        src.write.mode("append").partitionBy("l_returnflag").parquet(target)
+    out = spark.read.parquet(target)
+    # partitionBy round-trips the partition column as string; restore types
+    return out.select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("int"),
+        F.col("l_quantity").cast("double"),
+        F.col("l_returnflag").cast("string"),
+    )

@@ -1,0 +1,250 @@
+"""Streaming operators — batch twins for oracle checks (SURVEY.md §2.2
+"Streaming", §5 "Streaming tests").
+
+Reference precedent: the whole reference pipeline is an hourly incremental
+micro-batch (R19, dags/bpi_etl/bpi_etl_bigquery.py:26-30) appending to a
+serving table (R18, :277-291); `catchup=False` (:29) is the
+discard-stale/late-data stance the watermark twin generalizes.
+
+Every key here is the *batch expression* of the streaming semantics, so the
+DuckDB oracle can check it; the real `readStream`/`writeStream` jobs with
+watermarks and checkpoints live in streaming/jobs.py and are exercised by
+tests/test_streaming.py. `stream_foreachbatch_append` runs a real
+Trigger.AvailableNow stream inside the query callable.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import dsum, dsum_sql
+from bitcoin_price_etl_spark.registry import query
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (R19's hourly cadence as a window).
+
+    Streaming form: readStream → withWatermark('ts', ...) → groupBy(window)
+    (streaming/jobs.py); the batch twin is bit-identical because tumbling
+    windows partition the timeline.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+                                 - g.g * 900), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value')}
+    FROM events, (SELECT unnest(range(4)) AS g) g
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour / 15 min slide): each event lands in exactly 4
+    overlapping windows. The oracle twin expands the 4 windows arithmetically
+    (floor-to-slide minus k·slide), which is the definitional semantics of
+    Spark's sliding window assignment."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH gapped AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gapped
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 'sum_value')}
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via session_window().
+
+    The oracle twin is the classic gaps-and-islands construction: a session
+    break whenever the gap to the previous event exceeds 30 minutes; the
+    session start (MIN ts) equals session_window().start.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics as a batch twin: drop events older than
+    2 hours behind the max observed event time — exactly what
+    withWatermark('ts','2 hours') admits at end-of-stream (the reference's
+    catchup=False discard-stale stance, bpi_etl_bigquery.py:29).
+
+    The real stateful watermark behavior (mid-stream eviction) is asserted
+    in tests/test_streaming.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 2 HOURS"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest observation — the deterministic form
+    of streaming dropDuplicates-within-watermark (the reference's idempotent
+    re-run concern, slides p.6 "graceful recovery").
+
+    dropDuplicates() keeps an arbitrary row; the engine pins "first by event
+    time" via row_number so re-runs are bit-identical (and so the oracle can
+    check it). The streaming form (dropDuplicates after withWatermark) is
+    asserted rows-only in tests/test_streaming.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@query(
+    "stream_foreachbatch_append",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def stream_foreachbatch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming run: parquet file source →
+    Trigger.AvailableNow → foreachBatch append to a parquet sink with
+    checkpointing — the R18+R19 lifecycle (hourly WRITE_APPEND with
+    exactly-once-ish bookkeeping, bpi_etl_bigquery.py:277-291) with the
+    checkpoint replacing XCom locator state.
+
+    The readback must equal the source — proven against the oracle.
+    """
+    from bitcoin_price_etl_spark.streaming.jobs import stage_stream_dir
+
+    tmp = tempfile.mkdtemp(prefix="stream_append_")
+    sink = tmp + "/sink"
+    ckpt = tmp + "/ckpt"
+
+    # file streaming sources need a directory; stage the table file into one
+    src_dir, ev_schema = stage_stream_dir(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(src_dir)
+        .select("event_id", "event_type", "value")
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    return spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(sink)

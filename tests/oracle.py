@@ -1,0 +1,72 @@
+"""Differential oracle harness mirroring the driver's correctness gate:
+run the Spark query and its DuckDB oracle SQL on the same parquet tables,
+compare row count, column names, and the order-insensitive multiset of
+values — exactly (no float tolerance: the engine's decimal-sum discipline
+is supposed to make results bit-identical; a looser check would hide
+failures the driver will catch)."""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+from bitcoin_price_etl_spark.catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # collapse -0.0 / +0.0
+        return v
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare_to_oracle(spark, key: str, sf_dir: str) -> None:
+    """Assert Spark result == DuckDB oracle result for one registry key."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    spec = load_all()[key]
+    assert spec.oracle is not None, f"{key} has no oracle"
+
+    sdf = spec.fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    res = con.sql(spec.oracle)
+    d_cols = list(res.columns)
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{key}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{key}: row count mismatch spark={len(s_rows)} duck={len(d_rows)}"
+    )
+
+    sn = _normalize(s_rows, s_cols)
+    dn = _normalize(d_rows, d_cols)
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+        raise AssertionError(f"{key}: value mismatch; first diffs {diffs}")
