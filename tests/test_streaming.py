@@ -1,0 +1,91 @@
+"""Streaming tests (SURVEY.md §5): the real Structured Streaming jobs —
+stateful behaviors the batch oracle can't check."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.streaming import jobs
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, job_fn):
+    tmp = tempfile.mkdtemp(prefix="stream_test_")
+    sink, ckpt = tmp + "/sink", tmp + "/ckpt"
+    q = job_fn(spark, SF_SMOKE, sink, ckpt)
+    q.awaitTermination(180)
+    return spark.read.parquet(sink), tmp
+
+
+def test_hourly_tumbling_stream_matches_batch(spark):
+    """Streaming tumbling agg in append mode emits exactly the windows the
+    2-hour watermark has closed: equal to the batch twin for every window
+    ending at or below max(ts) - 2h, and nothing else — the late-data
+    contract the batch oracle can't observe."""
+    out, _ = _run(spark, jobs.hourly_tumbling_job)
+    from bitcoin_price_etl_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    watermark = ev.agg(F.max("ts")).collect()[0][0] - __import__("datetime").timedelta(
+        hours=2
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    s = {tuple(r) for r in out.collect()}
+    b_rows = batch.collect()
+    b_all = {(r[0], r[2], r[3]) for r in b_rows}
+    b_closed = {(r[0], r[2], r[3]) for r in b_rows if r[1] <= watermark}
+    assert s >= b_closed, "stream missing watermark-closed windows"
+    assert s <= b_all, "stream emitted a window the batch twin doesn't have"
+
+
+def test_dedup_stream_unique_ids(spark):
+    """Streaming dropDuplicates on event_id: output must have unique ids and
+    cover every distinct input id (event_id is unique in the fixture, so
+    count must equal input count)."""
+    out, _ = _run(spark, jobs.dedup_stream_job)
+    from bitcoin_price_etl_spark.catalog import load
+
+    n_in = load(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_in
+    assert out.select("event_id").distinct().count() == n_in
+
+
+def test_session_window_stream(spark):
+    """Streaming session windows emit only watermark-closed sessions; every
+    emitted session must match the batch session_window computation exactly,
+    and only tail sessions (ending within the 2h watermark of max ts) may be
+    withheld."""
+    import datetime
+
+    out, _ = _run(spark, jobs.session_window_job)
+    from bitcoin_price_etl_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    watermark = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    s = {tuple(r) for r in out.collect()}
+    b_rows = batch.collect()
+    b_all = {(r[0], r[2], r[3]) for r in b_rows}
+    b_closed = {(r[0], r[2], r[3]) for r in b_rows if r[1] <= watermark}
+    assert s >= b_closed, "stream missing watermark-closed sessions"
+    assert s <= b_all, "stream emitted a session the batch twin doesn't have"
