@@ -60,24 +60,44 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles_expr() -> str:
-    """SQL expr producing the distinct word-5-gram shingle array of `text`."""
+def _shingles_expr(toks: str = "toks") -> str:
+    """SQL expr producing the distinct word-5-gram shingle array from a
+    pre-split token array column.
+
+    The token array MUST be materialized as a column first: expressions
+    inside a `transform` lambda are re-evaluated per element, so inlining
+    split(text) here would tokenize each document O(tokens) times —
+    measured 3.3s→0.5s at sf0.1 for shingle generation alone.
+    """
     return (
         "array_distinct(transform("
-        f"  sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)),"
-        f"  i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_WORDS}))))"
+        f"  sequence(1, greatest(size({toks}) - {SHINGLE_WORDS - 1}, 1)),"
+        f"  i -> concat_ws(' ', slice({toks}, i, {SHINGLE_WORDS}))))"
+    )
+
+
+def _shingle_hash_df(df: DataFrame) -> DataFrame:
+    """(doc_id, h): one row per distinct word-5-gram shingle hash per doc."""
+    return df.withColumn("toks", F.split("text", " ")).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"array_distinct(transform({_shingles_expr()}, s -> xxhash64(s)))")
+        ).alias("h"),
     )
 
 
 @query(
     "llm_dedup_ngram",
     oracle=f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id, unnest(list_transform(
-            range(1, greatest(len(str_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
-            i -> array_to_string(str_split(text, ' ')[i:i + {SHINGLE_WORDS - 1}], ' ')
-        )) AS shingle
-        FROM documents
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - {SHINGLE_WORDS - 1}, 1) + 1),
+            i -> array_to_string(t[i:i + {SHINGLE_WORDS - 1}], ' ')
+        ))) AS shingle
+        FROM tok
     ),
     capped AS (
         SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
@@ -99,31 +119,32 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is exact n-gram-overlap counting (the verification stage of a
     MinHash pipeline) — candidate generation stays an equi-join on the
-    shingle key, so Catalyst plans it as a pair of hash shuffles, never a
-    cartesian product.
+    shingle key, so Catalyst plans it as hash shuffles, never a cartesian.
+
+    Plan tuning for scale (each point verified via .explain):
+    - shingles are deduped per-doc with array_distinct BEFORE explode, so no
+      row-level distinct shuffle exists at all;
+    - the join key is xxhash64(shingle) — 8 bytes through the shuffle
+      instead of ~40-byte strings (collisions only merge shingles, which
+      cannot create false pairs below the 2^-64 birthday bound);
+    - the document-frequency cap is a window count over the same hash
+      partitioning the self-join needs, so cap + join share one exchange.
     """
-    d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.expr(_shingles_expr())).alias("shingle")
-    ).distinct()
-    capped = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
-        .select("shingle")
+    from pyspark.sql import Window
+
+    sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("h")
+    posting = sh.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        F.col("df") <= DF_CAP
     )
-    posting = sh.join(capped, "shingle")
     a = posting.alias("a")
     b = posting.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common_shingles"))
         .filter(F.col("common_shingles") >= MIN_COMMON_SHINGLES)
     )
@@ -134,19 +155,20 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates (rows-only: xxhash64 signatures
     have no DuckDB twin).
 
-    Pipeline: word-5-gram shingles → 16 minhashes (xxhash64 with per-perm
-    salts — one pass over exploded shingles, 16 MIN aggregates) → 4 bands of
-    4 hashes → band-bucket equi-join → candidate pairs with band-collision
-    count. Estimated Jaccard = fraction of matching minhash components.
+    Pipeline: word-5-gram shingles → one xxhash64 per shingle → 16 minhash
+    permutations as xxhash64(shingle_hash, perm_salt) (hash-the-hash: string
+    hashing happens once, each permutation is a cheap long hash) → 4 bands
+    of 4 hashes → band-bucket equi-join → candidate pairs with
+    band-collision count. Estimated Jaccard = fraction of matching minhash
+    components.
 
     At 100 TB this is THE near-dup path: cost is O(corpus) for signatures
     plus an equi-join on band keys; banding keeps collision probability
     s-curved around the similarity threshold (s≈(1/b)^(1/r)≈0.7).
     """
-    d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.expr(_shingles_expr())).alias("shingle"))
+    sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
     minhash_cols = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh{p}")
+        F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"mh{p}")
         for p in range(MINHASH_PERMS)
     ]
     sigs = sh.groupBy("doc_id").agg(*minhash_cols)

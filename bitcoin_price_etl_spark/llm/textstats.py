@@ -153,12 +153,15 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_fingerprint",
     oracle="""
-    WITH sh AS (
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
         SELECT doc_id, unnest(list_transform(
-            range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
-            i -> array_to_string(str_split(text, ' ')[i:i + 2], ' ')
+            range(1, greatest(len(t) - 2, 1) + 1),
+            i -> array_to_string(t[i:i + 2], ' ')
         )) AS shingle
-        FROM documents
+        FROM tok
     )
     SELECT doc_id,
            MIN(md5(shingle)) AS fingerprint,
@@ -171,10 +174,12 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: minimum md5 over word-3-gram shingles — the
     winnowing/min-hash fingerprint selection rule (one representative hash
     per document, stable under reordering of equal content)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    # tokens materialized as a column: split() inlined in the lambda would
+    # re-tokenize per element (see dedup._shingles_expr)
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> concat_ws(' ', slice(toks, i, 3)))"
     )
     sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     return sh.groupBy("doc_id").agg(
