@@ -27,9 +27,21 @@ TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
-def dsum(col: str, alias: str) -> Column:
-    """Exact, order-insensitive sum of a double column, emitted as double."""
-    return F.expr(f"CAST(SUM(CAST({col} AS {DEC})) AS DOUBLE)").alias(alias)
+def dec(scale: int) -> str:
+    """Decimal type wide enough for any SF, at the given fractional scale.
+
+    Scale rule: use the smallest scale that exactly represents the data
+    (2-decimal money → 4 is already generous; products of two money columns
+    → 4; products of three → 6). See module docstring for why over-scaling
+    breaks cross-engine conversion.
+    """
+    return f"DECIMAL(38,{scale})"
+
+
+def dsum(col: str, alias: str, scale: int = 4) -> Column:
+    """Exact, order-insensitive sum of a double column, emitted as double.
+    `col` may be any SQL expression whose exact value fits the scale."""
+    return F.expr(f"CAST(SUM(CAST({col} AS {dec(scale)})) AS DOUBLE)").alias(alias)
 
 
 def davg(col: str, alias: str) -> Column:
@@ -44,8 +56,8 @@ def davg(col: str, alias: str) -> Column:
     ).alias(alias)
 
 
-def dsum_sql(col: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({col} AS {DEC})) AS DOUBLE) AS {alias}"
+def dsum_sql(col: str, alias: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({col} AS {dec(scale)})) AS DOUBLE) AS {alias}"
 
 
 def davg_sql(col: str, alias: str) -> str:

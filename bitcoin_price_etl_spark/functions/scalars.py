@@ -264,3 +264,24 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("capped_price"),
         F.greatest(F.col("o_totalprice"), F.lit(10000.0)).alias("floored_price"),
     )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents
+                 WHERE doc_id < 50)
+    SELECT doc_id,
+           unnest(range(0, len(t))) AS pos,
+           unnest(t) AS token
+    FROM tok
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per array element with its position (the lateral
+    table-function form of flattening; the oracle zips two parallel unnests,
+    DuckDB's equivalent of WITH ORDINALITY)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

@@ -145,3 +145,139 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    WITH sums AS (
+        SELECT l_returnflag,
+               COUNT(l_quantity) AS n,
+               {dsum_sql('l_quantity', 's1')},
+               {dsum_sql('l_quantity * l_quantity', 's2')}
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           s1 / n AS mean_qty,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty
+    FROM sums
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev via decimal-exact moment sums.
+
+    Native STDDEV implementations use Welford-style streaming updates whose
+    float rounding differs per engine and per partial-agg order; composing
+    the statistics from exact decimal sums of x and x² (quantities are
+    1-decimal, squares 2-decimal — both exactly representable at scale 4)
+    makes the derived doubles bit-identical. The textbook cancellation
+    hazard of the E[x²]−E[x]² form doesn't apply: the sums are exact, so the
+    subtraction is the exact value rounded once.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        dsum("l_quantity", "s1"),
+        dsum("l_quantity * l_quantity", "s2"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_qty"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var_qty"
+        ),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+        ).alias("stddev_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube: all 2^k grouping-set combinations (rollup's superset)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS {DEC}) END) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows → columns on an explicit pivot-value list.
+
+    The value list is declared (not discovered) — at 100 TB an undeclared
+    pivot forces an extra distinct pass over the fact table to find the
+    columns. The oracle is the conditional-aggregation desugaring, which is
+    exactly how Catalyst lowers pivot.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("O_cnt").alias("cnt_o"),
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90).
+
+    Computed on l_quantity, whose values are integer-valued doubles: every
+    interpolation point is a dyadic rational, so Spark's and DuckDB's
+    interpolation formulas agree bit-for-bit. (On arbitrary doubles the two
+    a+(b−a)·f vs a·(1−f)+b·f formulations can differ in the last ulp — for
+    those, approx_percentile with a tolerance check is the honest contract.)
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+    )

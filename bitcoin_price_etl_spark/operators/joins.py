@@ -226,3 +226,40 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.col("rate").alias("asof_rate"),
     )
+
+
+@query(
+    "join_outer_full",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           c.n_customers,
+           s.n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates — rows surviving from either side
+    (nations with only customers, only suppliers, or both)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )

@@ -126,3 +126,70 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "win_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are ratios of
+    identical integers in both engines — exact double division, no float
+    discipline needed.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_value",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           FIRST_VALUE(o_orderkey) OVER w AS biggest_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           LAST_VALUE(o_orderkey) OVER w_full AS smallest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_full AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first_value / nth_value / last_value with
+    explicit frames (the default growing frame makes last_value a footgun —
+    pinned to the full partition here, identically in both engines)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first("o_orderkey").over(w).alias("biggest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.last("o_orderkey").over(w_full).alias("smallest_order"),
+    )
