@@ -39,6 +39,10 @@ HEADLINE = [
     "llm_sim_search_fast",
     "llm_text_stats",
     "udf_pandas",
+    "tpch_q1_full",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
 ]
 
 

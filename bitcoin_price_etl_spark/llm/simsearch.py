@@ -199,3 +199,61 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+
+
+@query(
+    "llm_dedup_embed",
+    oracle="""
+    WITH scored AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x)) AS norm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+               (s, x) -> s + x) / (a.norm * b.norm) AS cosine
+    FROM scored a JOIN scored b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+              (s, x) -> s + x) / (a.norm * b.norm) > 0.5
+    """,
+)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Blocking is the scale story: candidate pairs come from an equi-join on
+    a blocking key (here the class label; in production an LSH bucket or
+    coarse quantizer cell), so cost is Σ block² instead of corpus². Exact
+    cosine re-scoring keeps only pairs above threshold. Same sequential
+    double-fold discipline as llm_sim_search for bit-parity.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (s, v) -> s + v))"
+    )
+    scored = e.select("vec_id", "label", "embedding", norm.alias("norm"))
+    a = scored.alias("a")
+    b = scored.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    cosine = (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine,
+        )
+        .filter(F.col("cosine") > 0.5)
+    )

@@ -1,0 +1,70 @@
+"""Custom PySpark 4 Python DataSource for the REST JSON poller (R1/R2).
+
+The reference polls two REST APIs driver-side inside Airflow tasks
+(dags/bpi_etl/bpi_etl_bigquery.py:62-63,127-128). The engine-native
+generalization is a Spark DataSource: `spark.read.format("bpi_rest")`
+yields one row per API snapshot, partitioned across executors, so a
+thousand-endpoint poll fans out instead of serializing on the driver.
+
+Offline in this harness: the "HTTP responses" are the deterministic replay
+fixtures from scans.synth_bpi_documents. The reader structure (partitions →
+per-partition fetch → Arrow rows) is the real scale plumbing; swapping the
+fixture call for `requests.get` is the only production delta.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+SNAPSHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.IntegerType()),
+        T.StructField("time_updated_iso", T.StringType()),
+        T.StructField("chart_name", T.StringType()),
+        T.StructField("usd_rate", T.DoubleType()),
+        T.StructField("gbp_rate", T.DoubleType()),
+        T.StructField("eur_rate", T.DoubleType()),
+    ]
+)
+
+
+class BpiRestDataSource(DataSource):
+    """spark.read.format("bpi_rest").option("snapshots", N)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bpi_rest"
+
+    def schema(self):
+        return SNAPSHOT_SCHEMA
+
+    def reader(self, schema):
+        return BpiRestReader(int(self.options.get("snapshots", "24")))
+
+
+class BpiRestReader(DataSourceReader):
+    def __init__(self, snapshots: int):
+        self.snapshots = snapshots
+
+    def partitions(self):
+        # one partition per 8 snapshots: the poll fan-out unit
+        return [InputPartition(i) for i in range(0, self.snapshots, 8)]
+
+    def read(self, partition):
+        from bitcoin_price_etl_spark.sources.scans import synth_bpi_documents
+
+        docs = synth_bpi_documents(self.snapshots)
+        start = partition.value
+        for i in range(start, min(start + 8, self.snapshots)):
+            doc = json.loads(docs[i])
+            yield (
+                i,
+                doc["time"]["updatedISO"],
+                doc["chartName"],
+                doc["bpi"]["USD"]["rate_float"],
+                doc["bpi"]["GBP"]["rate_float"],
+                doc["bpi"]["EUR"]["rate_float"],
+            )

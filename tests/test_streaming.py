@@ -89,3 +89,19 @@ def test_session_window_stream(spark):
     b_closed = {(r[0], r[2], r[3]) for r in b_rows if r[1] <= watermark}
     assert s >= b_closed, "stream missing watermark-closed sessions"
     assert s <= b_all, "stream emitted a session the batch twin doesn't have"
+
+
+def test_stateful_user_counts(spark):
+    """applyInPandasWithState: final per-user counts must equal the batch
+    groupBy (single availableNow pass feeds each group once)."""
+    out, _ = _run(spark, jobs.stateful_user_counts_job)
+    from bitcoin_price_etl_spark.catalog import load
+
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = {(r["user_id"], r["n_events"]) for r in out.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
