@@ -77,3 +77,39 @@ def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double"),
         F.col("l_returnflag").cast("string"),
     )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8
+) -> None:
+    """Bucketed managed-table write: pre-shuffles data into `n_buckets` by
+    `key` at write time so subsequent equi-joins/aggregations on `key`
+    between co-bucketed tables run with NO exchange — the production answer
+    for repeated large-large joins at 100 TB (SURVEY.md §4; the engine twin
+    of the reference's storage-layout tuning, slides p.21 clustering).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+@query("sink_salted", oracle=None)
+def sink_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted write layout — the generalized R8 anti-hotspot recipe
+    (bpi_etl_bigquery.py:8-23): partition output by a hash-derived prefix so
+    no store/partition hotspots on monotonic keys. Returns the per-prefix
+    file layout stats; rows-only (filesystem layout has no SQL twin)."""
+    src = load(spark, sf_dir, "documents")
+    salted = src.withColumn("part_key", F.substring(F.md5("text"), 1, 1))
+    target = tempfile.mkdtemp(prefix="sink_salted_") + "/docs"
+    salted.write.mode("overwrite").partitionBy("part_key").parquet(target)
+    out = spark.read.parquet(target)
+    return (
+        out.groupBy("part_key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("part_key")
+    )
