@@ -282,6 +282,8 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table-function form of flattening; the oracle zips two parallel unnests,
     DuckDB's equivalent of WITH ORDINALITY)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return d.select(
+    ex = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+    # pos → long: DuckDB's range() ordinality is BIGINT
+    return ex.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")

@@ -38,8 +38,8 @@ def _tok_count_sql(col: str = "text") -> str:
     oracle=f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(CAST({_tok_count_sql()} AS BIGINT)) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(CAST({_tok_count_sql()} AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MAX(CAST({_tok_count_sql()} AS BIGINT)) AS max_tokens
     FROM documents
     GROUP BY lang, source

@@ -5,7 +5,7 @@ Scale notes: all groupBys here are partial-aggregated map-side by Spark
 (HashAggregate → Exchange → HashAggregate), so the shuffle moves only one row
 per (partition × group), not the raw data. Group cardinality is tiny
 (returnflag × linestatus = 6), so the exchange is negligible at any scale.
-Float sums use the DECIMAL(38,10) discipline from exprs.py so results are
+Float sums use the decimal discipline from exprs.py so results are
 bit-identical regardless of partial-agg order (exprs.py docstring).
 """
 
@@ -97,7 +97,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
-           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
            COUNT(*) AS n_rows,
            {dsum_sql('l_quantity', 'sum_qty')}
     FROM lineitem
@@ -113,7 +113,9 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus").agg(
-            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
             F.count(F.lit(1)).alias("n_rows"),
             dsum("l_quantity", "sum_qty"),
         )
@@ -200,7 +202,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
-           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
            COUNT(*) AS n_rows,
            {dsum_sql('l_extendedprice', 'sum_price')}
     FROM lineitem
@@ -211,7 +213,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cube: all 2^k grouping-set combinations (rollup's superset)."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice", "sum_price"),
     )

@@ -43,9 +43,11 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
+        # cast to long: DuckDB window functions return BIGINT, and the
+        # driver compares schemas as well as values
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
     )
 
 
@@ -122,7 +124,7 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -151,7 +153,7 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
