@@ -56,11 +56,12 @@ def main() -> None:
     spark = get_spark("bpe-spark-bench")
     registry = load_all()
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not first-touch JIT/IO
-    registry["scan_parquet"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the JVM + parquet footers + codegen'd agg paths once so per-query
+    # numbers measure steady-state plans, not first-touch JIT/IO
+    for warm in ("scan_parquet", "agg_hash"):
+        registry[warm].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

@@ -263,3 +263,40 @@ def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "n_suppliers",
     )
+
+
+SKEW_SALTS = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join: identical RESULT to a plain join, different
+    physical distribution — the manual answer when one join key dominates
+    (a hot customer taking 30% of orders would put 30% of the shuffle on
+    one task).
+
+    Mechanism: the skewed (fact) side gets a deterministic salt in [0, S)
+    from xxhash64 of its primary key; the dim side is replicated S× with
+    every salt value; the join key becomes (key, salt), splitting each hot
+    key across S tasks. AQE's skewJoin handles moderate skew automatically
+    (session.py enables it); explicit salting is for pathological keys and
+    for aggregations, where AQE can't split. Salt is derived, never random:
+    re-runs must be identical (slides p.6 re-run concern).
+    """
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SKEW_SALTS)).cast("int")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(SKEW_SALTS)])))
+    )
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt)
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
