@@ -42,7 +42,10 @@ HEADLINE = [
     "tpch_q1_full",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
     "tpch_q10",
+    "tpch_q18",
+    "subquery_correlated",
 ]
 
 

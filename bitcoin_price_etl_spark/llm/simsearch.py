@@ -257,3 +257,56 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") > 0.5)
     )
+
+
+@query("llm_sim_search_ivf", oracle=None)
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: partition the corpus
+    into cells around centroids, probe only the nprobe nearest cells, exact
+    cosine re-scoring inside them (rows-only: recall is approximate by
+    design — a true neighbor in an unprobed cell is missed).
+
+    Here the quantizer is the per-label mean vector (labels stand in for
+    k-means cells; the assignment/probe machinery is identical). Centroids
+    are computed distributedly (posexplode → per-(label,pos) mean → array
+    re-assembly), and only the k centroid rows — the control plane, ~KBs
+    even with thousands of cells — come to the driver to rank probe cells.
+    At 100 TB the corpus is stored partitioned BY cell, so probing nprobe
+    cells is partition pruning: the scan touches nprobe/k of the data.
+    """
+    e = load(spark, sf_dir, "embeddings")
+
+    # distributed centroid build: one row per (label, position), then
+    # re-assemble position-sorted means into an array per label
+    cells = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("mx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"))
+        .select("label", F.expr("transform(pm, p -> p.mx)").alias("centroid"))
+    )
+
+    qv = _query_vector(spark, sf_dir).collect()[0]["qv"]  # 64 floats
+    q = np.asarray(qv, dtype=np.float64)
+
+    # control plane: rank cells by centroid distance, probe the top 3
+    nprobe = 3
+    ranked = sorted(
+        cells.collect(),
+        key=lambda r: float(np.linalg.norm(np.asarray(r["centroid"]) - q)),
+    )
+    probe_labels = [r["label"] for r in ranked[:nprobe]]
+
+    candidates = e.filter(F.col("label").isin(probe_labels))
+    q_df = _query_vector(spark, sf_dir)
+    scored = candidates.crossJoin(F.broadcast(q_df)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+            " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
+            "    * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)

@@ -74,7 +74,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND CAST(len(list_filter(str_split(text, ' '),
                           x -> x IN {_STOPWORDS!r})) AS DOUBLE)
                      / {_tok_count_sql()} BETWEEN 0.05 AND 0.6
-                THEN 1.0 ELSE 0.0 END AS quality_pass
+                THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS quality_pass
     FROM documents
     """,
 )

@@ -285,3 +285,35 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n_rows,
+           {dsum_sql('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical cousin of rollup/cube:
+    per-returnflag totals, per-linestatus totals, and the grand total, in
+    one pass (Spark plans one Expand + one hash agg, not three scans).
+
+    gid composed from per-column GROUPING() bits, same discipline as
+    agg_rollup_cube, so engine bit orders cannot disagree."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+    )

@@ -195,3 +195,39 @@ def win_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.last("o_orderkey").over(w_full).alias("smallest_order"),
     )
+
+
+@query(
+    "win_range_between",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS {DEC})) OVER w AS DOUBLE) AS hour_sum,
+           COUNT(*) OVER w AS hour_n
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing 1-hour sum/count per event type — the
+    time-windowed form of the reference's hourly cadence (R19) as a window
+    frame rather than a groupBy bucket.
+
+    Ordered on epoch MICROS as a numeric range (Spark's rangeBetween takes
+    longs, DuckDB takes its ordering type) so both engines bound the frame
+    on identical integers. No tiebreak needed: RANGE frames include all
+    peers of the boundary row, so duplicate timestamps are deterministic —
+    unlike ROWS frames, where peer order would leak partition order.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )

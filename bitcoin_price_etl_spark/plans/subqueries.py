@@ -1,0 +1,122 @@
+"""Subquery operators (SURVEY.md §2.2 relational completeness tier).
+
+The reference's only subquery-shaped computation is the scalar lookup +
+broadcast enrichment (R12/R13, dags/bpi_etl/bpi_etl_bigquery.py:223-225):
+pull ONE value out of a keyed document and apply it to every row. These
+operators generalize that pattern to the three subquery families a SQL user
+of the engine needs — uncorrelated scalar, correlated scalar, and IN-set —
+each expressed Spark-first (aggregate + broadcast join), never as a
+driver-side collect-then-filter loop.
+
+Scale notes: an uncorrelated scalar subquery is a 1-row aggregate cross-
+joined via broadcast — O(1) exchange regardless of fact size. A correlated
+scalar subquery decorrelates into an aggregate-then-join on the correlation
+key (exactly what Catalyst's RewriteCorrelatedScalarSubquery does); the
+group-side shuffle moves one row per key. IN-sets become broadcast semi
+joins when the set is small. Nothing here collects fact data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import davg, davg_sql, dsum, dsum_sql
+from bitcoin_price_etl_spark.registry import query
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(c_acctbal)
+        FROM customer
+    )
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: customers above the global mean balance.
+
+    The R13 pattern generalized (bpi_etl_bigquery.py:223-225): a 1-row
+    aggregate broadcast against the full table. The mean uses the decimal
+    discipline (exprs.py) so the threshold is bit-identical in both engines
+    and the filter can never disagree on a boundary row.
+    """
+    c = load(spark, sf_dir, "customer")
+    global_avg = c.agg(davg("c_acctbal", "global_avg"))
+    return (
+        c.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("c_acctbal") > F.col("global_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "subquery_correlated",
+    oracle=f"""
+    WITH nat AS (
+        SELECT c_nationkey, {davg_sql('c_acctbal', 'nat_avg')}
+        FROM customer
+        GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, nat.nat_avg
+    FROM customer c JOIN nat ON c.c_nationkey = nat.c_nationkey
+    WHERE c.c_acctbal > nat.nat_avg
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: customers above their OWN
+    nation's mean balance (`WHERE c_acctbal > (SELECT AVG(..) .. WHERE
+    c2.c_nationkey = c.c_nationkey)`).
+
+    Built as aggregate-per-key + broadcast equi-join — the same plan
+    Catalyst's subquery decorrelation produces, written explicitly so the
+    shape is visible. Per-key aggregate is one row per nation (25), so the
+    join side broadcasts at any scale factor.
+    """
+    c = load(spark, sf_dir, "customer")
+    nat = c.groupBy("c_nationkey").agg(davg("c_acctbal", "nat_avg"))
+    return (
+        c.join(F.broadcast(nat), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nat_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nat_avg")
+    )
+
+
+@query(
+    "subquery_in_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem
+    WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_retailprice > 1500.0
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def subquery_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over a computed key set: revenue from premium parts only.
+
+    The IN set (`p_retailprice > 1500`) is a filtered dimension — Spark
+    plans the membership test as a broadcast LEFT SEMI join, so the fact
+    scan streams once and never shuffles on the probe side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    premium = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice") > 1500.0)
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(premium), li.l_partkey == premium.p_partkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice * (1 - l_discount)", "revenue"),
+        )
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.catalog import load
-from bitcoin_price_etl_spark.exprs import dec, dsum, dsum_sql
+from bitcoin_price_etl_spark.exprs import davg, dec, dsum, dsum_sql
 from bitcoin_price_etl_spark.registry import query
 
 REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -183,4 +183,292 @@ def tpch_q1_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 6),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecasting-revenue change: a pure scan-filter-aggregate — every
+    predicate pushes to the parquet reader, the aggregate is a single
+    partial+final sum with no grouping. The canonical 'is pushdown working'
+    probe: at 100 TB this reads only the 4 referenced columns of row groups
+    whose min/max straddle the date range."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum("l_extendedprice * l_discount", "revenue"))
+    )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking, adapted to the driver schema: the driver's
+    lineitem has no l_commitdate/l_receiptdate, so "late" means shipped more
+    than 30 days after the order date (same EXISTS shape as spec Q4).
+
+    The correlated EXISTS is a LEFT SEMI join with a non-equi conjunct —
+    Spark evaluates the equi part as the join key (shuffle or broadcast under
+    AQE) and the date comparison as a residual, so each order is emitted at
+    most once regardless of lineitem fanout."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+    SELECT 100.0
+           * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END AS DECIMAL(38,4))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo-revenue share: conditional aggregate over a fact-dim join
+    (p_type domain is single-word in the driver's part table, so the
+    predicate is equality, not LIKE 'PROMO%%').
+
+    Both decimal-exact sums are cast to double BEFORE the division, so the
+    final ratio is one double op on identical operands in both engines —
+    decimal division itself is never used (its result scale rules differ
+    between engines)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(
+                "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+                " ELSE 0.0 END",
+                "promo",
+            ),
+            dsum("l_extendedprice * (1 - l_discount)", "total"),
+        )
+        .select((F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_revenue"))
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {dsum_sql(REVENUE, 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: aggregate view + scalar-subquery max over it.
+
+    The revenue view is computed ONCE and reused for both the join and the
+    max (Spark caches nothing here, but the view is one row per supplier —
+    recomputation cost is a single shuffled agg either way; at scale, mark
+    it .cache() if the optimizer rebuilds it). Exact decimal sums make the
+    MAX comparison safe — with raw double sums two suppliers could tie in
+    one engine and not the other."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(REVENUE, "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice,
+           {dsum_sql('l.l_quantity', 'sum_qty')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) > 1200.0
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: IN over a grouped-HAVING key set.
+
+    The qualifying-order set is an aggregate on the fact's own join key, so
+    Spark plans it as agg → semi join sharing the l_orderkey partitioning —
+    the fact shuffles once on orderkey and both the HAVING agg and the semi
+    probe reuse that exchange under AQE. Threshold 1200 ≈ top few %% of
+    orders at the driver's ~40 lines/order, at every scale factor."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "order_qty"))
+        .filter(F.col("order_qty") > 1200.0)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.join(big, "l_orderkey", "left_semi"), o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {dsum_sql(REVENUE, 'revenue')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1.0 AND 11.0)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10.0 AND 20.0)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20.0 AND 30.0)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue, adapted (driver part has no container/
+    shipmode columns): three OR'd brand × size × quantity bands over the
+    part join.
+
+    The disjunction references both sides, so it stays a post-join residual
+    — but each disjunct's part-only conjuncts (brand, size) are extracted by
+    Catalyst into a pushed scan filter (brand IN (..) AND size BETWEEN ..),
+    shrinking the broadcast side before the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return joined.filter(band).agg(dsum(REVENUE, "revenue"))
+
+
+@query(
+    "tpch_q22",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           {dsum_sql('c.c_acctbal', 'totacctbal')}
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales-opportunity, adapted (driver customer has no phone —
+    the country-code grouping becomes c_nationkey): wealthy customers with
+    NO orders, per nation.
+
+    Composes the scalar subquery (positive-balance mean, broadcast) with an
+    anti join against orders. The anti join probes on o_custkey — at scale
+    the orders side is pre-aggregated to distinct custkeys by Catalyst's
+    semi/anti pushdown, so the exchange carries keys, not orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pos_avg = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "pos_avg"))
+    return (
+        c.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("pos_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
     )

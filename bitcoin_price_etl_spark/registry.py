@@ -58,7 +58,13 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from bitcoin_price_etl_spark.functions import scalars  # noqa: F401
     from bitcoin_price_etl_spark.sources import scans, sinks  # noqa: F401
-    from bitcoin_price_etl_spark.plans import flagship, golden, tpch, validate  # noqa: F401
+    from bitcoin_price_etl_spark.plans import (  # noqa: F401
+        flagship,
+        golden,
+        subqueries,
+        tpch,
+        validate,
+    )
     from bitcoin_price_etl_spark.streaming import twins  # noqa: F401
     from bitcoin_price_etl_spark.llm import dedup, simsearch, textstats, multimodal  # noqa: F401
     from bitcoin_price_etl_spark import udfs  # noqa: F401

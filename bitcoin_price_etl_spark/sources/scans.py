@@ -214,3 +214,39 @@ def source_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # already registered in this session
     return spark.read.format("bpi_rest").option("snapshots", "24").load()
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip scan with a declared schema (the third standard batch
+    format next to parquet/JSON; the reference's raw zone is format-agnostic
+    object storage — bpi_etl_bigquery.py:80-84).
+
+    Schema is declared, never inferred (the R3 contract stance), with
+    header=true so the file is self-describing for other readers. Parity
+    against the original table proves the text round-trip is lossless for
+    ints and strings."""
+    n = load(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="scan_csv_")
+    path = os.path.join(tmp, "nation_csv")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), False),
+            T.StructField("n_name", T.StringType(), False),
+            T.StructField("n_regionkey", T.IntegerType(), False),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
