@@ -254,3 +254,88 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for blk in range(4)
         ],
     )
+
+
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - {SHINGLE_WORDS - 1}, 1) + 1),
+            i -> array_to_string(t[i:i + {SHINGLE_WORDS - 1}], ' ')
+        ))) AS shingle
+        FROM tok
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    capped AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+    ),
+    posting AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.n_common AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - c.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on blocked candidate pairs:
+    |A∩B| / (|A|+|B|−|A∩B|) over word-5-gram shingle sets, keeping pairs at
+    or above 0.5 — the verification stage that turns llm_dedup_ngram's
+    candidates into a similarity-scored dedup decision.
+
+    Set sizes |A|,|B| come from the FULL per-doc shingle sets; the
+    intersection count comes from df-capped postings (identically in both
+    engines), so a hot shingle can under-count the intersection but never
+    fabricate a pair. The sizes table is doc-level (tiny vs postings) and
+    joins by doc_id after pair aggregation — the pair stream shrinks to
+    ≥1-common pairs before any size data attaches."""
+    sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    posting = sh.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        F.col("df") <= DF_CAP
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
