@@ -287,3 +287,39 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pos → long: DuckDB's range() ordinality is BIGINT
     return ex.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS key_and,
+           l_orderkey | 15 AS key_or,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor,
+           CAST(l_linenumber AS BIGINT) << 4 AS ln_shl,
+           l_orderkey >> 8 AS key_shr
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts on integer keys — the primitive
+    layer under every hash-partitioning and bloom/bitmask trick the engine
+    uses (R8's hashed prefixes are the reference precedent for bit-level
+    key manipulation).
+
+    All JVM-codegen'd integer ops; the only parity care is width: DuckDB's
+    `<<` returns the operand type, so the shift operand is cast to BIGINT
+    on both sides."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("key_and"),
+        F.col("l_orderkey").bitwiseOR(F.lit(15)).alias("key_or"),
+        F.col("l_orderkey")
+        .bitwiseXOR(F.col("l_linenumber").cast("long"))
+        .alias("key_xor"),
+        F.shiftleft(F.col("l_linenumber").cast("long"), 4).alias("ln_shl"),
+        F.shiftright(F.col("l_orderkey"), 8).alias("key_shr"),
+    )

@@ -118,9 +118,9 @@ def llm_sim_search_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     e = load(spark, sf_dir, "embeddings")
-    qv = (
-        _query_vector(spark, sf_dir).collect()[0]["qv"]
-    )  # 64 floats — driver-side scalar, broadcast into the UDF closure
+    # 64 floats — driver-side scalar, broadcast into the UDF closure.
+    # TakeOrdered(1) is a single no-shuffle job (vs agg-min + join).
+    qv = e.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
     q = np.asarray(qv, dtype=np.float64)
     qn = math.sqrt(float(q @ q))
 
@@ -287,7 +287,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.expr("transform(pm, p -> p.mx)").alias("centroid"))
     )
 
-    qv = _query_vector(spark, sf_dir).collect()[0]["qv"]  # 64 floats
+    qv = e.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
     q = np.asarray(qv, dtype=np.float64)
 
     # control plane: rank cells by centroid distance, probe the top 3

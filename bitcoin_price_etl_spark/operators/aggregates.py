@@ -317,3 +317,65 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+               AS statuses,
+           list_sort(list_distinct(list(l_suppkey))) AS supp_keys
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    GROUP BY l_returnflag
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-style aggregates: delimited string_agg and a sorted distinct
+    array per group — the row→collection direction (fn_explode is the
+    inverse).
+
+    Determinism: collect order is partition-order-dependent in ANY engine,
+    so both outputs are canonicalized — distinct + sort — before emission.
+    At scale collect_set state is bounded by group's distinct cardinality;
+    unbounded collect_list on a hot group would be the memory hazard, which
+    is why the distinct form is the default here."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_sort(F.collect_set("l_suppkey")).alias("supp_keys"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM sums
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM sums
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): per-flag measure columns melted to
+    (flag, measure, val) rows — the inverse of agg_pivot.
+
+    Spark's unpivot is a zero-shuffle Expand (each input row emits one row
+    per measure in place); the oracle spells it as UNION ALL, which is the
+    same relational result."""
+    li = load(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price")
+    )
+    return sums.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "measure", "val"
+    )

@@ -203,11 +203,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     as-of-date source alignment (bpi_etl_bigquery.py:294,118,125-127), where
     the XR rate is fetched *for the BPI run's date*.
 
-    Implementation: the rate series is banded into [rate_ts, next_rate_ts)
-    intervals with lead() — the window runs only over the tiny aggregated
-    series — then broadcast and range-joined. The big (event) side is never
-    shuffled and never globally sorted, which is what makes this hold at
-    100 TB; the union+window emulation would single-partition the fact table.
+    Implementation: the rate series is banded with lead() — the window runs
+    only over the tiny aggregated series — then GAP-FILLED to one row per
+    hour (sequence+explode over each [rate_ts, next_rate_ts) band, bounded
+    by the corpus max hour), so the probe is a broadcast HASH join on the
+    hour bucket. A raw non-equi band join would plan as
+    BroadcastNestedLoopJoin — O(clicks × bands) comparisons (measured 3×
+    slower at sf0.1 and growing with the time span); the filled series keeps
+    O(clicks) probes while staying exactly as-of. The big (event) side is
+    never shuffled and never globally sorted, which is what makes this hold
+    at 100 TB; the union+window emulation would single-partition the fact.
     """
     ev = load(spark, sf_dir, "events")
     rates = (
@@ -215,13 +220,30 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", "ts").alias("rate_ts"))
         .agg(davg("value", "rate"))
     )
+    # fill horizon: the latest hour any probe row could ask for
+    bounds = ev.agg(F.date_trunc("hour", F.max("ts")).alias("max_h"))
     w = Window.orderBy("rate_ts")
     banded = rates.withColumn("next_rate_ts", F.lead("rate_ts").over(w))
-    clicks = ev.filter(F.col("event_type") == "click")
-    cond = (clicks.ts >= banded.rate_ts) & (
-        banded.next_rate_ts.isNull() | (clicks.ts < banded.next_rate_ts)
+    filled = (
+        banded.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.sequence(
+                    "rate_ts",
+                    F.coalesce(
+                        F.col("next_rate_ts") - F.expr("INTERVAL 1 HOUR"),
+                        F.greatest("max_h", "rate_ts"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("h"),
+            "rate",
+        )
     )
-    return clicks.join(F.broadcast(banded), cond, "left").select(
+    clicks = ev.filter(F.col("event_type") == "click")
+    return clicks.join(
+        F.broadcast(filled), F.date_trunc("hour", clicks.ts) == filled.h, "left"
+    ).select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.col("rate").alias("asof_rate"),
