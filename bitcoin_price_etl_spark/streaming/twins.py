@@ -248,3 +248,41 @@ def stream_foreachbatch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, event_type string, value double"
     ).parquet(sink)
+
+
+@query(
+    "stream_stateful_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen_str
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: the
+    applyInPandasWithState running-count job (streaming/jobs.py —
+    per-user event count + last-seen, arbitrary keyed state) run under
+    Trigger.AvailableNow against a parquet sink, then read back.
+
+    The single-file fixture yields one micro-batch, so the final emitted
+    state per user equals the batch aggregate — which makes this the rare
+    ARBITRARY-STATE op with an exact SQL oracle. With multi-batch input the
+    per-batch emissions would be a superset; the production contract is
+    'latest row per user wins' (dedup on user_id by last_seen downstream).
+    """
+    from bitcoin_price_etl_spark.streaming.jobs import stateful_user_counts_job
+
+    tmp = tempfile.mkdtemp(prefix="stream_stateful_")
+    sink = tmp + "/sink"
+    ckpt = tmp + "/ckpt"
+    stateful_user_counts_job(spark, sf_dir, sink, ckpt).awaitTermination(120)
+    out = spark.read.schema("user_id long, n_events long, last_seen timestamp").parquet(
+        sink
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen_str"),
+    )

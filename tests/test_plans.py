@@ -59,11 +59,16 @@ def test_join_shuffle_adapts_to_size(spark):
 
 
 def test_join_asof_no_fact_side_shuffle(spark):
-    """The as-of join must be a broadcast of the banded rate series —
-    never a sort-merge (which would shuffle every event) and never an
-    unpartitioned global window over the fact side."""
+    """The as-of join must be a broadcast HASH join of the gap-filled rate
+    series on the hour bucket — never a nested-loop band test (O(clicks ×
+    bands)), never a sort-merge (which would shuffle every event), and never
+    an unpartitioned global window over the fact side."""
     plan = plan_of(q(spark, "join_asof"))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop allowed is the 1-row bounds attach on the TINY
+    # rate series; the click-side probe itself must be the hash join
+    # (formatted mode prints each node twice: tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "SortMergeJoin" not in plan
     # the only Window is over the tiny aggregated rate series: it must sit
     # above the purchase-side aggregate, not above the click scan
@@ -110,3 +115,70 @@ def test_flagship_single_shuffle(spark):
         if "Exchange hashpartitioning" in l and "SinglePartition" not in l
     ]
     assert len(fact_exchanges) <= 2, plan  # agg exchange (+AQE variants)
+
+
+def test_q6_full_pushdown(spark):
+    """Q6 is the pushdown probe: every predicate must reach the parquet
+    reader, and only the 4 referenced columns may be read."""
+    plan = plan_of(q(spark, "tpch_q6"))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert read_schema.count("l_") == 4, read_schema
+
+
+def test_q14_part_side_broadcasts(spark):
+    """The part dim must broadcast — the lineitem fact never shuffles for
+    the join."""
+    plan = plan_of(q(spark, "tpch_q14"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_dim_conjuncts_pushed(spark):
+    """Q19's OR'd predicate references both sides, but each disjunct's
+    part-only conjuncts (brand) must be extracted and pushed to the part
+    scan rather than evaluated only post-join."""
+    plan = plan_of(q(spark, "tpch_q19"))
+    assert "In(p_brand" in plan or "p_brand" in "".join(
+        l for l in plan.splitlines() if "PushedFilters" in l
+    ), plan
+
+
+def test_subquery_scalar_broadcasts(spark):
+    """The 1-row aggregate side of the scalar subquery must broadcast; the
+    probe side must not shuffle for it."""
+    plan = plan_of(q(spark, "subquery_scalar"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    """Unpivot must plan as Expand (in-place row multiplication) — the only
+    exchange is the aggregation's own."""
+    plan = plan_of(q(spark, "agg_unpivot"))
+    assert "Expand" in plan
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "SinglePartition" not in l
+    ]
+    assert len(exchanges) <= 1, plan
+
+
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS must be one Expand + one two-phase agg — not one scan
+    per grouping set."""
+    plan = plan_of(q(spark, "agg_grouping_sets"))
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_q17_avg_join_no_extra_fact_scan(spark):
+    """Q17's correlated avg decorrelates to ONE extra aggregate over
+    lineitem — the plan may scan the fact twice (probe + avg) but must not
+    scan it a third time."""
+    plan = plan_of(q(spark, "tpch_q17"))
+    n_scans = plan.count("Location: InMemoryFileIndex")
+    assert 2 <= n_scans <= 3, plan  # 2× lineitem + part, no more
