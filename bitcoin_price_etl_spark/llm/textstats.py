@@ -186,3 +186,40 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("shingle")).alias("fingerprint"),
         F.countDistinct("shingle").alias("n_shingles"),
     )
+
+
+# GPT-2-ish pretokenizer shape: word runs OR single non-word-non-space marks.
+# Deliberately restricted to constructs Java regex and RE2 interpret
+# identically (\w = [0-9A-Za-z_] in both without unicode flags).
+BPE_PATTERN = r"\w+|[^\w\s]"
+
+
+@query(
+    "llm_token_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN.replace(chr(92), chr(92))}')) AS bpe_tokens,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_marks
+    FROM documents
+    """,
+)
+def llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting beyond whitespace: a BPE-style pretokenizer regex
+    (word runs + individual punctuation marks — the GPT-2 pretokenize
+    shape) next to the whitespace count, per document.
+
+    The whitespace count UNDERcounts cost for punctuation-heavy text; the
+    regex count is the budget-accurate one for training-data sizing. Both
+    are single-pass JVM regex ops — no UDF, no shuffle (doc-level map)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0)))
+        .cast("long")
+        .alias("punct_marks"),
+    )

@@ -379,3 +379,58 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price"], "measure", "val"
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0.0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: universal / existential predicates per group —
+    the aggregate form of the reference's row-level contract gates (R3:
+    every row passes ⇔ bool_and of the validator)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0.0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("agg_hll_sketch", oracle=None)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): per-flag
+    distinct-partkey estimates PLUS a union across groups re-estimated from
+    the merged sketches — the operation approx_count_distinct alone cannot
+    express, and the 100 TB story for distinct counting: sketches are
+    partial-aggregated map-side, shuffled as ~KB binaries, unioned
+    associatively, and can be persisted per partition/day then re-merged
+    for any rollup without rescanning the data.
+
+    Rows-only: sketch binaries and estimate rounding are
+    implementation-specific (DataSketches vs DuckDB's approx algorithms).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("approx_distinct_parts"),
+    ).unionByName(
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct_parts"
+            ),
+            F.expr("CAST(SUM(n_rows) AS BIGINT)").alias("n_rows"),
+        ).select(F.lit("ALL").alias("l_returnflag"), "n_rows", "approx_distinct_parts")
+    )
