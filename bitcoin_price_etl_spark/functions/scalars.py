@@ -323,3 +323,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("l_linenumber").cast("long"), 4).alias("ln_shl"),
         F.shiftright(F.col("l_orderkey"), 8).alias("key_shr"),
     )
+
+
+@query(
+    "fn_encode",
+    oracle="""
+    SELECT n_nationkey,
+           to_base64(encode(n_name)) AS name_b64,
+           lower(hex(encode(n_name))) AS name_hex,
+           decode(from_base64(to_base64(encode(n_name)))) AS roundtrip
+    FROM nation
+    """,
+)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding family: base64 / hex / round-trip decode — the
+    engine's edge representation for opaque payloads (the reference moves
+    raw JSON bytes through object storage, bpi_etl_bigquery.py:68-69,80-84;
+    multimodal binary columns ride the same conversions).
+
+    Spark's hex() uppercases and DuckDB's lowercases — pinned to lower on
+    both sides."""
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.base64(F.encode("n_name", "UTF-8")).alias("name_b64"),
+        F.lower(F.hex(F.encode("n_name", "UTF-8"))).alias("name_hex"),
+        F.decode(F.unbase64(F.base64(F.encode("n_name", "UTF-8"))), "UTF-8").alias(
+            "roundtrip"
+        ),
+    )

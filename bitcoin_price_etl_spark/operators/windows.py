@@ -231,3 +231,50 @@ def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_sum"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: the batch-SQL twin of
+    session_window() — lag() flags a >30-min gap as a session start, a
+    running sum numbers the sessions per user.
+
+    The canonical two-window composition (lag + cumulative sum over the
+    SAME partition/order): the sum consumes lag's output so the two Window
+    operators stack, but they share ONE exchange and ONE sort — no second
+    shuffle of the fact (pinned in test_plans). Gap arithmetic on epoch
+    micros, same integer-domain trick as win_range_between."""
+    ev = load(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run).cast("long").alias("session_id"),
+    )

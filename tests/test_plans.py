@@ -182,3 +182,11 @@ def test_q17_avg_join_no_extra_fact_scan(spark):
     plan = plan_of(q(spark, "tpch_q17"))
     n_scans = plan.count("Location: InMemoryFileIndex")
     assert 2 <= n_scans <= 3, plan  # 2× lineitem + part, no more
+
+
+def test_gaps_islands_single_shuffle_single_sort(spark):
+    """lag + running-sum over the same partition/order: two stacked Window
+    operators must share one exchange and one sort."""
+    plan = plan_of(q(spark, "win_gaps_islands"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Sort ") == 1, plan
