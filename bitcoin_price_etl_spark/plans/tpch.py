@@ -752,3 +752,156 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'medium'
+                ELSE 'slow' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                  WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'medium'
+                  ELSE 'slow' END
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipping-mode priority counting, adapted: the driver schema has
+    no l_shipmode, so lines are bucketed by ship DELAY (days from order to
+    ship: ≤30 fast, ≤90 medium, else slow) — same conditional-count shape
+    as spec Q12 (high-priority vs low-priority line counts per bucket).
+
+    The bucket expression is day-grain integer arithmetic (both tables
+    store midnight timestamps), identical in both engines."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "medium").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               {dsum_sql('l_quantity', 'qty')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE p.p_name LIKE '%red%' AND sh.qty > 100.0
+    )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 excess-inventory suppliers, adapted: no partsupp table, so
+    "excess availability" becomes "shipped more than 100 units of some red
+    part in 1997" — the same nested shape (aggregate subquery → IN-set →
+    supplier filter) as spec Q20.
+
+    The qualifying-supplier set is computed once (grouped agg over the
+    filtered fact), then the supplier dim is semi-joined against it — at
+    scale the set is orders of magnitude smaller than either input."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(dsum("l_quantity", "qty"))
+    qualifying = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty") > 100.0)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return s.join(
+        qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers-who-kept-orders-waiting, adapted: "late" is shipped
+    more than 60 days after the order date (no receipt/commit dates in the
+    driver schema). Same EXISTS + NOT-EXISTS shape as spec Q21: finished
+    orders with multiple suppliers where EXACTLY this supplier was late.
+
+    Decorrelation: both correlated subqueries collapse into ONE grouped
+    aggregate over the order's lineitems (distinct suppliers, distinct LATE
+    suppliers) joined back on orderkey — two correlated probes for the
+    price of one shuffle. A line qualifies iff n_supp > 1 AND n_late_supp
+    = 1 (itself late ⇒ it is that one late supplier)."""
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(li.l_orderkey.alias("po_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        )
+    )
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
