@@ -9,6 +9,14 @@ as a live trigger(processingTime='1 hour') deployment). Batch twins of each
 aggregation are oracle-checked via streaming/twins.py; this module asserts
 the *stateful* behaviors the oracle can't see: watermark eviction, late-row
 drop, keyed dedup state.
+
+Arbitrary keyed state uses applyInPandasWithState. Spark 4's successor API
+(transformWithStateInPandas) is present but unusable in this container: its
+driver-side runner requires protobuf, whose install here is broken
+(`ImportError: cannot import name 'descriptor' from 'google.protobuf'`,
+probed 2026-08-13) and the environment forbids pip installs. On a healthy
+cluster the RunningCounts processor ports 1:1 (getValueState + per-key
+handleInputRows).
 """
 
 from __future__ import annotations

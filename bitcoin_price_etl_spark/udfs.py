@@ -183,3 +183,33 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_range("value").alias("value_range"),
         n_rows("value").alias("n"),
     )
+
+
+@query(
+    "udf_mapinarrow",
+    oracle="""
+    SELECT event_id, value * 2.0 AS doubled FROM events
+    """,
+)
+def udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow iterator UDF: whole-partition Arrow RecordBatches with NO
+    pandas conversion — the lowest-overhead Python hook (mapInPandas pays an
+    Arrow→pandas→Arrow round-trip per batch on top of this).
+
+    The transform (value × 2) is exact in IEEE doubles, so this Python-side
+    path is still oracle-checkable — proving the Arrow transport is
+    lossless for int64/float64.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+
+    def double_value(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), pc.multiply(batch.column("value"), 2.0)],
+                names=["event_id", "doubled"],
+            )
+
+    return ev.mapInArrow(double_value, "event_id long, doubled double")
