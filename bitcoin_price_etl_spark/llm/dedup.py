@@ -339,3 +339,118 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+_NGRAM_PAIRS_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - {SHINGLE_WORDS - 1}, 1) + 1),
+            i -> array_to_string(t[i:i + {SHINGLE_WORDS - 1}], ' ')
+        ))) AS shingle
+        FROM tok
+    ),
+    capped AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+    ),
+    posting AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {MIN_COMMON_SHINGLES}
+    )
+"""
+
+
+@query(
+    "llm_dedup_cluster",
+    oracle=_NGRAM_PAIRS_SQL.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    r(x, y) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.x, e.b FROM r JOIN edges e ON r.y = e.a
+    )
+    SELECT x AS doc_id, MIN(y) AS component_id FROM r GROUP BY x
+    """,
+)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup candidate graph — the step
+    that turns pairwise matches into dedup DECISIONS (one keeper per
+    cluster = min doc_id): iterative min-label propagation, each round a
+    join + aggregate, looped driver-side until a convergence count hits 0.
+
+    This is the engine's iterative-algorithm pattern: per-round plans stay
+    declarative (join on the edge key, min-aggregate per vertex), lineage
+    is cut with localCheckpoint each round so the plan doesn't grow, and
+    round count is bounded by cluster diameter (near-dup clusters are
+    shallow — ≤ a handful of hops). The oracle is an independent
+    formulation: DuckDB recursive-CTE transitive closure → min reachable
+    node, so Spark's loop is cross-checked against real graph semantics.
+    At 100 TB this is the large-star/small-star regime: each round
+    shuffles (vertex, label) pairs only, never documents.
+    """
+    sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h")
+    posting = sh.withColumn("df", F.count(F.lit(1)).over(w)).filter(
+        F.col("df") <= DF_CAP
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common_shingles"))
+        .filter(F.col("common_shingles") >= MIN_COMMON_SHINGLES)
+        .select("doc_a", "doc_b")
+    )
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()  # candidate generation runs once, not per round
+
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    for _ in range(20):  # cap ≫ any real near-dup cluster diameter
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
