@@ -69,3 +69,46 @@ def test_salted_prefix_uniformity():
     total = sum(n for _, n in rows)
     assert max(n for _, n in rows) / total < 0.05
     assert len(rows) > 100  # spread over most of the 256 buckets
+
+
+def test_asof_gapfill_matches_window_emulation(spark):
+    """The gap-filled broadcast as-of join must agree row-for-row with the
+    independent union+window emulation (tag rates and probes into one
+    stream, last(rate) ignorenulls over event time) — two structurally
+    different plans, one as-of semantics."""
+    from bitcoin_price_etl_spark.registry import load_all
+    from pyspark.sql import Window
+
+    fast = load_all()["join_asof"].fn(spark, SF_SMOKE)
+
+    ev = load(spark, SF_SMOKE, "events")
+    rates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("ts"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value)"
+            ).alias("rate")
+        )
+        .select("ts", "rate", F.lit(0).alias("is_probe"), F.lit(None).cast("long").alias("event_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "ts", F.lit(None).cast("double").alias("rate"), F.lit(1).alias("is_probe"), "event_id"
+    )
+    # rates sort before probes at the same instant (a rate effective AT ts
+    # applies to probes AT ts — matches the >= band semantics)
+    w = (
+        Window.orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    emulated = (
+        rates.unionByName(clicks)
+        .withColumn("asof_rate", F.last("rate", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "asof_rate",
+        )
+    )
+    assert _multiset(fast) == _multiset(emulated)
