@@ -120,3 +120,95 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     mm = with_multimodal_columns(d).select("doc_id", "payload")
     return mm.mapInPandas(decode_image_batch, DECODED_SCHEMA)
+
+
+FRAME_CHARS = 16
+FRAME_STRIDE = 4
+
+
+@query(
+    "llm_multimodal_frames",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text, length(text) // {FRAME_CHARS} AS n_frames
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, text, n_frames,
+               unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+        FROM f
+    )
+    SELECT doc_id, frame_idx,
+           md5(substring(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS}))
+               AS frame_md5,
+           n_frames
+    FROM idx
+    """,
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: the video path's 'every k-th frame' selection as a
+    mapInPandas iterator — each document's payload is treated as a sequence
+    of fixed-size frames and every FRAME_STRIDE-th one is emitted with its
+    content hash (one output row per sampled frame, fan-out inside the
+    Python worker, no JVM explode).
+
+    Frames are CHARACTER slices (not bytes) so the deterministic twin is
+    expressible in SQL for the oracle: Python slicing, DuckDB substring and
+    md5-of-UTF8 all agree on character boundaries. A real video pipeline
+    swaps the slicer for ffmpeg keyframe extraction; batch shape, schema
+    and fan-out semantics are what this proves.
+    """
+    import hashlib
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_md5": [], "n_frames": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = len(text) // FRAME_CHARS
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_md5"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+                    rows["n_frames"].append(n_frames)
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        sample_frames, "doc_id long, frame_idx long, frame_md5 string, n_frames long"
+    )
+
+
+@query("llm_multimodal_resize", oracle=None)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (rows-only): binary payload → fixed-size payload
+    (deterministic stand-in: truncate / zero-pad to 64 bytes, real
+    pipelines put PIL.Image.resize here — absent in this container, same
+    stub policy as decode_image_batch). Emits the resized payload with
+    before/after sizes so the test can assert the contract: every output
+    payload is exactly the target size and row count is preserved."""
+    d = load(spark, sf_dir, "documents")
+    mm = with_multimodal_columns(d).select("doc_id", "payload")
+    target = 64
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            orig = pdf["payload"].map(len).astype("int64")
+            resized = pdf["payload"].map(
+                lambda b: bytes(b)[:target].ljust(target, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": orig,
+                    "resized": resized,
+                    "resized_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return mm.mapInPandas(
+        resize, "doc_id long, orig_bytes long, resized binary, resized_bytes long"
+    )
