@@ -34,7 +34,9 @@ HEADLINE = [
     "stream_tumbling",
     "llm_dedup_exact",
     "llm_dedup_ngram",
+    "llm_ngram_jaccard",
     "llm_dedup_near",
+    "llm_dedup_cluster",
     "llm_sim_search",
     "llm_sim_search_fast",
     "llm_text_stats",
@@ -45,6 +47,7 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q21",
     "subquery_correlated",
 ]
 

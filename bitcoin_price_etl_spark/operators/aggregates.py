@@ -434,3 +434,79 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(n_rows) AS BIGINT)").alias("n_rows"),
         ).select(F.lit("ALL").alias("l_returnflag"), "n_rows", "approx_distinct_parts")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 10) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY least(floor(o_totalprice / 50000.0), 10)
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: one grouped count per 50k-wide price bucket
+    (overflow clamped to bucket 10) — the profiling primitive behind
+    optimizer statistics and data-quality dashboards. Bucket assignment is
+    floor(x / width) on doubles — identical literals, identical IEEE ops in
+    both engines (DuckDB has no width_bucket; the explicit formula is the
+    portable form)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity', 'sx')},
+               {dsum_sql('l_extendedprice', 'sy')},
+               {dsum_sql('l_quantity * l_quantity', 'sxx')},
+               {dsum_sql('l_extendedprice * l_extendedprice', 'syy')},
+               {dsum_sql('l_quantity * l_extendedprice', 'sxy')}
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from decimal-exact moment sums — NOT the built-in
+    corr(), whose streaming update order differs between engines and drifts
+    in the last ulps. The five moments are exact decimals cast to double,
+    then the closed form runs the same IEEE ops (mul/sub/sqrt/div are all
+    correctly rounded) on identical operands in both engines — bit-equal
+    output, still one aggregation pass."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sx"),
+        dsum("l_extendedprice", "sy"),
+        dsum("l_quantity * l_quantity", "sxx"),
+        dsum("l_extendedprice * l_extendedprice", "syy"),
+        dsum("l_quantity * l_extendedprice", "sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))

@@ -25,15 +25,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v: Any) -> Any:
+    """Type-tagged normalization: Python's cross-type equality (Decimal(1.0)
+    == 1.0, 1 == 1.0, True == 1) would hide type mismatches that the
+    driver's schema/value compare can catch — a DuckDB DECIMAL literal
+    leaking into a double column slipped through exactly this way once.
+    Tagging each cell with its type name makes the local gate at least as
+    strict as the driver's."""
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         if v == 0.0:
-            return 0.0  # collapse -0.0 / +0.0
-        return v
-    if isinstance(v, bool):
-        return bool(v)
-    return v
+            return ("float", 0.0)  # collapse -0.0 / +0.0
+        return ("float", v)
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_norm_cell(x) for x in v))
+    return (type(v).__name__, v)
 
 
 def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:

@@ -11,6 +11,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+from pyspark.sql import functions as F
+
 from bitcoin_price_etl_spark.registry import load_all
 from tests.conftest import SF_SMOKE
 
@@ -190,3 +192,23 @@ def test_gaps_islands_single_shuffle_single_sort(spark):
     plan = plan_of(q(spark, "win_gaps_islands"), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("+- Sort ") == 1, plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-partitioned layout must turn a partition-column filter into
+    PartitionFilters (directory pruning) — zero data files of other
+    partitions are opened. The partitionBy write + pruned read is the
+    engine's date/tenant partitioning story at 100 TB."""
+    out = str(tmp_path / "orders_by_status")
+    o = q(spark, "scan_parquet")  # any frame; use orders for partition col
+    from bitcoin_price_etl_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    load(spark, SF_SMOKE, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = plan_of(back)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "o_orderstatus" in pf, plan
+    assert back.count() > 0
