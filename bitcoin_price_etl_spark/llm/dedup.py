@@ -454,3 +454,53 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "llm_dedup_keep",
+    oracle=_NGRAM_PAIRS_SQL.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + """,
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    r(x, y) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.x, e.b FROM r JOIN edges e ON r.y = e.a
+    ),
+    comp AS (
+        SELECT x AS doc_id, MIN(y) AS component_id FROM r GROUP BY x
+    ),
+    exact_keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+    )
+    SELECT e.doc_id
+    FROM exact_keep e
+    LEFT JOIN comp c ON c.doc_id = e.doc_id
+    WHERE c.doc_id IS NULL OR c.component_id = e.doc_id
+    """,
+)
+def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION: the corpus a user actually trains on.
+    A document survives iff it is (a) the min-id representative of its
+    exact-hash group AND (b) not a non-representative member of a near-dup
+    component — exact dedup and connected-components clustering composed
+    into one keep-list.
+
+    Built by composing the registered stages (llm_dedup_exact keepers ⟕
+    llm_dedup_cluster components); both stages keep their own scale
+    properties (hash shuffle; iterative label propagation), and the final
+    filter is a broadcast-size join against the component map."""
+    exact = llm_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    comp = llm_dedup_cluster(spark, sf_dir)
+    return (
+        exact.join(comp, "doc_id", "left")
+        .filter(F.col("component_id").isNull() | (F.col("component_id") == F.col("doc_id")))
+        .select("doc_id")
+    )

