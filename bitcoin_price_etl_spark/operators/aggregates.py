@@ -477,39 +477,66 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n,
                {dsum_sql('l_quantity', 'sx')},
                {dsum_sql('l_extendedprice', 'sy')},
-               {dsum_sql('l_quantity * l_quantity', 'sxx')},
-               {dsum_sql('l_extendedprice * l_extendedprice', 'syy')},
-               {dsum_sql('l_quantity * l_extendedprice', 'sxy')}
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))
+                        * CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
         FROM lineitem
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (n * sxy - sx * sy)
-               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+           CAST((n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                AS DECIMAL(10,6)) AS corr_qty_price
     FROM m
     """,
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from decimal-exact moment sums — NOT the built-in
     corr(), whose streaming update order differs between engines and drifts
-    in the last ulps. The five moments are exact decimals cast to double,
-    then the closed form runs the same IEEE ops (mul/sub/sqrt/div are all
-    correctly rounded) on identical operands in both engines — bit-equal
-    output, still one aggregation pass."""
+    in the last ulps.
+
+    Squared/cross moments convert EACH INPUT to decimal at its natural
+    scale first and multiply in decimal (exact), instead of squaring
+    doubles and then converting: the stored doubles are only NEAR their
+    2-decimal values, so a double square sits ~1e-9·x off the exact
+    4-decimal square and its decimal conversion can straddle a half-quantum
+    where the engines round differently (observed at sf0.001).
+
+    The result is emitted as DECIMAL(10,6), not raw double: the syy moment
+    (~7e12 at 4 decimals) saturates double precision, and DuckDB's
+    decimal→double conversion is not correctly rounded at that magnitude —
+    a 1-ulp drift no moment discipline can remove (measured: Spark
+    ...835.868 vs DuckDB ...835.869). Micro-precision quantization gives
+    ~9 orders of margin over that ulp noise while keeping 6 significant
+    fractional digits of r."""
     li = load(spark, sf_dir, "lineitem")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity", "sx"),
         dsum("l_extendedprice", "sy"),
-        dsum("l_quantity * l_quantity", "sxx"),
-        dsum("l_extendedprice * l_extendedprice", "syy"),
-        dsum("l_quantity * l_extendedprice", "sxy"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))"
+            " * CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))"
+            " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sxy"),
     )
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+    return m.select(
+        "l_returnflag", "n", corr.cast("decimal(10,6)").alias("corr_qty_price")
+    )
 
 
 @query(
