@@ -1,0 +1,332 @@
+"""Corpus-curation operators for training-data pipelines (north star,
+BASELINE.json): deterministic sampling, corpus mixing, scrubbing,
+normalization, quantile-gated quality filtering, and incremental dedup.
+
+No reference precedent (the reference pipeline is a single-document ETL —
+SURVEY.md §2.1); these generalize its hash-key discipline
+(dags/bpi_etl/bpi_etl_bigquery.py:16-19, R8) to corpus-scale curation.
+
+Scale notes:
+- Sampling is a *stateless per-row hash threshold* — no shuffle, no RNG
+  state, reproducible across retries/executors, and re-runnable on a new
+  partition layout with identical output (unlike df.sample, whose draw
+  depends on partition boundaries). At 100 TB the sample is a pure
+  scan-filter: predicate-pushdown-friendly and embarrassingly parallel.
+- Corpus mixing aggregates to one row per (lang) — the shuffle carries
+  5 partial counts, nothing else.
+- Scrub/normalize are narrow projections (whole-stage codegen, no
+  exchange at all).
+- The quality filter computes per-language quantiles on an aggregate
+  (5 rows) and broadcast-joins the thresholds back — the 100 TB table is
+  scanned twice but never shuffled on doc keys.
+- Incremental dedup anti-joins the new batch against the existing corpus
+  on an 8-byte hash prefix: at scale the existing-corpus side is the big
+  one, so the join shuffles on the hash — a balanced key (uniform by
+  construction) with no skew cliff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.registry import query
+
+# Lexicographic md5-hex thresholds: md5 output is uniform over [0,16^32),
+# so `md5(key) < '2a'` keeps exactly the fraction 0x2a/0x100 of keys in
+# expectation, deterministically, identically in any engine that prints
+# lowercase hex (Spark and DuckDB both do). Two hex chars give 1/256
+# granularity — enough for sampling-rate intent, exact in both engines.
+_SAMPLE_THRESHOLD = "2a"  # ≈16.4%
+
+# Per-language thresholds for stratified sampling: oversample the tail
+# languages, undersample the head (the classic rebalancing move).
+_STRATA_THRESHOLDS = {
+    "en": "14",  # ≈7.8%
+    "es": "40",  # 25%
+    "de": "40",  # 25%
+    "fr": "80",  # 50%
+    "zh": "c0",  # 75%
+}
+
+# Target corpus-mix shares by language (sum to 1.0).
+_MIX_WEIGHTS = {"en": 0.40, "es": 0.20, "de": 0.15, "fr": 0.15, "zh": 0.10}
+
+
+def _strata_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lang}' THEN '{thr}'"
+        for lang, thr in _STRATA_THRESHOLDS.items()
+    )
+    return f"CASE {branches} ELSE '00' END"
+
+
+@query(
+    "llm_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SAMPLE_THRESHOLD}'
+    """,
+)
+def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling by hash threshold.
+
+    `md5(doc_id) < threshold` is the reproducible form of TABLESAMPLE:
+    membership depends only on the key, never on partitioning, executor
+    count, or retry order — the property a training pipeline needs so a
+    re-run (or a different cluster) regenerates the *same* sample.
+    df.sample() deliberately not used: its draws are partition-local.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.filter(bucket < F.lit(_SAMPLE_THRESHOLD)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "llm_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_strata_case_sql()}
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language hash thresholds.
+
+    Same hash-threshold mechanism as llm_sample_hash with the acceptance
+    bound looked up per stratum — rebalances a skewed language mix in one
+    shuffle-free scan (contrast sampleBy, which is again partition-local
+    RNG). Thresholds are data-independent so the operator stays a pure
+    filter; deriving them from observed counts is llm_corpus_mix's job.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in _STRATA_THRESHOLDS.items() for x in kv]
+        )[F.col("lang")],
+        F.lit("00"),
+    )
+    return d.filter(bucket < thr).select("doc_id", "lang")
+
+
+def _weight_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lang}' THEN CAST({w} AS DOUBLE)"
+        for lang, w in _MIX_WEIGHTS.items()
+    )
+    return f"CASE {branches} ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@query(
+    "llm_corpus_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), total AS (
+        SELECT SUM(n_docs) AS n_total FROM counts
+    )
+    SELECT lang, n_docs,
+           {_weight_case_sql()} AS target_share,
+           CAST(ceil({_weight_case_sql()} * n_total / n_docs) AS BIGINT)
+               AS repeat_factor,
+           CAST(n_docs * CAST(ceil({_weight_case_sql()} * n_total / n_docs)
+                              AS BIGINT) AS BIGINT) AS planned_docs
+    FROM counts, total
+    """,
+)
+def llm_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted corpus mixing plan: per-language repeat factors.
+
+    Given target mix shares, compute how many epochs of each language
+    stratum a training run should take so the mixed corpus approaches the
+    target proportions — the standard up-sampling recipe for low-resource
+    strata. Pure aggregate arithmetic: the 100 TB scan reduces to one
+    count per language before any of the mixing math runs.
+
+    Parity: weight literals are CAST AS DOUBLE in the oracle (DuckDB types
+    bare `0.4` as DECIMAL(2,1)); ceil() is cast to BIGINT on both sides
+    (Spark ceil(double)->BIGINT, DuckDB ceil(double)->DOUBLE); the
+    double multiply/divide runs the same IEEE ops on identical operands.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    weight = F.coalesce(
+        F.create_map(
+            *[
+                F.lit(x)
+                for lang, w in _MIX_WEIGHTS.items()
+                for x in (lang, float(w))
+            ]
+        )[F.col("lang")],
+        F.lit(0.0),
+    )
+    repeat = F.ceil(weight * F.col("n_total") / F.col("n_docs")).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            weight.alias("target_share"),
+            repeat.alias("repeat_factor"),
+            (F.col("n_docs") * repeat).cast("long").alias("planned_docs"),
+        )
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[0-9][0-9][0-9]+', '<NUM>', 'g'),
+               '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS scrubbed,
+           (length(text) <> length(
+               regexp_replace(
+                   regexp_replace(text, '[0-9][0-9][0-9]+', '<NUM>', 'g'),
+                   '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'))) AS was_scrubbed
+    FROM documents
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing: long digit runs and email-shaped tokens replaced
+    by typed placeholder tags, plus a was-touched flag for audit counts.
+
+    Patterns restricted to the syntax subset where Java regex (Spark) and
+    RE2 (DuckDB) agree — character classes, + and explicit repetition; no
+    backreferences or lookaround. Spark's regexp_replace is global by
+    default; DuckDB needs the explicit 'g' flag. Stateless projection:
+    whole-stage codegen, zero exchanges at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", "[0-9][0-9][0-9]+", "<NUM>"),
+        "[a-z0-9._]+@[a-z0-9.]+",
+        "<EMAIL>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("text") != F.length(scrubbed)).alias("was_scrubbed"),
+    )
+
+
+@query(
+    "llm_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               '  +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               '  +', ' ', 'g'))) AS norm_chars
+    FROM documents
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase → strip non-alphanumerics →
+    collapse runs of spaces → trim. The standard pre-dedup canonical form
+    (llm_dedup_exact hashes a lighter variant of this; here the full chain
+    is exposed as its own operator so downstream stages can share it).
+    Stateless projection — codegen'd, shuffle-free.
+    """
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_chars")
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+    WITH thresholds AS (
+        SELECT lang,
+               quantile_cont(CAST(len(str_split(text, ' ')) AS DOUBLE), 0.25)
+                   AS tok_p25
+        FROM documents
+        GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN thresholds t ON d.lang = t.lang
+    WHERE CAST(len(str_split(d.text, ' ')) AS DOUBLE) > t.tok_p25
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated quality filter: keep documents strictly above their
+    language's 25th-percentile token count.
+
+    The thresholds are an exact interpolated quantile per language —
+    a 5-row aggregate — broadcast back onto the corpus. At 100 TB this is
+    two scans and zero doc-keyed shuffles: the alternative single-pass
+    form (percentile over a Window partitioned by lang) shuffles the whole
+    table; a 5-row broadcast is strictly better. Both engines interpolate
+    quantiles linearly over doubles (Spark percentile ≡ DuckDB
+    quantile_cont) and the > comparison runs on the identical double.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("double")
+    thresholds = d.groupBy("lang").agg(
+        F.expr(
+            "percentile(CAST(size(split(text, ' ')) AS DOUBLE), 0.25)"
+        ).alias("tok_p25")
+    )
+    return (
+        d.join(F.broadcast(thresholds), "lang")
+        .filter(toks > F.col("tok_p25"))
+        .select("doc_id", "lang", toks.cast("long").alias("n_tokens"))
+    )
+
+
+@query(
+    "llm_dedup_incremental",
+    oracle="""
+    WITH existing AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS h
+        FROM documents WHERE doc_id < 250
+    ), batch AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h
+        FROM documents WHERE doc_id >= 250
+    ), fresh AS (
+        SELECT b.doc_id, b.h FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = b.h)
+    )
+    SELECT doc_id, h AS content_hash FROM fresh f
+    WHERE doc_id = (SELECT MIN(f2.doc_id) FROM fresh f2 WHERE f2.h = f.h)
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit only new-batch documents whose canonical
+    content hash is absent from the existing corpus AND first-of-hash
+    within the batch (min doc_id wins — deterministic).
+
+    This is the steady-state shape of corpus dedup at scale: the existing
+    corpus is a hash index scanned once per ingest; the anti join and the
+    within-batch argmin both key on the uniform content hash, so the
+    shuffles are balanced by construction. The batch side is typically
+    ~1/1000 of the corpus — with a hash-bucketed existing index the anti
+    join becomes a co-located probe, no corpus reshuffle (the bucketing
+    recipe is tests/test_bucketing.py).
+    """
+    d = load(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+    )
+    existing = hashed.filter(F.col("doc_id") < 250).select("content_hash").distinct()
+    batch = hashed.filter(F.col("doc_id") >= 250)
+    fresh = batch.join(existing, "content_hash", "left_anti")
+    keep = fresh.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "content_hash")

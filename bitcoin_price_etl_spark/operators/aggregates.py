@@ -567,3 +567,52 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_quantity
+    ), r AS (
+        SELECT l_returnflag, qty, cnt,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, qty ASC) AS rn
+        FROM c
+    )
+    SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: most frequent l_quantity per return
+    flag, ties broken by smallest value.
+
+    NOT the built-in mode() — both engines' mode() leave ties
+    implementation-defined (hash-map iteration order), which is exactly the
+    nondeterminism a differential gate cannot admit. The count+row_number
+    form pins ties explicitly and is the scalable shape anyway: the first
+    aggregation collapses the corpus to (group, value) cardinality before
+    the tiny per-group ranking window runs — at 100 TB the window's input
+    is the distinct-value histogram, not the table."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_quantity").cast("double").alias("qty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("qty").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

@@ -66,7 +66,13 @@ def load_all() -> dict[str, QuerySpec]:
         validate,
     )
     from bitcoin_price_etl_spark.streaming import twins  # noqa: F401
-    from bitcoin_price_etl_spark.llm import dedup, simsearch, textstats, multimodal  # noqa: F401
+    from bitcoin_price_etl_spark.llm import (  # noqa: F401
+        curation,
+        dedup,
+        multimodal,
+        simsearch,
+        textstats,
+    )
     from bitcoin_price_etl_spark import udfs  # noqa: F401
 
     return REGISTRY

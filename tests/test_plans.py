@@ -212,3 +212,45 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "o_orderstatus" in pf, plan
     assert back.count() > 0
+
+
+def test_sample_hash_is_shuffle_free_scan_filter(spark):
+    """Deterministic sampling must stay a pure scan+filter: no Exchange at
+    all — the property that makes it free at 100 TB."""
+    plan = plan_of(q(spark, "llm_sample_hash"))
+    assert "Exchange" not in plan, plan
+    plan_strat = plan_of(q(spark, "llm_sample_stratified"))
+    assert "Exchange" not in plan_strat, plan_strat
+
+
+def test_quality_filter_broadcasts_thresholds(spark):
+    """The per-language quantile thresholds (5 rows) must broadcast back
+    onto the corpus — a shuffle of the documents side on lang would be the
+    100 TB bottleneck."""
+    plan = plan_of(q(spark, "llm_quality_filter"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_incremental_hash_keyed(spark):
+    """Incremental dedup must anti-join and argmin on the content hash —
+    both exchanges hash-partition on the uniform hash key (balanced by
+    construction); no nested loop, no global sort."""
+    plan = plan_of(q(spark, "llm_dedup_incremental"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Sort ") == 0 or "SortMergeJoin" not in plan
+
+
+def test_mode_windows_over_histogram_not_table(spark):
+    """agg_mode's ranking window must consume the (group, value) histogram
+    produced by a partial+final hash aggregate — the row_number sort runs
+    over distinct-value counts, never the raw table."""
+    plan = plan_of(q(spark, "agg_mode"))
+    assert "HashAggregate" in plan
+    # rn=1 filter must push into the window as a rank limit (partial+final),
+    # so each partition retains one candidate row per group pre-shuffle
+    assert "WindowGroupLimit" in plan, plan
+    # the window shuffle carries the aggregated histogram (3 narrow cols),
+    # whose exchange hashes on the group key alone — present exactly once
+    assert "hashpartitioning(l_returnflag" in plan
