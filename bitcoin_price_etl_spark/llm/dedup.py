@@ -420,13 +420,23 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("common_shingles") >= MIN_COMMON_SHINGLES)
         .select("doc_a", "doc_b")
     )
+    # Checkpoint the PAIRS, then derive both edge directions from the
+    # materialized result: a union of two branches each containing the
+    # shingle self-join would evaluate candidate generation twice (Spark
+    # does not share subtrees across union branches) — measured 2.1s → 1.1s
+    # for edge construction at sf0.1.
+    cand = cand.localCheckpoint()
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint()  # candidate generation runs once, not per round
 
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("component_id")
+    # Fused round 0: every vertex appears as src (edges are bidirectional),
+    # so min(self, min(neighbor)) initializes labels in one aggregation
+    # over the tiny edge list instead of a distinct + a full join round.
+    labels = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("nbr0"))
+        .select("doc_id", F.least("doc_id", "nbr0").alias("component_id"))
     )
     for _ in range(20):  # cap ≫ any real near-dup cluster diameter
         neighbor_min = (
@@ -434,23 +444,20 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        new_comp = F.least("component_id", F.coalesce("nbr_min", "component_id"))
+        # convergence flag rides the checkpointed frame: counting it scans
+        # the materialized labels, no extra join against the old labels
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    "component_id", F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
+                new_comp.alias("component_id"),
+                (new_comp < F.col("component_id")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("doc_id", "component_id")
         if changed == 0:
             break
     return labels
