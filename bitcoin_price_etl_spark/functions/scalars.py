@@ -352,3 +352,39 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip"
         ),
     )
+
+
+@query(
+    "fn_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)[0-9]+', 1) AS first_alnum_stem,
+           len(regexp_extract_all(text, '[a-z]*[0-9]+[a-z]*')) AS n_numeric_tokens,
+           regexp_matches(text, '^[a-z]') AS starts_lower,
+           regexp_replace(text, '(aa|ee|gg|ll|oo|ss|tt)', '<DBL>', 'g') AS dedoubled
+    FROM documents
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Regex family: capture-group extract, extract-all count, anchored
+    match test, and a backreference replace.
+
+    Dialect discipline: Java regex (Spark) and RE2 (DuckDB) agree only on
+    the backreference-free subset — classes, anchors, groups, alternation.
+    A `([a-z])\1` backreference replace LOOKS portable but RE2 silently
+    matches nothing where Java substitutes (observed: Spark 'a<DBL>' vs
+    DuckDB 'agg'), so doubled letters are spelled as an explicit
+    alternation. Everything is a codegen'd projection — zero exchanges.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)[0-9]+", 1).alias("first_alnum_stem"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]*[0-9]+[a-z]*')")).cast(
+            "long"
+        ).alias("n_numeric_tokens"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+        F.regexp_replace("text", "(aa|ee|gg|ll|oo|ss|tt)", "<DBL>").alias(
+            "dedoubled"
+        ),
+    )

@@ -616,3 +616,34 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(DISTINCT year(o_orderdate)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates over different columns in one query —
+    the planning shape that forces Expand (each input row replicated once
+    per distinct group) followed by two-phase aggregation.
+
+    Kept as its own key because multi-distinct is a common analytics
+    regression: a naive engine runs one pass per DISTINCT; Spark's Expand
+    keeps it a single scan of the fact table at any scale, trading a
+    constant row-multiplication (here 4×) inside the exchange for extra
+    scans — the right trade when the scan is 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

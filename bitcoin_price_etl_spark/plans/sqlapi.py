@@ -1,0 +1,58 @@
+"""The SQL entry path: the engine's second API surface (SURVEY.md §3.4).
+
+Every other registry key drives the DataFrame API; this one registers the
+catalog as temp views and submits ANSI SQL via ``spark.sql`` — proving a
+reference user who writes SQL (the reference serves BigQuery SQL consumers —
+dags/bpi_etl/bpi_etl_bigquery.py:280, slides p.18) can run the same text on
+this engine. The CTE text is dialect-shared: the identical string runs on
+Spark and DuckDB except for the decimal-sum discipline, which both accept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import dsum_sql
+from bitcoin_price_etl_spark.registry import query
+
+_SQL = f"""
+    WITH cust_orders AS (
+        SELECT c.c_custkey, c.c_nationkey, o.o_orderkey
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus <> 'F'
+    ),
+    order_rev AS (
+        SELECT l_orderkey,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem
+        GROUP BY l_orderkey
+    )
+    SELECT n.n_name,
+           COUNT(DISTINCT co.c_custkey) AS n_customers,
+           {dsum_sql("r.revenue", "total_revenue")}
+    FROM cust_orders co
+    JOIN order_rev r ON r.l_orderkey = co.o_orderkey
+    JOIN nation n ON n.n_nationkey = co.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_cte_pipeline", oracle=_SQL)
+def sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE SQL pipeline submitted as text: fact-fact join on a
+    pre-aggregated CTE, dimension broadcast, multi-distinct count.
+
+    The oracle IS the submitted text — one string, two engines, a direct
+    dialect-compatibility proof for the SQL surface. Catalyst plans it
+    identically to the DataFrame form (same Exchange/broadcast structure):
+    SQL text gets the optimizer for free, per the declarative-plan
+    posture.
+
+    Parity subtlety: `revenue` is summed per order at DECIMAL(38,4), cast
+    to DOUBLE, then re-summed through the same decimal discipline — the
+    second sum's inputs are already exactly-representable 4-decimal
+    doubles, so the re-quantization is lossless in both engines."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL)

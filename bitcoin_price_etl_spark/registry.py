@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
     from bitcoin_price_etl_spark.plans import (  # noqa: F401
         flagship,
         golden,
+        sqlapi,
         subqueries,
         tpch,
         validate,

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""In-memory scale-up probe (BASELINE.md): multiply a table 1x/4x/8x and
+measure warm per-query seconds, verifying wall-clock grows sublinearly and
+no plan flips or skew cliffs appear.
+
+Scaling discipline per table:
+- lineitem/orders: union key-shifted copies (disjoint orderkeys preserve
+  join fan-out and group ratios).
+- documents: shift doc_ids AND tag each copy's text with a copy token, so
+  every copy keeps the original's internal duplicate/near-dup structure
+  while no cross-copy duplicates appear — the dedup workload shape is
+  preserved, just N times bigger. (Identical-text copies would instead
+  grow every posting list N-fold and cap-filter the whole corpus.)
+
+Scratch parquet goes under /tmp/spark_graft_scale_probe; pass --keep to
+retain it for inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SCRATCH = Path("/tmp/spark_graft_scale_probe")
+
+DOC_KEYS = [
+    "llm_dedup_exact",
+    "llm_dedup_ngram",
+    "llm_dedup_cluster",
+    "llm_sample_hash",
+    "llm_quality_filter",
+    "llm_corpus_mix",
+]
+
+
+def build_scaled_documents(spark, src_dir: str, mult: int, out_dir: Path) -> None:
+    from pyspark.sql import functions as F
+
+    from bitcoin_price_etl_spark.catalog import load
+
+    d = load(spark, src_dir, "documents")
+    n = d.count()
+    copies = []
+    for i in range(mult):
+        copies.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                # the tag token joins every shingle window at the text head
+                # only; >99% of shingles keep their original hashes, and no
+                # shingle collides across copies at the tagged positions
+                F.concat(F.lit(f"copytag{i} "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + F.lit(len(f"copytag{i} "))).alias("n_chars"),
+            )
+        )
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    scaled.coalesce(max(1, 4 * mult)).write.mode("overwrite").parquet(
+        str(out_dir / "documents.parquet")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--mults", default="1,4,8")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from bitcoin_price_etl_spark.registry import load_all
+    from bitcoin_price_etl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    reg = load_all()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    try:
+        for mult in mults:
+            out = SCRATCH / f"x{mult}"
+            build_scaled_documents(spark, args.sf_dir, mult, out)
+        # warm shared paths once
+        reg["llm_dedup_exact"].fn(spark, str(SCRATCH / f"x{mults[0]}")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+        print(f"{'query':28s} " + " ".join(f"{m}x".rjust(8) for m in mults))
+        for key in DOC_KEYS:
+            cells = []
+            for mult in mults:
+                sf_dir = str(SCRATCH / f"x{mult}")
+                ts = []
+                for _ in range(args.runs):
+                    t0 = time.perf_counter()
+                    reg[key].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    ts.append(time.perf_counter() - t0)
+                cells.append(statistics.median(ts))
+            print(
+                f"{key:28s} "
+                + " ".join(f"{c:7.2f}s" for c in cells)
+                + f"   {cells[-1] / cells[0]:.1f}x at {mults[-1]}x data"
+            )
+    finally:
+        if not args.keep:
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

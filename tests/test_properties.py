@@ -112,3 +112,72 @@ def test_asof_gapfill_matches_window_emulation(spark):
         )
     )
     assert _multiset(fast) == _multiset(emulated)
+
+
+def test_hash_sample_layout_and_rate_properties(spark):
+    """The deterministic sampler's two selling points, proven:
+    (a) membership is invariant to partition layout (df.sample is NOT —
+    its draw is partition-local RNG); (b) the kept fraction lands near the
+    threshold's nominal rate (md5 uniformity)."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()["llm_sample_hash"].fn
+    base = _multiset(fn(spark, SF_SMOKE))
+
+    d = load(spark, SF_SMOKE, "documents")
+    n_total = d.count()
+    for n_parts in (1, 13):
+        shuffled = (
+            d.repartition(n_parts, "source")
+            .sortWithinPartitions("n_chars")
+        )
+        shuffled.createOrReplaceTempView("documents_shuffled")
+        # rebuild the same filter over the re-laid-out frame
+        got = _multiset(
+            shuffled.filter(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "2a"
+            ).select("doc_id", "lang", "source")
+        )
+        assert got == base
+
+    rate = len(base) / n_total
+    nominal = 0x2A / 256  # ≈ 0.164
+    assert abs(rate - nominal) < 0.06, (rate, nominal)
+
+
+def test_stratified_sample_respects_strata_ordering(spark):
+    """Thresholds were chosen to rebalance: the kept fraction of 'en'
+    (7.8% nominal) must be below 'zh' (75% nominal) — the rebalancing
+    actually rebalances."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    kept = load_all()["llm_sample_stratified"].fn(spark, SF_SMOKE)
+    d = load(spark, SF_SMOKE, "documents")
+    kept_by = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot_by = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en = kept_by.get("en", 0) / tot_by["en"]
+    zh = kept_by.get("zh", 0) / tot_by["zh"]
+    assert en < zh, (en, zh)
+
+
+def test_incremental_dedup_composes_with_exact(spark):
+    """Admitting the incremental batch onto the deduped existing corpus
+    must reproduce exactly the full-corpus dedup keep-set: the incremental
+    operator is the streaming decomposition of the batch one."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    reg = load_all()
+    full = reg["llm_dedup_exact"].fn(spark, SF_SMOKE)
+    d = load(spark, SF_SMOKE, "documents")
+    existing_keep = (
+        d.filter(F.col("doc_id") < 250)
+        .groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    incremental = reg["llm_dedup_incremental"].fn(spark, SF_SMOKE)
+    composed = sorted(
+        [r["doc_id"] for r in existing_keep.select("doc_id").collect()]
+        + [r["doc_id"] for r in incremental.select("doc_id").collect()]
+    )
+    full_ids = sorted(r[0] for r in full.select("keep_doc_id").collect())
+    assert composed == full_ids
