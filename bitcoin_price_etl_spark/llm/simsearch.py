@@ -310,3 +310,111 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+
+
+@query(
+    "llm_embed_normalize",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x)) AS l2norm,
+               embedding
+        FROM embeddings
+    )
+    SELECT vec_id, l2norm,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) / l2norm)
+               AS unit_embedding
+    FROM n WHERE l2norm > 0
+    """,
+)
+def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the standard prep step
+    before cosine ANN (unit vectors turn cosine into plain dot product,
+    halving the per-pair math in every downstream operator).
+
+    Parity: the norm is a sequential double fold in index order (Spark
+    aggregate ≡ DuckDB list_reduce — same operand order, same IEEE ops),
+    and each element divide runs on identical doubles, so the 64 output
+    doubles per row hash bit-equal. The norm is materialized as a column
+    BEFORE the transform lambda — referencing the fold inside the lambda
+    would re-evaluate it per element (64× the work; the measured O(n²)
+    trap from the shingle pipeline). Stateless projection: zero shuffles.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    return (
+        e.withColumn("l2norm", norm)
+        .filter(F.col("l2norm") > 0)
+        .select(
+            "vec_id",
+            "l2norm",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("l2norm")
+            ).alias("unit_embedding"),
+        )
+    )
+
+
+@query(
+    "llm_embed_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label, vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT label, pos,
+           list_reduce(list(x ORDER BY vec_id), (s, v) -> s + v) / COUNT(*)
+               AS centroid_val
+    FROM ex GROUP BY label, pos
+    """,
+)
+def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid — the k-means/IVF training step
+    (llm_sim_search_ivf consumes exactly this shape as its coarse
+    quantizer; here the cluster assignment is the given label).
+
+    Long format (label, pos, value): both engines aggregate scalar cells
+    and neither needs an order-sensitive array re-assembly in a checked
+    output.
+
+    Parity: components sum as a DOUBLE fold in vec_id order (collect
+    sorted, sequential reduce — Spark aggregate ≡ DuckDB list_reduce, the
+    proven llm_sim_search pattern). The decimal-sum discipline is
+    deliberately NOT used here: embeddings need scale ≥10 to keep their
+    precision, and at that scale the double→decimal conversion quantum
+    sits close enough to the double ulp that Spark (shortest-repr) and
+    DuckDB (exact-binary) round apart — measured: one flipped 1e-10 unit
+    per ~30k elements at sf0.01. The ordered fold is bit-exact at full
+    double precision instead. Scale tradeoff: collecting per-group lists
+    carries elements (not partials) through the exchange; the production
+    swap is a plain partial-agg double sum (order-insensitive to ~1 ulp),
+    exactly the BASELINE.md double-vs-decimal swap but for vectors.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.struct(F.col("vec_id"), F.col("x").cast("double").alias("x")).alias("vx"),
+    )
+    fold = F.aggregate(
+        F.transform(F.array_sort(F.collect_list("vx")), lambda s: s.x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (fold / F.count(F.lit(1))).alias("centroid_val")
+    )
