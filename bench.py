@@ -40,6 +40,12 @@ HEADLINE = [
     "llm_sim_search",
     "llm_sim_search_fast",
     "llm_text_stats",
+    "llm_sample_hash",
+    "llm_quality_filter",
+    "llm_dedup_incremental",
+    "llm_embed_centroids",
+    "agg_mode",
+    "sql_cte_pipeline",
     "udf_pandas",
     "tpch_q1_full",
     "tpch_q3",
