@@ -113,3 +113,61 @@ def sink_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("part_key")
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through co-bucketed storage: both sides bucketed on
+    the join key at write time, so the join (and any later join on the same
+    key) runs with ZERO exchanges — the production layout for repeated
+    100 TB fact-fact joins (engine twin of the reference's clustering
+    tuning, slides p.21). The aggregation after the join re-uses the same
+    bucketing for its shuffle too.
+
+    Staged as external bucketed tables under a /tmp scratch dir (explicit
+    path: the key must not depend on the caller's warehouse location). No
+    conf toggling here: Spark resolves join strategy at ACTION time, so a
+    threshold flipped during plan construction and restored before the
+    caller's collect would silently not apply. At the small test SF
+    Catalyst broadcasts the orders side (correct either way); the
+    no-exchange sort-merge property is proven in tests/test_plans.py with
+    broadcast disabled around the action. Oracle: the layout is invisible
+    to semantics — the plain-join SQL.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    scratch = "/tmp/spark_graft_bucketed"
+    for tbl, df, key in (
+        ("bkt_lineitem", li, "l_orderkey"),
+        ("bkt_orders", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{scratch}/{tbl}")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    a = spark.table("bkt_lineitem")
+    b = spark.table("bkt_orders")
+    return (
+        a.join(b, a.l_orderkey == b.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
+            ).alias("sum_qty"),
+        )
+    )

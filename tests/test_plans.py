@@ -254,3 +254,19 @@ def test_mode_windows_over_histogram_not_table(spark):
     # the window shuffle carries the aggregated histogram (3 narrow cols),
     # whose exchange hashes on the group key alone — present exactly once
     assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_bucketed_registry_join_no_exchange_when_not_broadcast(spark):
+    """The registry's bucketed join, with broadcast disabled at ACTION
+    time, must sort-merge with zero Exchange on either side — the bucketed
+    layout carries the partitioning."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q(spark, "join_bucketed_colocated")
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan, plan
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange" not in join_section, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
