@@ -44,6 +44,7 @@ HEADLINE = [
     "llm_quality_filter",
     "llm_dedup_incremental",
     "llm_embed_centroids",
+    "llm_pack_sequences",
     "agg_mode",
     "sql_cte_pipeline",
     "udf_pandas",

@@ -330,3 +330,75 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = batch.join(existing, "content_hash", "left_anti")
     keep = fresh.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
     return keep.select("doc_id", "content_hash")
+
+
+# Training-sequence packing: concatenate the corpus in a deterministic
+# order and chunk it into fixed-length token sequences. SEQ_LEN is the
+# model context length; N shards = 16 (one per hex digit of the md5 shard
+# key) so the packing window parallelizes.
+PACK_SEQ_LEN = 2048
+
+
+@query(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum_before // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_SEQ_LEN} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: concatenate documents in
+    deterministic (shard, doc_id) order and chunk the token stream into
+    fixed SEQ_LEN sequences; emit each document's pack number and starting
+    offset within its pack. Documents straddle pack boundaries — exactly
+    how causal-LM pretraining packs corpora (concatenate-then-chunk), so
+    every pack except each shard's tail is fully dense.
+
+    No reference precedent (north star, BASELINE.json). Scale design: a
+    single global ORDER BY would serialize the window into one partition,
+    so the corpus is sharded by the first hex digit of md5(doc_id) — 16
+    independent, deterministic, uniformly-sized streams, each packed by a
+    running-sum window. At 100 TB: one hash-shuffle on the shard key, one
+    in-partition sort, no skew (md5 is uniform); widen the shard key to
+    2+ hex chars (256/4096 streams) to match executor count. The
+    downstream writer turns (pack_id, pack_offset) into the actual token
+    slices — layout metadata, not data movement.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "cum_before", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"CAST(cum_before DIV {PACK_SEQ_LEN} AS BIGINT)").alias("pack_id"),
+        F.expr(f"CAST(cum_before % {PACK_SEQ_LEN} AS BIGINT)").alias("pack_offset"),
+    )

@@ -188,6 +188,12 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"mh{p}")
         for p in range(MINHASH_PERMS)
     ]
+    # No checkpoint here, unlike _posting_with_df: the banded self-join's
+    # two aliases sit directly over the groupBy("doc_id") exchange, which
+    # Spark's ReuseExchange rule already shares — A/B warm medians at sf0.1
+    # showed no win from materializing sigs. Checkpointing pays off only
+    # when consumers have *different* shapes over the subtree (jaccard's
+    # sizes-agg + join), not for a symmetric self-join.
     sigs = sh.groupBy("doc_id").agg(*minhash_cols)
 
     rows_per_band = MINHASH_PERMS // LSH_BANDS

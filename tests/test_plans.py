@@ -270,3 +270,16 @@ def test_bucketed_registry_join_no_exchange_when_not_broadcast(spark):
         assert "Exchange" not in join_section, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pack_sequences_shard_parallel(spark):
+    """The packing window must partition on the shard key — a single
+    exchange, no global sort: the property that keeps concatenate-then-
+    chunk packing parallel at corpus scale."""
+    plan = plan_of(q(spark, "llm_pack_sequences"))
+    assert plan.count("Exchange") <= 2  # tree + detail section print once each
+    assert "hashpartitioning(shard" in plan, plan
+    assert "rangepartitioning" not in plan  # a global ORDER BY would show this
+    # column pruning: only doc_id + text leave the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema
