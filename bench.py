@@ -45,6 +45,7 @@ HEADLINE = [
     "llm_dedup_incremental",
     "llm_embed_centroids",
     "llm_pack_sequences",
+    "llm_decontaminate",
     "agg_mode",
     "sql_cte_pipeline",
     "udf_pandas",

@@ -524,3 +524,69 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("component_id").isNull() | (F.col("component_id") == F.col("doc_id")))
         .select("doc_id")
     )
+
+
+# Decontamination: documents whose doc_id ends the range are the stand-in
+# "benchmark/eval" set; the rest are the training corpus.
+DECONTAM_EVAL_MOD = 10
+DECONTAM_EVAL_REM = 7
+DECONTAM_MIN_COMMON = 3
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(str_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(str_split(text, ' '), i, i + {SHINGLE_WORDS - 1}), ' ')
+               ))) AS s
+        FROM documents
+    ),
+    eval_sh AS (
+        SELECT DISTINCT doc_id AS eval_doc_id, s FROM sh
+        WHERE doc_id % {DECONTAM_EVAL_MOD} = {DECONTAM_EVAL_REM}
+    ),
+    train_sh AS (
+        SELECT doc_id AS train_doc_id, s FROM sh
+        WHERE doc_id % {DECONTAM_EVAL_MOD} != {DECONTAM_EVAL_REM}
+    )
+    SELECT train_doc_id, eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common_shingles
+    FROM train_sh t JOIN eval_sh e USING (s)
+    GROUP BY train_doc_id, eval_doc_id
+    HAVING COUNT(*) >= {DECONTAM_MIN_COMMON}
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training documents sharing ≥K word-5-gram
+    shingles with any benchmark document, with the overlap count — the
+    flag-before-training gate that keeps eval data out of the corpus.
+
+    No reference precedent (north star, BASELINE.json). Distinct from
+    near-dup detection in its asymmetry, which is the whole scale story:
+    the benchmark set is tiny (thousands of docs) next to a 100 TB corpus,
+    so its distinct shingle set broadcasts and the corpus side is a pure
+    scan → explode → broadcast-hash probe — the training corpus is never
+    shuffled on shingles. Only matching (train, eval) pairs reach the
+    aggregation, so the one real shuffle carries hits, not the corpus.
+    Shingles travel as xxhash64 longs (same discipline as llm_dedup_ngram:
+    a 2^-64 collision can only merge shingles, never fabricate ≥K overlap
+    on its own). No DF cap here — contamination must count hot shingles
+    too; the broadcast bounds the blow-up to eval-side matches.
+    """
+    sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
+    is_eval = (F.col("doc_id") % DECONTAM_EVAL_MOD) == DECONTAM_EVAL_REM
+    eval_sh = (
+        sh.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_doc_id"), "h")
+        .distinct()
+    )
+    train_sh = sh.filter(~is_eval).select(F.col("doc_id").alias("train_doc_id"), "h")
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common_shingles"))
+        .filter(F.col("n_common_shingles") >= DECONTAM_MIN_COMMON)
+    )

@@ -283,3 +283,11 @@ def test_pack_sequences_shard_parallel(spark):
     # column pruning: only doc_id + text leave the scan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The benchmark shingle set must broadcast — the asymmetry that keeps
+    the 100 TB training corpus from ever shuffling on shingles."""
+    plan = plan_of(q(spark, "llm_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
