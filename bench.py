@@ -46,6 +46,7 @@ HEADLINE = [
     "llm_embed_centroids",
     "llm_pack_sequences",
     "llm_decontaminate",
+    "llm_epoch_shuffle",
     "agg_mode",
     "sql_cte_pipeline",
     "udf_pandas",

@@ -402,3 +402,69 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(cum_before DIV {PACK_SEQ_LEN} AS BIGINT)").alias("pack_id"),
         F.expr(f"CAST(cum_before % {PACK_SEQ_LEN} AS BIGINT)").alias("pack_offset"),
     )
+
+
+N_EPOCHS = 3
+
+
+@query(
+    "llm_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id,
+               CAST(unnest(range({N_EPOCHS})) AS BIGINT) AS epoch
+        FROM documents
+    ), k AS (
+        SELECT doc_id, epoch,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS sort_key
+        FROM e
+    )
+    SELECT doc_id, epoch,
+           substring(sort_key, 1, 1) AS shard,
+           CAST(row_number() OVER (
+                PARTITION BY epoch, substring(sort_key, 1, 1)
+                ORDER BY sort_key) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic corpus shuffle: each training epoch gets its own
+    reproducible pseudo-random permutation by ranking documents on
+    md5(doc_id ':' epoch) — re-runnable on any partition layout, no RNG
+    state, different order every epoch (the shuffle-between-epochs that
+    pretraining dataloaders need, computed engine-side).
+
+    No reference precedent (north star, BASELINE.json); generalizes the
+    reference's deterministic hash-key discipline
+    (dags/bpi_etl/bpi_etl_bigquery.py:16-19, R8) from write prefixes to
+    epoch ordering. Scale design: ranking globally would range-partition
+    and sort the whole corpus per epoch; instead the hash key's first hex
+    digit shards each epoch into 16 uniform streams ranked independently —
+    one hash-shuffle, in-partition sorts, no global order. Readers consume
+    (epoch, shard, pos) streams round-robin, which is exactly how sharded
+    dataloaders iterate.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id",
+        F.explode(F.array([F.lit(i).cast("long") for i in range(N_EPOCHS)])).alias(
+            "epoch"
+        ),
+    )
+    k = e.withColumn(
+        "sort_key",
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+            )
+        ),
+    ).withColumn("shard", F.substring("sort_key", 1, 1))
+    w = Window.partitionBy("epoch", "shard").orderBy("sort_key")
+    return k.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
