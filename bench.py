@@ -47,6 +47,7 @@ HEADLINE = [
     "llm_pack_sequences",
     "llm_decontaminate",
     "llm_epoch_shuffle",
+    "llm_repetition_filter",
     "agg_mode",
     "sql_cte_pipeline",
     "udf_pandas",

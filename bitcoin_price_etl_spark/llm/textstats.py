@@ -223,3 +223,64 @@ def llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("punct_marks"),
     )
+
+
+REP_NGRAM = 2
+REP_DUP_FRAC_GATE = 0.2
+
+
+@query(
+    "llm_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(toks) - {REP_NGRAM - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + {REP_NGRAM - 1}), ' ')
+               ) AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_bigrams,
+           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+               / CAST(len(grams) AS DOUBLE) AS dup_bigram_frac,
+           (CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+               / CAST(len(grams) AS DOUBLE)) > {REP_DUP_FRAC_GATE} AS flagged
+    FROM g
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate: the fraction of word bigrams that are
+    duplicates of an earlier bigram in the same document — the
+    duplicate-n-gram-fraction quality signal from the Gopher data-quality
+    recipe (Rae et al. 2021, §A1.1); highly repetitive docs (boilerplate,
+    keyword stuffing, generation loops) get flagged.
+
+    No reference precedent (north star, BASELINE.json). Unlike the corpus
+    dedup family this is doc-LOCAL: the whole computation is array
+    expressions inside one projection — no explode, no shuffle, no UDF —
+    so at 100 TB it runs at parquet scan throughput inside whole-stage
+    codegen, exactly like llm_quality_score. Division parity: both
+    engines divide the same exact integers as IEEE doubles.
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        f"transform(sequence(1, greatest(size(toks) - {REP_NGRAM - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(toks, i, {REP_NGRAM})))"
+    )
+    g = d.withColumn("toks", F.split("text", " ")).withColumn(
+        "grams", F.expr(grams)
+    )
+    n = F.size("grams").cast("long")
+    ndup = (F.size("grams") - F.size(F.array_distinct("grams"))).cast("long")
+    frac = ndup.cast("double") / n.cast("double")
+    return g.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        ndup.alias("n_dup_bigrams"),
+        frac.alias("dup_bigram_frac"),
+        (frac > REP_DUP_FRAC_GATE).alias("flagged"),
+    )

@@ -291,3 +291,10 @@ def test_decontaminate_broadcasts_eval_side(spark):
     plan = plan_of(q(spark, "llm_decontaminate"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_no_shuffle(spark):
+    """Doc-local repetition scoring must be a pure projection — zero
+    exchanges: the property that makes it free at corpus scale."""
+    plan = plan_of(q(spark, "llm_repetition_filter"))
+    assert "Exchange" not in plan, plan
