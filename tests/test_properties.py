@@ -181,3 +181,85 @@ def test_incremental_dedup_composes_with_exact(spark):
     )
     full_ids = sorted(r[0] for r in full.select("keep_doc_id").collect())
     assert composed == full_ids
+
+
+def test_pack_sequences_density_and_layout(spark):
+    """Packing invariants: offsets live in [0, SEQ_LEN); within each shard
+    the token stream is contiguous (each doc starts exactly where the
+    previous ended); every non-tail pack boundary is crossed, never
+    skipped; and the assignment is layout-independent."""
+    from collections import defaultdict
+
+    from bitcoin_price_etl_spark.llm.curation import PACK_SEQ_LEN
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()["llm_pack_sequences"].fn
+    rows = fn(spark, SF_SMOKE).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.pack_offset < PACK_SEQ_LEN
+        by_shard[r.shard].append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in shard_rows:
+            assert r.pack_id == cum // PACK_SEQ_LEN
+            assert r.pack_offset == cum % PACK_SEQ_LEN
+            cum += r.n_tokens
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        again = fn(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_epoch_shuffle_is_per_epoch_permutation(spark):
+    """Each (epoch, shard) ranks 1..n contiguously; each epoch covers every
+    document exactly once; and at least two epochs order some shard's
+    documents differently (the orders genuinely change between epochs)."""
+    from collections import defaultdict
+
+    from bitcoin_price_etl_spark.llm.curation import N_EPOCHS
+    from bitcoin_price_etl_spark.registry import load_all
+
+    rows = load_all()["llm_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
+    docs = {r.doc_id for r in rows}
+    groups = defaultdict(list)
+    epoch_docs = defaultdict(list)
+    for r in rows:
+        groups[(r.epoch, r.shard)].append(r.pos)
+        epoch_docs[r.epoch].append(r.doc_id)
+    assert set(epoch_docs) == set(range(N_EPOCHS))
+    for e in epoch_docs:
+        assert sorted(epoch_docs[e]) == sorted(docs)
+    for pos_list in groups.values():
+        assert sorted(pos_list) == list(range(1, len(pos_list) + 1))
+    orderings = {
+        e: tuple(
+            r.doc_id
+            for r in sorted(
+                (x for x in rows if x.epoch == e), key=lambda x: (x.shard, x.pos)
+            )
+        )
+        for e in range(N_EPOCHS)
+    }
+    assert len(set(orderings.values())) > 1
+
+
+def test_decontaminate_never_flags_eval_or_self(spark):
+    """Contamination pairs must be train×eval only: no eval doc on the train
+    side, no train doc on the eval side, and symmetric-overlap sanity —
+    every flagged pair shares at least the gate's shingle count."""
+    from bitcoin_price_etl_spark.llm.dedup import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_EVAL_REM,
+        DECONTAM_MIN_COMMON,
+    )
+    from bitcoin_price_etl_spark.registry import load_all
+
+    rows = load_all()["llm_decontaminate"].fn(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.train_doc_id % DECONTAM_EVAL_MOD != DECONTAM_EVAL_REM
+        assert r.eval_doc_id % DECONTAM_EVAL_MOD == DECONTAM_EVAL_REM
+        assert r.n_common_shingles >= DECONTAM_MIN_COMMON
