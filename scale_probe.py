@@ -36,6 +36,10 @@ DOC_KEYS = [
     "llm_sample_hash",
     "llm_quality_filter",
     "llm_corpus_mix",
+    "llm_pack_sequences",
+    "llm_decontaminate",
+    "llm_epoch_shuffle",
+    "llm_repetition_filter",
 ]
 
 
