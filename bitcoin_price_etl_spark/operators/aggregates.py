@@ -325,7 +325,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
                AS statuses,
-           list_sort(list_distinct(list(l_suppkey))) AS supp_keys
+           array_to_string(list_sort(list_distinct(list(l_suppkey))), ',')
+               AS supp_keys
     FROM lineitem
     WHERE l_orderkey <= 200
     GROUP BY l_returnflag
@@ -340,13 +341,24 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both outputs are canonicalized — distinct + sort — before emission.
     At scale collect_set state is bounded by group's distinct cardinality;
     unbounded collect_list on a hot group would be the memory hazard, which
-    is why the distinct form is the default here."""
+    is why the distinct form is the default here.
+
+    Both collections are emitted as delimited STRINGS, not arrays: the
+    differential gate's pandas canonicalizer cannot hash list cells
+    (round-1 driver crash on the array form of supp_keys), and a sorted
+    joined string carries the same information."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
     return li.groupBy("l_returnflag").agg(
         F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
             "statuses"
         ),
-        F.array_sort(F.collect_set("l_suppkey")).alias("supp_keys"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("l_suppkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("supp_keys"),
     )
 
 
@@ -487,9 +499,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           CAST((n * sxy - sx * sy)
-                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-                AS DECIMAL(10,6)) AS corr_qty_price
+           CAST(CAST((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     AS DECIMAL(10,6)) AS DOUBLE) AS corr_qty_price
     FROM m
     """,
 )
@@ -505,13 +517,16 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-decimal square and its decimal conversion can straddle a half-quantum
     where the engines round differently (observed at sf0.001).
 
-    The result is emitted as DECIMAL(10,6), not raw double: the syy moment
-    (~7e12 at 4 decimals) saturates double precision, and DuckDB's
-    decimal→double conversion is not correctly rounded at that magnitude —
-    a 1-ulp drift no moment discipline can remove (measured: Spark
-    ...835.868 vs DuckDB ...835.869). Micro-precision quantization gives
-    ~9 orders of margin over that ulp noise while keeping 6 significant
-    fractional digits of r."""
+    The result is QUANTIZED through DECIMAL(10,6) then cast back to DOUBLE:
+    the syy moment (~7e12 at 4 decimals) saturates double precision, and
+    DuckDB's decimal→double conversion is not correctly rounded at that
+    magnitude — a 1-ulp drift no moment discipline can remove (measured:
+    Spark ...835.868 vs DuckDB ...835.869). Micro-precision quantization
+    gives ~9 orders of margin over that ulp noise; the final DOUBLE cast
+    restores the registry's no-decimal-at-the-edge discipline (round-1
+    driver hashed the raw Decimal objects differently per engine — the one
+    hash FAIL of the round). A 6-decimal value is exactly representable
+    enough that decimal→double conversion agrees between engines."""
     li = load(spark, sf_dir, "lineitem")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -535,20 +550,31 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select(
-        "l_returnflag", "n", corr.cast("decimal(10,6)").alias("corr_qty_price")
+        "l_returnflag",
+        "n",
+        corr.cast("decimal(10,6)").cast("double").alias("corr_qty_price"),
     )
 
 
 @query(
     "agg_minmax_by",
     oracle="""
-    SELECT o_orderstatus,
-           arg_max(o_orderkey, o_totalprice ORDER BY o_orderkey) AS biggest_order,
-           arg_min(o_orderkey, o_totalprice ORDER BY o_orderkey) AS smallest_order,
-           MAX(o_totalprice) AS max_price,
-           MIN(o_totalprice) AS min_price
-    FROM orders
-    GROUP BY o_orderstatus
+    WITH ext AS (
+        SELECT o_orderstatus,
+               MAX(o_totalprice) AS max_price,
+               MIN(o_totalprice) AS min_price
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           MIN(CASE WHEN o.o_totalprice = e.max_price THEN o.o_orderkey END)
+               AS biggest_order,
+           MIN(CASE WHEN o.o_totalprice = e.min_price THEN o.o_orderkey END)
+               AS smallest_order,
+           e.max_price,
+           e.min_price
+    FROM orders o JOIN ext e ON o.o_orderstatus = e.o_orderstatus
+    GROUP BY o.o_orderstatus, e.max_price, e.min_price
     """,
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,14 +582,24 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max_by/min_by — Spark's form of DuckDB's arg_max/arg_min), replacing
     the join-back-on-max antipattern with one aggregation pass.
 
-    Tie risk: two orders sharing the exact extremal price would make the
-    result engine-arbitrary; the DuckDB side pins ties with ORDER BY and
-    the Spark side is safe because o_totalprice duplicates within a status
-    group are absent in the fixture (asserted implicitly by parity)."""
+    Ties are pinned EXPLICITLY on both sides: the ordering argument is a
+    struct (price, -orderkey) / (price, orderkey) so equal extremal prices
+    resolve to the smallest orderkey, lexicographic struct comparison doing
+    the tie-break inside the single-pass aggregate. Bare max_by would be
+    engine-arbitrary on a tie — correct on today's fixture, flapping on a
+    regenerated one. The oracle spells the same semantics as a two-pass
+    extremal join (MIN over the rows matching the extremal price), which is
+    deterministic by construction."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max_by(
+            "o_orderkey",
+            F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("tb")),
+        ).alias("biggest_order"),
+        F.min_by(
+            "o_orderkey",
+            F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+        ).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
