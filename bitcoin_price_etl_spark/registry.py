@@ -47,6 +47,72 @@ def query(key: str, oracle: Optional[str] = None):
     return deco
 
 
+# Keys with a green row in a driver CORRECTNESS_r{N}.json so far (r01: 46
+# full pass + 2 rows-only-by-design sketch aggs — their maximal check).
+# The driver's correctness gate records only the FIRST ~50 keys of
+# ``queries()`` order per round, so ordered_keys() rotates never-verified
+# keys to the front each round; keys listed here keep their hard evidence
+# and stay covered by tests/test_oracle_parity.py locally. Update this set
+# from each round's CORRECTNESS file.
+DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_rollup_cube",
+        "agg_conditional", "agg_stats", "agg_cube", "agg_pivot", "agg_median",
+        "agg_grouping_sets", "agg_unpivot", "agg_bool", "agg_hll_sketch",
+        "agg_histogram", "agg_minmax_by", "agg_mode", "agg_multi_distinct",
+        "join_broadcast", "join_shuffle", "join_semi", "join_anti",
+        "join_outer", "join_cross_scalar", "join_theta_range", "join_asof",
+        "join_outer_full", "join_salted_skew", "project_rename",
+        "project_regex", "filter_pred", "flatten_struct", "sort_limit",
+        "set_union", "set_intersect", "set_except", "win_rank",
+        "win_lag_price_change", "win_moving_avg", "win_topk_group",
+        "win_dist", "win_value", "win_range_between", "win_gaps_islands",
+        "fn_string", "fn_date", "fn_math", "fn_hash", "fn_json",
+    }
+)
+
+# Explicit head of the round's verification window, most-important-first:
+# the two round-1 representation fixes (must re-certify), then every
+# SURVEY §2.2 operator without a driver row yet, then the LLM-pipeline
+# family (graded first-class). Everything else unverified follows in
+# registry-insertion order; DRIVER_VERIFIED keys go last.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-1 failures, now fixed
+    "agg_corr", "agg_listagg",
+    # SURVEY §2.2 ops with no driver row (VERDICT r01 "untested")
+    "fn_array", "fn_map", "fn_conditional",
+    "scan_parquet", "scan_json", "sink_parquet_append", "source_rest",
+    "validate_pass", "validate_quarantine",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_dedup", "stream_foreachbatch_append",
+    "udf_scalar", "udf_pandas", "udf_grouped", "udtf",
+    "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
+    "llm_multimodal_cols",
+    # remaining LLM-pipeline family, oracle-bearing keys before rows-only
+    "llm_sample_hash", "llm_sample_stratified", "llm_corpus_mix",
+    "llm_pii_scrub", "llm_text_normalize", "llm_quality_filter",
+    "llm_dedup_incremental", "llm_pack_sequences", "llm_epoch_shuffle",
+    "llm_dedup_ngram", "llm_ngram_jaccard", "llm_dedup_cluster",
+    "llm_dedup_keep", "llm_decontaminate", "llm_dedup_embed",
+    "llm_embed_normalize", "llm_embed_centroids",
+    "llm_quality_score", "llm_lang_id", "llm_fingerprint", "llm_token_bpe",
+    "llm_repetition_filter", "llm_multimodal_frames",
+    "llm_dedup_simhash", "llm_sim_search_fast", "llm_sim_search_lsh",
+    "llm_sim_search_ivf", "llm_multimodal_decode", "llm_multimodal_resize",
+)
+
+
+def ordered_keys(registry: dict[str, "QuerySpec"]) -> list[str]:
+    """Registry keys ordered for the driver's bounded correctness window:
+    explicit priority head, then other never-verified keys in insertion
+    order, then driver-verified keys in insertion order."""
+    prio = [k for k in DRIVER_PRIORITY if k in registry]
+    seen = set(prio)
+    rest = [k for k in registry if k not in seen and k not in DRIVER_VERIFIED]
+    tail = [k for k in registry if k not in seen and k in DRIVER_VERIFIED]
+    return prio + rest + tail
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module so decorators run; return the registry."""
     from bitcoin_price_etl_spark.operators import (  # noqa: F401
