@@ -139,55 +139,79 @@ def llm_sim_search_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_signature_cols(planes) -> list:
+    """4 band columns (4 bits each) from 16 seeded random hyperplanes.
+
+    Each bit is one `aggregate(zip_with(embedding, <plane literal array>))`
+    double fold — a loop in codegen, not 64 flattened add terms per bit
+    (the round-1 form inlined 16×64 literal terms into one projection,
+    which blows past the JIT-friendly method size)."""
+    bands = []
+    for band in range(4):
+        acc = F.lit(0)
+        for r in range(4):
+            plane = planes[band * 4 + r]
+            arr = F.array(*[F.lit(float(v)) for v in plane])
+            dot = F.aggregate(
+                F.zip_with("embedding", arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            acc = acc + F.when(dot >= 0, F.lit(2**r)).otherwise(F.lit(0))
+        bands.append(acc.cast("int").alias(f"band{band}"))
+    return bands
+
+
 @query("llm_sim_search_lsh", oracle=None)
 def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 16-bit signatures from fixed seeded
-    hyperplanes; candidates = rows whose signature matches the query's in
-    any of 4 contiguous 4-bit bands; exact cosine re-scoring on candidates
-    only (rows-only: recall is probabilistic by design, though the seeded
+    hyperplanes, split into 4 bands of 4 bits; candidates = corpus rows
+    sharing ANY band value with the query, found by an EQUI-JOIN on
+    (band_id, band_bits); exact cosine re-scoring on candidates only
+    (rows-only: recall is probabilistic by design, though the seeded
     planes make THIS run deterministic).
 
-    At 100 TB: signatures are computed in one scan (JVM expressions), the
-    probe is an equi-join on (band, bits) — corpus fraction scanned ≈
-    sum of band collision rates, not 100%.
-    """
+    The probe is a real bucket join, not a scan-and-filter: the corpus
+    explodes once to (band_id, band_bits) keys — at 100 TB that table is
+    written bucketed/partitioned BY the band key, so a query's 4 keys
+    prune to 4 buckets and the scan touches ≈ the band collision mass,
+    never 100% of the corpus. The 4-row query-key frame broadcasts; a
+    disjunctive band0=.. OR band1=.. filter (the round-1 shape) can never
+    become a hash join and degenerates to a full nested-loop scan.
+    Multi-band hits dedup by vec_id before scoring, so each candidate is
+    scored once."""
     import numpy as np
 
     rng = np.random.RandomState(42)
     planes = rng.standard_normal((16, DIM))
 
     e = load(spark, sf_dir, "embeddings")
-
-    def sig_bits(vec_col: str):
-        bits = []
-        for b, plane in enumerate(planes):
-            terms = " + ".join(
-                f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * ({plane[i]!r})"
-                for i in range(DIM)
+    sigs = e.select("vec_id", "embedding", *_band_signature_cols(planes))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.col(f"band{b}").alias("band_bits"),
             )
-            bits.append(F.expr(f"CASE WHEN {terms} >= 0 THEN 1 ELSE 0 END").alias(f"bit{b}"))
-        return bits
-
-    sigs = e.select("vec_id", "embedding", *sig_bits("embedding"))
-    band_cols = [
-        sum(
-            F.col(f"bit{band * 4 + r}") * (2**r)
-            for r in range(4)
-        ).alias(f"band{band}")
-        for band in range(4)
-    ]
-    sigs = sigs.select("vec_id", "embedding", *band_cols)
-
-    q = sigs.orderBy("vec_id").limit(1).select(
-        F.col("embedding").alias("qv"),
-        *[F.col(f"band{b}").alias(f"qband{b}") for b in range(4)],
+            for b in range(4)
+        ]
     )
-    joined = sigs.crossJoin(F.broadcast(q))
-    candidates = joined.filter(
-        (F.col("band0") == F.col("qband0"))
-        | (F.col("band1") == F.col("qband1"))
-        | (F.col("band2") == F.col("qband2"))
-        | (F.col("band3") == F.col("qband3"))
+    corpus_keys = sigs.select(
+        "vec_id", "embedding", F.explode(band_structs).alias("bb")
+    ).select("vec_id", "embedding", "bb.band_id", "bb.band_bits")
+
+    # query = the smallest vec_id's 4 band keys (+ its vector for scoring):
+    # a 4-row control-plane frame, broadcast into the bucket probe
+    query_keys = (
+        sigs.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qv"), F.explode(band_structs).alias("bb"))
+        .select("qv", "bb.band_id", "bb.band_bits")
+    )
+
+    candidates = (
+        corpus_keys.join(F.broadcast(query_keys), ["band_id", "band_bits"])
+        .dropDuplicates(["vec_id"])
     )
     scored = candidates.select(
         "vec_id",

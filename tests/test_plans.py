@@ -298,3 +298,21 @@ def test_repetition_filter_no_shuffle(spark):
     exchanges: the property that makes it free at corpus scale."""
     plan = plan_of(q(spark, "llm_repetition_filter"))
     assert "Exchange" not in plan, plan
+
+
+def test_lsh_probe_is_band_bucket_equi_join(spark):
+    """The LSH probe must be an equi-join on (band_id, band_bits) with the
+    4-row query-key frame broadcast — at scale the corpus key table is
+    bucketed by band key, so the probe prunes to 4 buckets. A disjunctive
+    band0=.. OR band1=.. filter cannot hash-join and degenerates to a
+    full-corpus nested-loop scan (the round-1 shape this test forbids)."""
+    plan = plan_of(q(spark, "llm_sim_search_lsh"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    # detail section: the hash join's keys are the band bucket key
+    key_lines = [l for l in plan.splitlines() if l.startswith(("Left keys", "Right keys"))]
+    assert key_lines and all(
+        "band_id" in l and "band_bits" in l for l in key_lines
+    ), plan
