@@ -391,6 +391,52 @@ def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_embed_centroids",
     oracle="""
     WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(CAST(AVG(x) AS DECIMAL(18,6)) AS DOUBLE) AS centroid_val
+    FROM ex GROUP BY label, pos
+    """,
+)
+def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid — the k-means/IVF training step
+    (llm_sim_search_ivf consumes exactly this shape as its coarse
+    quantizer; here the cluster assignment is the given label).
+
+    THE production form: a plain partial-aggregated double AVG. The shuffle
+    carries one (sum, count) pair per (map partition × label × pos) — never
+    the elements themselves — so a hot label costs nothing extra; this is
+    the shape that survives 100 TB (the round-1 default collected per-group
+    element lists through the exchange, which OOMs on a skewed label).
+
+    Parity: partial double sums are order-sensitive in the last ulp, so the
+    checked value is quantized through DECIMAL(18,6) and cast back to
+    double on both sides (the agg_corr discipline): sum noise is ~1e-13
+    relative while the quantum is 1e-6, so both engines land in the same
+    cell except with ~1e-7 straddle probability per value — vs certainty of
+    last-ulp drift on the raw double. Full-precision bit-exact values live
+    in llm_embed_centroids_exact (the ordered-fold twin)."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.avg("x").cast("decimal(18,6)").cast("double").alias("centroid_val")
+    )
+
+
+@query(
+    "llm_embed_centroids_exact",
+    oracle="""
+    WITH ex AS (
         SELECT label, vec_id,
                generate_subscripts(embedding, 1) AS pos,
                CAST(unnest(embedding) AS DOUBLE) AS x
@@ -402,28 +448,23 @@ def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex GROUP BY label, pos
     """,
 )
-def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label element-wise centroid — the k-means/IVF training step
-    (llm_sim_search_ivf consumes exactly this shape as its coarse
-    quantizer; here the cluster assignment is the given label).
+def llm_embed_centroids_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact centroid twin: components sum as a DOUBLE fold in vec_id
+    order (collect sorted, sequential reduce — Spark aggregate ≡ DuckDB
+    list_reduce, the proven llm_sim_search pattern), emitted at full double
+    precision with no quantization.
 
-    Long format (label, pos, value): both engines aggregate scalar cells
-    and neither needs an order-sensitive array re-assembly in a checked
-    output.
+    The decimal-sum discipline is deliberately NOT used: embeddings need
+    scale ≥10 to keep their precision, and at that scale the
+    double→decimal conversion quantum sits at the double ulp where Spark
+    (shortest-repr) and DuckDB (exact-binary) round apart — measured: one
+    flipped 1e-10 unit per ~30k elements at sf0.01.
 
-    Parity: components sum as a DOUBLE fold in vec_id order (collect
-    sorted, sequential reduce — Spark aggregate ≡ DuckDB list_reduce, the
-    proven llm_sim_search pattern). The decimal-sum discipline is
-    deliberately NOT used here: embeddings need scale ≥10 to keep their
-    precision, and at that scale the double→decimal conversion quantum
-    sits close enough to the double ulp that Spark (shortest-repr) and
-    DuckDB (exact-binary) round apart — measured: one flipped 1e-10 unit
-    per ~30k elements at sf0.01. The ordered fold is bit-exact at full
-    double precision instead. Scale tradeoff: collecting per-group lists
-    carries elements (not partials) through the exchange; the production
-    swap is a plain partial-agg double sum (order-insensitive to ~1 ulp),
-    exactly the BASELINE.md double-vs-decimal swap but for vectors.
-    """
+    Scale tradeoff, explicit: collect_list carries ELEMENTS (not partials)
+    through the exchange — per-group state is O(group size), and a hot
+    label at 100 TB OOMs its reducer. This form exists as the reproducible
+    numeric reference / parity anchor; llm_embed_centroids (partial-agg
+    AVG) is the production default."""
     e = load(spark, sf_dir, "embeddings")
     exploded = e.select(
         "label",

@@ -94,7 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "llm_dedup_incremental", "llm_pack_sequences", "llm_epoch_shuffle",
     "llm_dedup_ngram", "llm_ngram_jaccard", "llm_dedup_cluster",
     "llm_dedup_keep", "llm_decontaminate", "llm_dedup_embed",
-    "llm_embed_normalize", "llm_embed_centroids",
+    "llm_embed_normalize", "llm_embed_centroids", "llm_embed_centroids_exact",
     "llm_quality_score", "llm_lang_id", "llm_fingerprint", "llm_token_bpe",
     "llm_repetition_filter", "llm_multimodal_frames",
     "llm_dedup_simhash", "llm_sim_search_fast", "llm_sim_search_lsh",

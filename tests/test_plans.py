@@ -300,6 +300,18 @@ def test_repetition_filter_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_embed_centroids_partial_agg_not_element_carrying(spark):
+    """The default centroid build must partial-aggregate: the exchange
+    carries (sum, count) per (map partition × label × pos), never the
+    element lists (whose per-group state OOMs on a hot label at scale)."""
+    plan = plan_of(q(spark, "llm_embed_centroids"))
+    assert "partial_avg" in plan, plan
+    assert "collect_list" not in plan, plan
+    # the exact parity twin is allowed to collect — but must say so
+    plan_exact = plan_of(q(spark, "llm_embed_centroids_exact"))
+    assert "collect_list" in plan_exact
+
+
 def test_lsh_probe_is_band_bucket_equi_join(spark):
     """The LSH probe must be an equi-join on (band_id, band_bits) with the
     4-row query-key frame broadcast — at scale the corpus key table is
