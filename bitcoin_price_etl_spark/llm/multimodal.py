@@ -2,20 +2,22 @@
 opaque binary payloads with typed metadata, processed by Arrow-batched
 Pandas functions over mapInPandas.
 
-The decode step is STUBBED (the container has no image/audio libraries) —
-`decode_image_batch` raises NotImplementedError unless a deterministic fake
-decoder is requested — but the Spark-side plumbing is real and tested:
-binary column construction, metadata struct, content-hash partitioning (the
-reference's R8 salted-key recipe,
-dags/bpi_etl/bpi_etl_bigquery.py:8-23), mapInPandas schema/batch shape.
+The decode step is REAL for two formats with pure-Python decoders — binary
+PPM (P6) and uncompressed 24-bit BMP — so `llm_multimodal_decode` parses
+actual image bytes end-to-end with no injected stand-in. Formats that need
+external libraries (JPEG/PNG/audio/video: PIL/ffmpeg are absent in this
+container) surface as quarantine rows (`decode_status = 'error:...'`), the
+same contract a production decoder would use for corrupt payloads.
 
-Scale notes: payloads never shuffle — metadata extraction is a narrow map;
-the salted partition key spreads writes across the keyspace exactly like the
-reference's GCS anti-hotspot prefix.
+Scale notes: payloads never shuffle — metadata extraction and decode are
+narrow maps; the salted partition key spreads writes across the keyspace
+exactly like the reference's GCS anti-hotspot prefix
+(dags/bpi_etl/bpi_etl_bigquery.py:8-23).
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -26,45 +28,131 @@ from pyspark.sql import functions as F
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.registry import query
 
-FEATURE_DIM = 4
-
 DECODED_SCHEMA = (
-    "doc_id long, content_hash string, payload_len int, "
+    "doc_id long, content_hash string, payload_len int, width int, height int, "
     "features array<double>, decode_status string"
 )
 
 
-def decode_image_batch(
-    batches: Iterator[pd.DataFrame], *, fake: bool = True
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: binary payload → feature vector.
+def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """Strict binary-PPM (P6) parser → (width, height, row-major RGB bytes).
 
-    Real pipelines decode with PIL/torchvision/ffmpeg here; those libs are
-    absent, so `fake=False` raises NotImplementedError and `fake=True`
-    produces a deterministic stand-in (first FEATURE_DIM payload bytes,
-    scaled) so the batch plumbing — Arrow transfer, schema, partition
-    boundaries — is exercised for real.
-    """
+    Implements the Netpbm spec: 'P6', then whitespace-separated width,
+    height, maxval (each optionally preceded by '#' comment lines), one
+    single whitespace byte, then width*height*3 raw sample bytes
+    (maxval ≤ 255 → 1 byte per sample). Raises ValueError on anything
+    malformed — truncated header, bad magic, short pixel data."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(data[start:pos]))
+    if pos >= len(data) or not data[pos : pos + 1].isspace():
+        raise ValueError("missing header terminator")
+    pos += 1  # exactly one whitespace byte before raster
+    width, height, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = width * height * 3
+    pixels = data[pos : pos + n]
+    if len(pixels) != n:
+        raise ValueError("truncated pixel data")
+    return width, height, pixels
+
+
+def decode_bmp24(data: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed 24-bit BMP parser → (width, height, row-major RGB bytes).
+
+    Implements the BITMAPFILEHEADER + BITMAPINFOHEADER layout: 'BM' magic,
+    pixel-array offset at byte 10; width/height/bpp/compression at 18/22/
+    28/30; rows stored bottom-up, each padded to a 4-byte boundary, samples
+    in BGR order. Emits top-down RGB. Raises ValueError on non-BI_RGB
+    compression, bpp ≠ 24, or short data."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    if len(data) < pix_off + stride * height:
+        raise ValueError("truncated pixel data")
+    rows = []
+    for r in range(height):
+        src = r if top_down else height - 1 - r
+        row = data[pix_off + src * stride : pix_off + src * stride + row_bytes]
+        rgb = bytearray(row_bytes)
+        rgb[0::3], rgb[1::3], rgb[2::3] = row[2::3], row[1::3], row[0::3]
+        rows.append(bytes(rgb))
+    return width, height, b"".join(rows)
+
+
+_DECODERS = {b"P6": ("ppm", decode_ppm), b"BM": ("bmp", decode_bmp24)}
+
+
+def decode_image(data: bytes) -> tuple[int, int, list[float], str]:
+    """Dispatch on magic bytes → (width, height, features, status).
+
+    Features: [width, height, mean_r, mean_g, mean_b] — the cheap global
+    stats a curation pipeline filters on before any model sees the image.
+    Unknown/malformed payloads become quarantine rows, not task failures:
+    at 100 TB a single corrupt blob must never kill the job."""
+    fmt_fn = _DECODERS.get(bytes(data[:2]))
+    if fmt_fn is None:
+        return 0, 0, [], "error:unknown-format"
+    fmt, fn = fmt_fn
+    try:
+        width, height, rgb = fn(bytes(data))
+    except ValueError as e:
+        return 0, 0, [], f"error:{fmt}:{e}"
+    n = width * height
+    means = [
+        sum(rgb[c::3]) / n / 255.0 if n else 0.0
+        for c in range(3)
+    ]
+    return width, height, [float(width), float(height), *means], f"{fmt}-decoded"
+
+
+def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary payload → parsed dims + feature vector.
+
+    Pure-Python decode per payload inside an Arrow batch — the structure a
+    real PIL/ffmpeg decoder drops into unchanged (swap `decode_image`)."""
     import hashlib
 
     for pdf in batches:
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires PIL/torchvision — not available in this container"
-            )
         payloads = pdf["payload"]
-        out = pd.DataFrame(
+        decoded = payloads.map(lambda b: decode_image(bytes(b)))
+        yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "content_hash": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                "payload_len": payloads.map(len).astype("int32"),
-                "features": payloads.map(
-                    lambda b: [float(x) / 255.0 for x in bytes(b)[:FEATURE_DIM]]
+                "content_hash": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
                 ),
-                "decode_status": "fake-decoded",
+                "payload_len": payloads.map(len).astype("int32"),
+                "width": decoded.map(lambda d: d[0]).astype("int32"),
+                "height": decoded.map(lambda d: d[1]).astype("int32"),
+                "features": decoded.map(lambda d: d[2]),
+                "decode_status": decoded.map(lambda d: d[3]),
             }
         )
-        yield out
 
 
 def with_multimodal_columns(df: DataFrame) -> DataFrame:
@@ -112,13 +200,53 @@ def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMG_W = IMG_H = 4
+
+
+def _bmp24_header(width: int, height: int) -> bytes:
+    """Constant BITMAPFILEHEADER+BITMAPINFOHEADER for an unpadded 24-bit
+    image (width*3 divisible by 4 here, so stride == row bytes)."""
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header
+
+
+def with_image_payloads(df: DataFrame) -> DataFrame:
+    """documents → real image binaries, built with JVM expressions only.
+
+    Each document becomes a 4×4 image whose 48 pixel bytes derive from
+    md5(text) (deterministic, content-addressed); even doc_ids serialize as
+    binary PPM (P6), odd as uncompressed 24-bit BMP. The payloads are REAL
+    files — `xxd` or any image viewer parses them — which is what makes the
+    decode step downstream a genuine format parser rather than plumbing."""
+    pixels = F.unhex(
+        F.concat(
+            F.md5("text"),
+            F.md5(F.concat(F.col("text"), F.lit("a"))),
+            F.md5(F.concat(F.col("text"), F.lit("b"))),
+        )
+    )
+    ppm = F.concat(F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode()), pixels)
+    bmp = F.concat(F.lit(_bmp24_header(IMG_W, IMG_H)), pixels)
+    return df.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(bmp).alias("payload"),
+    )
+
+
 @query("llm_multimodal_decode", oracle=None)
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pipeline with the deterministic fake decoder
-    (rows-only: array outputs + stub features have no SQL twin). Proves the
-    Arrow batch path end-to-end: binary in, typed feature vectors out."""
+    """mapInPandas decode pipeline over REAL image bytes: documents become
+    4×4 PPM/BMP binaries (JVM-side synthesis) and the Python worker parses
+    them with strict pure-Python format decoders — no injected fake
+    (rows-only: array features have no SQL twin; dims/status invariants are
+    asserted in tests/test_multimodal.py)."""
     d = load(spark, sf_dir, "documents")
-    mm = with_multimodal_columns(d).select("doc_id", "payload")
+    mm = with_image_payloads(d)
     return mm.mapInPandas(decode_image_batch, DECODED_SCHEMA)
 
 
