@@ -14,13 +14,12 @@ slides p.16).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.paths import delete_path, sink_path
 from bitcoin_price_etl_spark.registry import query
 
 SINK_SCHEMA = T.StructType(
@@ -56,17 +55,21 @@ def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
 def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only partitioned parquet sink, read back after two appends.
 
-    Two WRITE_APPEND rounds into a fresh directory (R18 semantics: each
-    hourly run appends its batch); the readback must contain exactly two
-    copies — proven against a UNION ALL oracle. Partitioned by returnflag
-    (the serving-layout choice of slides p.21, clustering).
+    Two WRITE_APPEND rounds into a cleared stable target (R18 semantics:
+    each hourly run appends its batch); the readback must contain exactly
+    two copies — proven against a UNION ALL oracle. Partitioned by
+    returnflag (the serving-layout choice of slides p.21, clustering). The
+    target resolves through paths.sink_path — a gs:///s3a:// base swaps in
+    by config — and is cleared with the scheme-agnostic Hadoop FS delete,
+    so repeated runs don't accumulate appends (or /tmp garbage).
     """
     src = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 45.0)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
-    target = tempfile.mkdtemp(prefix="sink_append_") + "/bpi_xr_hourly_twin"
+    target = sink_path("sink_append/bpi_xr_hourly_twin")
+    delete_path(spark, target)
     for _ in range(2):
         src.write.mode("append").partitionBy("l_returnflag").parquet(target)
     out = spark.read.parquet(target)
@@ -105,7 +108,7 @@ def sink_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     file layout stats; rows-only (filesystem layout has no SQL twin)."""
     src = load(spark, sf_dir, "documents")
     salted = src.withColumn("part_key", F.substring(F.md5("text"), 1, 1))
-    target = tempfile.mkdtemp(prefix="sink_salted_") + "/docs"
+    target = sink_path("sink_salted/docs")
     salted.write.mode("overwrite").partitionBy("part_key").parquet(target)
     out = spark.read.parquet(target)
     return (

@@ -22,23 +22,38 @@ handleInputRows).
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 
 from bitcoin_price_etl_spark.catalog import load_raw, normalize_events
+from bitcoin_price_etl_spark.paths import scratch_dir
 
 
 def stage_stream_dir(spark: SparkSession, sf_dir: str, name: str):
     """Stage a single-file table into a directory (file streaming sources
     require a basePath directory) and return (dir, schema). In production
     the source is already a directory of hourly files — this shim exists
-    only for the single-file test fixtures."""
-    src_dir = tempfile.mkdtemp(prefix=f"stream_src_{name}_")
+    only for the single-file test fixtures. The staging dir is a FIXED
+    per-table scratch path wiped on each call (mkdtemp-per-run leaked
+    unbounded /tmp data across bench/driver runs — round-1 ADVICE)."""
+    src_dir = scratch_dir(f"stream_src_{name}")
     shutil.copy(f"{sf_dir}/{name}.parquet", src_dir)
     return src_dir, load_raw(spark, sf_dir, name).schema
+
+
+def _with_trigger(
+    writer: DataStreamWriter, processing_interval: str | None
+) -> DataStreamWriter:
+    """availableNow (bounded test/backfill pass) vs processingTime (the
+    live deployment cadence — R19's @hourly schedule,
+    reference dags/bpi_etl/bpi_etl_bigquery.py:26-30, becomes
+    processing_interval='1 hour'). Same plan, same state, same sink
+    semantics either way; only the trigger differs."""
+    if processing_interval is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=processing_interval)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,9 +65,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hourly_tumbling_job(
-    spark: SparkSession, sf_dir: str, sink: str, ckpt: str
+    spark: SparkSession,
+    sf_dir: str,
+    sink: str,
+    ckpt: str,
+    processing_interval: str | None = None,
 ) -> StreamingQuery:
-    """R19's hourly micro-batch as a watermarked tumbling-window stream."""
+    """R19's hourly micro-batch as a watermarked tumbling-window stream.
+
+    Default is the bounded availableNow pass (tests/backfills); pass
+    processing_interval='1 hour' for the live scheduled deployment — the
+    engine form of the reference's Airflow @hourly DAG cadence
+    (bpi_etl_bigquery.py:26-30). Tests exercise the live trigger at a
+    short interval; only the cadence changes, never the semantics."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
@@ -60,14 +85,13 @@ def hourly_tumbling_job(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
-    return (
+    writer = (
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
     )
+    return _with_trigger(writer, processing_interval).start()
 
 
 def dedup_stream_job(

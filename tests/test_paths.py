@@ -1,0 +1,47 @@
+"""Storage-path abstraction tests (R6/R7): sinks resolve through the
+configured base URI and clean up through the scheme-agnostic Hadoop FS
+delete — the only delta between local dev and gs://-s3a:// production is
+the SPARK_GRAFT_STORAGE_BASE value."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.paths import delete_path, sink_path, storage_base
+from bitcoin_price_etl_spark.registry import load_all
+from tests.conftest import SF_SMOKE
+
+TEST_BASE = "file:///tmp/spark_graft_test_base"
+TEST_BASE_LOCAL = "/tmp/spark_graft_test_base"
+
+
+def test_storage_base_env_swap(spark, monkeypatch):
+    """Pointing SPARK_GRAFT_STORAGE_BASE at a different URI relocates every
+    sink; repeated runs do NOT accumulate appends or scratch dirs."""
+    monkeypatch.setenv("SPARK_GRAFT_STORAGE_BASE", TEST_BASE)
+    assert storage_base() == TEST_BASE
+    assert sink_path("x/y") == f"{TEST_BASE}/x/y"
+
+    expected = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 45.0)
+        .count()
+    )
+    for _ in range(2):  # second run must not see the first run's appends
+        out = load_all()["sink_parquet_append"].fn(spark, SF_SMOKE)
+        assert out.count() == 2 * expected
+    assert os.path.isdir(f"{TEST_BASE_LOCAL}/sink_append/bpi_xr_hourly_twin")
+
+
+def test_delete_path_is_scheme_agnostic(spark, monkeypatch):
+    """delete_path goes through the JVM Hadoop FileSystem resolved FROM the
+    path URI — the same call deletes gs:// or s3a:// targets when those
+    connectors are on the classpath."""
+    monkeypatch.setenv("SPARK_GRAFT_STORAGE_BASE", TEST_BASE)
+    target = sink_path("delete_probe")
+    spark.range(10).write.mode("overwrite").parquet(target)
+    assert os.path.isdir(f"{TEST_BASE_LOCAL}/delete_probe")
+    delete_path(spark, target)
+    assert not os.path.exists(f"{TEST_BASE_LOCAL}/delete_probe")

@@ -49,6 +49,42 @@ def test_hourly_tumbling_stream_matches_batch(spark):
     assert s <= b_all, "stream emitted a window the batch twin doesn't have"
 
 
+def test_hourly_live_trigger_matches_available_now(spark):
+    """The live scheduled deployment (trigger(processingTime=...), R19's
+    @hourly cadence run here at 1s) must produce exactly the same
+    watermark-closed windows as the bounded availableNow pass — the
+    trigger changes cadence, never semantics. no-data micro-batches
+    advance the watermark so closed windows flush without new files."""
+    import time
+
+    ref_out, _ = _run(spark, jobs.hourly_tumbling_job)
+    ref = {tuple(r) for r in ref_out.collect()}
+
+    tmp = tempfile.mkdtemp(prefix="stream_live_test_")
+    sink, ckpt = tmp + "/sink", tmp + "/ckpt"
+    q = jobs.hourly_tumbling_job(
+        spark, SF_SMOKE, sink, ckpt, processing_interval="1 second"
+    )
+    try:
+        q.processAllAvailable()
+        # append-mode emission happens in the watermark-advancing batch
+        # AFTER the data batch; poll until the periodic (incl. no-data)
+        # micro-batches flush every closed window
+        live: set = set()
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            try:
+                live = {tuple(r) for r in spark.read.parquet(sink).collect()}
+            except Exception:
+                live = set()
+            if live == ref:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert live == ref
+
+
 def test_dedup_stream_unique_ids(spark):
     """Streaming dropDuplicates on event_id: output must have unique ids and
     cover every distinct input id (event_id is unique in the fixture, so
