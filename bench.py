@@ -6,12 +6,20 @@ and print ONE JSON line:
 
 Each query is materialized through the `noop` sink so the full plan executes
 (scan → compute → exchange) without sink I/O distorting the measurement.
+
+`--runs N` (or $SPARK_GRAFT_BENCH_RUNS) executes every query N times in ONE
+process and reports per-query WARM MEDIANS — the regression-detection mode:
+single-shot wall times on a shared host move ±20-50% between sessions
+(BASELINE.md), so only a medians delta is evidence of a real plan change.
+The driver contract (single JSON line, same schema) is unchanged; medians
+runs add "runs": N.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -65,6 +73,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
 
     from bitcoin_price_etl_spark.registry import load_all
     from bitcoin_price_etl_spark.session import get_spark
@@ -79,25 +90,40 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
-        spec = registry[key]
+    def run_once(key: str) -> float:
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        registry[key].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    if runs <= 1:
+        for key in HEADLINE:
+            timings[key] = round(run_once(key), 3)
+    else:
+        # round-robin over the set (not N back-to-back of one query) so a
+        # transient host-load spike degrades one REP of many queries, not
+        # every rep of one query; run 0 is the warm-up and is discarded
+        samples: dict[str, list[float]] = {k: [] for k in HEADLINE}
+        for r in range(runs + 1):
+            for key in HEADLINE:
+                t = run_once(key)
+                if r > 0:
+                    samples[key].append(t)
+        timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if runs > 1:
+        out["runs"] = runs
+    print(json.dumps(out))
     spark.stop()
 
 

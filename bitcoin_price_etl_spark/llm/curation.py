@@ -468,3 +468,57 @@ def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# RAG/context-window chunking: fixed-size character windows with overlap.
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@query(
+    "llm_chunk_documents",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text), 1) + 1, {CHUNK_STRIDE}))
+                   AS start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start,
+           md5(substring(text, start, {CHUNK_SIZE})) AS chunk_md5,
+           CAST(length(substring(text, start, {CHUNK_SIZE})) AS BIGINT)
+               AS chunk_len
+    FROM s
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: fixed CHUNK_SIZE-character windows advancing by
+    CHUNK_STRIDE (so consecutive chunks share CHUNK_OVERLAP characters) —
+    the standard splitter feeding embedding/RAG indexes and
+    context-window-bounded training examples.
+
+    No reference precedent (north star, BASELINE.json). Pure JVM array
+    expressions — sequence → explode → substring — one narrow projection,
+    zero shuffles, runs at scan throughput inside whole-stage codegen at
+    any corpus size. Chunk text is emitted as md5 + length (the
+    differential gate never hashes megabyte strings; downstream writers
+    re-slice by (doc_id, start), which is layout metadata, not data
+    movement). Both engines slice CHARACTERS with 1-based substring and
+    truncate at end-of-string, so hashes agree exactly; empty docs emit
+    one empty-window row (greatest(len,1)) rather than disappearing."""
+    d = load(spark, sf_dir, "documents")
+    starts = F.expr(
+        f"sequence(1, greatest(length(text), 1), {CHUNK_STRIDE})"
+    )
+    s = d.select("doc_id", "text", F.explode(starts).alias("start"))
+    chunk = F.substring(F.col("text"), F.col("start"), F.lit(CHUNK_SIZE))
+    return s.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.md5(chunk).alias("chunk_md5"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )

@@ -483,3 +483,59 @@ def llm_embed_centroids_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(
         (fold / F.count(F.lit(1))).alias("centroid_val")
     )
+
+
+@query(
+    "llm_embed_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, embedding,
+               CASE WHEN amax = 0.0 THEN 0.0 ELSE 127.0 / amax END AS scale
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * scale) AS INT)
+               AS qval,
+           scale
+    FROM sc
+    """,
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scaling, the faiss/bitsandbytes SQ8 recipe): 4× smaller ANN
+    storage and int8-SIMD distance kernels downstream; scale is kept per
+    vector for dequantization.
+
+    Zero-shuffle narrow projection (amax fold + posexplode in one map).
+    Parity: scale = 127/amax divides identical doubles (amax is exact —
+    a float32 cast and abs), so it is bit-identical and safe to emit raw;
+    qval rounds identical products with the same round-half-away rule in
+    both engines. Long format (vec_id, pos, qval) keeps the checked
+    output scalar-typed per registry discipline."""
+    e = load(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    sc = e.select(
+        "vec_id",
+        "embedding",
+        F.when(amax == 0.0, F.lit(0.0))
+        .otherwise(F.lit(127.0) / amax)
+        .alias("scale"),
+    )
+    return sc.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "x"),
+        "scale",
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.round(F.col("x").cast("double") * F.col("scale")).cast("int").alias("qval"),
+        "scale",
+    )

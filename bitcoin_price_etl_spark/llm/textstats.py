@@ -284,3 +284,100 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_bigram_frac"),
         (frac > REP_DUP_FRAC_GATE).alias("flagged"),
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "llm_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(CAST(tf.tf AS DOUBLE)
+                    * (ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                           / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0)
+                    AS DECIMAL(18,6)) AS qtfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tf, df, qtfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY qtfidf DESC, term ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, CAST(qtfidf AS DOUBLE) AS tfidf
+    FROM ranked WHERE rn <= {TFIDF_TOP_K}
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1) — the sklearn smoothing) — the classic
+    keyword/topic signal curation pipelines use for corpus slicing and
+    per-domain reporting.
+
+    Scale shape: tokenize-explode is a narrow map; tf and df are two
+    partial-aggregated hash aggs; the tf⋈df equi-join shuffles on the
+    uniform term key (AQE broadcasts df when the vocabulary is small —
+    at web scale it stays a balanced shuffle join, never a skew cliff
+    because df is one row per distinct term); N attaches as a 1-row
+    broadcast. The per-doc top-k window runs over ≤ |doc vocabulary|
+    rows after WindowGroupLimit pushdown.
+
+    Parity: ln() may differ between libm builds in the last ulp, so the
+    ranking value is quantized to DECIMAL(18,6) BEFORE the window sorts
+    on it — both engines rank identical decimals (ties pinned by term) —
+    and cast back to double at the edge per registry discipline."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + F.lit(1.0))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("qtfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("qtfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select(
+            "doc_id", "term", "tf", "df", F.col("qtfidf").cast("double").alias("tfidf")
+        )
+    )

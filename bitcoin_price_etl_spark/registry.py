@@ -97,6 +97,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "llm_embed_normalize", "llm_embed_centroids", "llm_embed_centroids_exact",
     "llm_quality_score", "llm_lang_id", "llm_fingerprint", "llm_token_bpe",
     "llm_repetition_filter", "llm_multimodal_frames",
+    # round-2 additions (oracle-bearing, ahead of the rows-only tail)
+    "llm_chunk_documents", "llm_tfidf", "llm_embed_quantize",
     "llm_dedup_simhash", "llm_sim_search_fast", "llm_sim_search_lsh",
     "llm_sim_search_ivf", "llm_multimodal_decode", "llm_multimodal_resize",
 )
