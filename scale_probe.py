@@ -40,6 +40,17 @@ DOC_KEYS = [
     "llm_decontaminate",
     "llm_epoch_shuffle",
     "llm_repetition_filter",
+    "llm_chunk_documents",
+    "llm_tfidf",
+]
+
+# embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
+# ops scale by row count; centroid label groups grow N× (exactly the hot-key
+# stress the partial-agg form must absorb); LSH candidate sets grow N×.
+EMB_KEYS = [
+    "llm_embed_centroids",
+    "llm_embed_quantize",
+    "llm_sim_search_lsh",
 ]
 
 
@@ -73,12 +84,37 @@ def build_scaled_documents(spark, src_dir: str, mult: int, out_dir: Path) -> Non
     )
 
 
+def build_scaled_embeddings(spark, src_dir: str, mult: int, out_dir: Path) -> None:
+    from pyspark.sql import functions as F
+
+    from bitcoin_price_etl_spark.catalog import load
+
+    e = load(spark, src_dir, "embeddings")
+    n = e.count()
+    copies = [
+        e.select(
+            (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(mult)
+    ]
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    scaled.coalesce(max(1, 4 * mult)).write.mode("overwrite").parquet(
+        str(out_dir / "embeddings.parquet")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--mults", default="1,4,8")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--keys", default="", help="comma list; default all")
     args = ap.parse_args()
 
     from bitcoin_price_etl_spark.registry import load_all
@@ -88,17 +124,25 @@ def main() -> None:
     reg = load_all()
     mults = [int(m) for m in args.mults.split(",")]
 
+    selected = [k for k in args.keys.split(",") if k] or (DOC_KEYS + EMB_KEYS)
+    need_docs = any(k in DOC_KEYS for k in selected)
+    need_embs = any(k in EMB_KEYS for k in selected)
+
     try:
         for mult in mults:
             out = SCRATCH / f"x{mult}"
-            build_scaled_documents(spark, args.sf_dir, mult, out)
+            if need_docs:
+                build_scaled_documents(spark, args.sf_dir, mult, out)
+            if need_embs:
+                build_scaled_embeddings(spark, args.sf_dir, mult, out)
         # warm shared paths once
-        reg["llm_dedup_exact"].fn(spark, str(SCRATCH / f"x{mults[0]}")).write.format(
+        warm_key = "llm_dedup_exact" if need_docs else selected[0]
+        reg[warm_key].fn(spark, str(SCRATCH / f"x{mults[0]}")).write.format(
             "noop"
         ).mode("overwrite").save()
 
         print(f"{'query':28s} " + " ".join(f"{m}x".rjust(8) for m in mults))
-        for key in DOC_KEYS:
+        for key in selected:
             cells = []
             for mult in mults:
                 sf_dir = str(SCRATCH / f"x{mult}")

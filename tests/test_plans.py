@@ -312,6 +312,26 @@ def test_embed_centroids_partial_agg_not_element_carrying(spark):
     assert "collect_list" in plan_exact
 
 
+def test_chunk_and_quantize_are_zero_shuffle(spark):
+    """Chunking and int8 quantization are narrow maps (sequence/posexplode
+    + projection): zero exchanges, so they run at scan throughput on any
+    corpus size."""
+    for key in ("llm_chunk_documents", "llm_embed_quantize"):
+        plan = plan_of(q(spark, key))
+        assert "Exchange" not in plan, (key, plan)
+
+
+def test_tfidf_topk_window_limit_and_broadcast_df(spark):
+    """TF-IDF: the per-doc top-k rank filter must push into
+    WindowGroupLimit, and at small SF the df (vocabulary) side broadcasts;
+    the corpus side never nested-loops."""
+    plan = plan_of(q(spark, "llm_tfidf"))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the 1-row N attach
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
 def test_lsh_probe_is_band_bucket_equi_join(spark):
     """The LSH probe must be an equi-join on (band_id, band_bits) with the
     4-row query-key frame broadcast — at scale the corpus key table is
