@@ -522,3 +522,49 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(chunk).alias("chunk_md5"),
         F.length(chunk).cast("long").alias("chunk_len"),
     )
+
+
+# Deterministic 3-way corpus split: lexicographic md5-hex thresholds (the
+# llm_sample_hash trick): 'e6'/0x100 = 90.2% train, up to 'f3' = 5.1% val,
+# rest test. Salted with ':split' so membership is independent of every
+# other hash-threshold operator.
+SPLIT_TRAIN_MAX = "e6"
+SPLIT_VAL_MAX = "f3"
+
+
+@query(
+    "llm_split_train_eval",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h < '{SPLIT_TRAIN_MAX}' THEN 'train'
+                WHEN h < '{SPLIT_VAL_MAX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM k
+    """,
+)
+def llm_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5) by salted
+    content-key hash — the split that survives reprocessing: membership is
+    a pure function of doc_id, so re-runs, backfills, and incremental
+    ingests can never leak a val/test document into train (the leakage
+    failure mode of random splits re-drawn per run; complements
+    llm_decontaminate, which guards against TEXT-level leakage).
+
+    Zero-shuffle scan projection, same scale story as llm_sample_hash;
+    downstream writers partition by the split column."""
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    return d.select(
+        "doc_id",
+        F.when(h < SPLIT_TRAIN_MAX, "train")
+        .when(h < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -310,33 +310,73 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W = RESIZE_H = 2
+
+
+def resize_nearest(rgb: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of row-major RGB bytes — the real
+    algorithm (what PIL's Image.NEAREST does), pure Python: output pixel
+    (i, j) copies source pixel (floor(i*h/out_h), floor(j*w/out_w))."""
+    out = bytearray(out_w * out_h * 3)
+    for i in range(out_h):
+        si = i * h // out_h
+        for j in range(out_w):
+            sj = j * w // out_w
+            src = (si * w + sj) * 3
+            dst = (i * out_w + j) * 3
+            out[dst : dst + 3] = rgb[src : src + 3]
+    return bytes(out)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize row-major RGB back to binary PPM (P6, maxval 255)."""
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
 @query("llm_multimodal_resize", oracle=None)
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing (rows-only): binary payload → fixed-size payload
-    (deterministic stand-in: truncate / zero-pad to 64 bytes, real
-    pipelines put PIL.Image.resize here — absent in this container, same
-    stub policy as decode_image_batch). Emits the resized payload with
-    before/after sizes so the test can assert the contract: every output
-    payload is exactly the target size and row count is preserved."""
+    """REAL image resize over mapInPandas: decode the PPM/BMP payload with
+    the format parsers, nearest-neighbor resample to RESIZE_W×RESIZE_H,
+    re-encode as PPM (rows-only: binary outputs have no SQL twin; the
+    round-trip contract — every output payload decodes to exactly the
+    target dims with pixels drawn from the source — is asserted in
+    tests/test_multimodal.py). Undecodable payloads pass through as
+    quarantine rows, never task failures."""
     d = load(spark, sf_dir, "documents")
-    mm = with_multimodal_columns(d).select("doc_id", "payload")
-    target = 64
+    mm = with_image_payloads(d)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            orig = pdf["payload"].map(len).astype("int64")
-            resized = pdf["payload"].map(
-                lambda b: bytes(b)[:target].ljust(target, b"\x00")
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "orig_bytes": orig,
-                    "resized": resized,
-                    "resized_bytes": resized.map(len).astype("int64"),
-                }
-            )
+            rows = {
+                "doc_id": [],
+                "orig_w": [],
+                "orig_h": [],
+                "resized": [],
+                "resized_bytes": [],
+                "status": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                fmt_fn = _DECODERS.get(data[:2])
+                try:
+                    if fmt_fn is None:
+                        raise ValueError("unknown-format")
+                    w, h, rgb = fmt_fn[1](data)
+                    small = resize_nearest(rgb, w, h, RESIZE_W, RESIZE_H)
+                    out, status = encode_ppm(RESIZE_W, RESIZE_H, small), "resized"
+                except ValueError as e:
+                    w = h = 0
+                    out, status = b"", f"error:{e}"
+                rows["doc_id"].append(doc_id)
+                rows["orig_w"].append(w)
+                rows["orig_h"].append(h)
+                rows["resized"].append(out)
+                rows["resized_bytes"].append(len(out))
+                rows["status"].append(status)
+            yield pd.DataFrame(rows)
 
     return mm.mapInPandas(
-        resize, "doc_id long, orig_bytes long, resized binary, resized_bytes long"
+        resize,
+        "doc_id long, orig_w int, orig_h int, resized binary, "
+        "resized_bytes long, status string",
     )

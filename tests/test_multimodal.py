@@ -67,6 +67,34 @@ def test_decode_image_quarantines_unknown():
     assert status == "error:unknown-format" and (w, h, feats) == (0, 0, [])
 
 
+def test_resize_nearest_exact():
+    from bitcoin_price_etl_spark.llm.multimodal import resize_nearest
+
+    # 4x4 image whose pixel (r,c) is (16r+c, 0, 0): nearest 2x2 picks
+    # source rows/cols 0 and 2
+    rgb = bytes(b for r in range(4) for c in range(4) for b in (16 * r + c, 0, 0))
+    out = resize_nearest(rgb, 4, 4, 2, 2)
+    assert out == bytes(
+        b for (r, c) in ((0, 0), (0, 2), (2, 0), (2, 2)) for b in (16 * r + c, 0, 0)
+    )
+
+
+def test_multimodal_resize_round_trips(spark):
+    """Every resized payload is a REAL PPM that decodes to exactly
+    RESIZE_W x RESIZE_H, with pixels present in the source image."""
+    from bitcoin_price_etl_spark.llm.multimodal import RESIZE_H, RESIZE_W
+
+    rows = load_all()["llm_multimodal_resize"].fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == docs
+    for r in rows[:50]:
+        assert r.status == "resized"
+        assert (r.orig_w, r.orig_h) == (IMG_W, IMG_H)
+        w, h, rgb = decode_ppm(bytes(r.resized))
+        assert (w, h) == (RESIZE_W, RESIZE_H)
+        assert len(rgb) == RESIZE_W * RESIZE_H * 3
+
+
 def test_multimodal_decode_end_to_end(spark):
     """Every document decodes through a REAL format parser: even doc_ids as
     PPM, odd as BMP; dims match, channel means match a from-scratch
