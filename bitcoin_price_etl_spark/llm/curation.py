@@ -568,3 +568,118 @@ def llm_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+CURATE_MIN_TOKENS = 5
+CURATE_MAX_TOKENS = 4096
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   '  +', ' ', 'g')) AS norm_text
+        FROM documents
+    ), gated AS (
+        SELECT doc_id, norm_text,
+               CAST(len(str_split(norm_text, ' ')) AS BIGINT) AS n_tokens
+        FROM norm
+        WHERE len(str_split(norm_text, ' '))
+              BETWEEN {CURATE_MIN_TOKENS} AND {CURATE_MAX_TOKENS}
+    ), kept AS (
+        SELECT md5(norm_text) AS h,
+               MIN(doc_id) AS doc_id,
+               MIN(n_tokens) AS n_tokens
+        FROM gated GROUP BY md5(norm_text)
+    ), tagged AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                         < '{SPLIT_TRAIN_MAX}' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                         < '{SPLIT_VAL_MAX}' THEN 'val'
+                    ELSE 'test' END AS split,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+        FROM kept
+    ), packed AS (
+        SELECT doc_id, split, shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                    PARTITION BY split, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens AS BIGINT) AS cum_before
+        FROM tagged
+    )
+    SELECT doc_id, split, shard, n_tokens,
+           CAST(cum_before // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_SEQ_LEN} AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation operators COMPOSED into one declarative plan — the
+    proof that a user can run their whole pre-training data pipeline as a
+    single Catalyst-optimized query: normalize → token-count gate → exact
+    dedup (first-of-hash) → leakage-proof split assignment → per-(split,
+    shard) sequence packing. One row per surviving document with its
+    training placement.
+
+    Scale shape: the only exchanges are the dedup hash agg (uniform md5
+    key) and the (split, shard) window shuffle — everything else fuses
+    into the scan projection. Catalyst pipelines the stages; no
+    materialization between them (contrast with an Airflow-style
+    stage-per-task pipeline writing intermediates — the reference's shape
+    — which at 100 TB costs a full write+read per stage)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    gated = (
+        d.select("doc_id", norm.alias("norm_text"))
+        .withColumn("n_tokens", F.size(F.split("norm_text", " ")).cast("long"))
+        .filter(
+            (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+            & (F.col("n_tokens") <= CURATE_MAX_TOKENS)
+        )
+    )
+    kept = (
+        gated.groupBy(F.md5("norm_text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    sh = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    tagged = kept.select(
+        "doc_id",
+        "n_tokens",
+        F.when(sh < SPLIT_TRAIN_MAX, "train")
+        .when(sh < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tagged.withColumn(
+        "cum_before", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        "split",
+        "shard",
+        "n_tokens",
+        (F.col("cum_before") / PACK_SEQ_LEN).cast("long").alias("pack_id"),
+        (F.col("cum_before") % PACK_SEQ_LEN).cast("long").alias("pack_offset"),
+    )

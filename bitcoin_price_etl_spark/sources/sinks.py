@@ -174,3 +174,62 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH existing AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 0
+    ), batch AS (
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, e.o_orderkey) AS o_orderkey,
+           COALESCE(b.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+           COALESCE(b.o_totalprice, e.o_totalprice) AS o_totalprice,
+           (b.o_orderkey IS NOT NULL AND e.o_orderkey IS NOT NULL) AS updated,
+           (e.o_orderkey IS NULL) AS inserted
+    FROM existing e FULL OUTER JOIN batch b
+      ON e.o_orderkey = b.o_orderkey
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet: batch rows update matching
+    keys and insert new ones, existing unmatched rows persist — the
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT contract, expressed as a
+    keyed FULL OUTER JOIN + COALESCE (batch side wins).
+
+    The reference's lifecycle is append-only (R18); upsert is the
+    maintenance half every real warehouse needs (late corrections,
+    dimension refreshes). Without a table format (Delta/Iceberg absent
+    here) the result is materialized by partition overwrite; THIS query
+    returns the merged frame plus updated/inserted flags so the oracle
+    checks the merge logic itself. At 100 TB: both sides shuffle on the
+    (uniform) key once — or zero-shuffle when the existing side is stored
+    bucketed by key (tests/test_bucketing.py recipe); with a table format
+    the same join drives MERGE INTO's file-level rewrite planning."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    existing = o.filter(F.col("o_orderkey") % 4 != 0)
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    e = existing.alias("e")
+    b = batch.alias("b")
+    return e.join(b, F.col("e.o_orderkey") == F.col("b.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("b.o_orderkey"), F.col("e.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("b.o_orderstatus"), F.col("e.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("b.o_totalprice"), F.col("e.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        (F.col("b.o_orderkey").isNotNull() & F.col("e.o_orderkey").isNotNull()).alias(
+            "updated"
+        ),
+        F.col("e.o_orderkey").isNull().alias("inserted"),
+    )
