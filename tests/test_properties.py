@@ -263,3 +263,115 @@ def test_decontaminate_never_flags_eval_or_self(spark):
         assert r.train_doc_id % DECONTAM_EVAL_MOD != DECONTAM_EVAL_REM
         assert r.eval_doc_id % DECONTAM_EVAL_MOD == DECONTAM_EVAL_REM
         assert r.n_common_shingles >= DECONTAM_MIN_COMMON
+
+
+def test_chunk_windows_tile_documents(spark):
+    """Chunk invariants: starts advance by exactly CHUNK_STRIDE; every
+    character index of the document is covered by >=1 chunk; consecutive
+    chunks overlap by CHUNK_OVERLAP except the tail; per-doc chunk count =
+    ceil-ish coverage of length."""
+    from bitcoin_price_etl_spark.llm.curation import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+    from bitcoin_price_etl_spark.registry import load_all
+
+    out = load_all()["llm_chunk_documents"].fn(spark, SF_SMOKE)
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    joined = (
+        out.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("start").alias("max_start"),
+            F.min("start").alias("min_start"),
+            F.max(F.col("start") + F.col("chunk_len") - 1).alias("max_covered"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r.min_start == 1
+        n = max(r.n, 1)
+        # starts are 1, 1+stride, ...: the last start is the largest <= n
+        assert r.max_start == 1 + CHUNK_STRIDE * ((n - 1) // CHUNK_STRIDE)
+        assert r.n_chunks == (n - 1) // CHUNK_STRIDE + 1
+        # full coverage: the last chunk reaches end-of-string
+        assert r.max_covered == r.n or (r.n == 0 and r.max_covered == 0)
+    # overlap property: with stride < size, consecutive windows share
+    # CHUNK_OVERLAP characters by construction
+    assert CHUNK_SIZE - CHUNK_STRIDE == CHUNK_OVERLAP
+
+
+def test_split_deterministic_and_proportioned(spark):
+    """Split is a pure function of doc_id (identical across runs) and the
+    train fraction lands near 230/256."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()["llm_split_train_eval"].fn
+    a = {(r.doc_id, r.split) for r in fn(spark, SF_SMOKE).collect()}
+    b = {(r.doc_id, r.split) for r in fn(spark, SF_SMOKE).collect()}
+    assert a == b
+    n = len(a)
+    train = sum(1 for _, s in a if s == "train")
+    assert 0.8 < train / n < 0.97  # 0.898 expected; generous CI at sf0.001
+
+
+def test_quantize_dequant_error_bounded(spark):
+    """int8 quantization round-trip: |x - qval/scale| <= 0.5/scale for every
+    element (the defining property of round-to-nearest absmax scaling), and
+    qval stays in [-127, 127]."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    out = load_all()["llm_embed_quantize"].fn(spark, SF_SMOKE)
+    e = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).cast("long").alias("pos"),
+             F.col("x").cast("double").alias("x"))
+    joined = out.join(e, ["vec_id", "pos"])
+    bad = joined.filter(
+        (F.abs("qval") > 127)
+        | (
+            (F.col("scale") > 0)
+            & (F.abs(F.col("x") - F.col("qval") / F.col("scale"))
+               > 0.5 / F.col("scale") + 1e-12)
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_curate_pipeline_composes_stage_semantics(spark):
+    """The fused pipeline equals re-running its stages independently:
+    survivors are exactly the gated first-of-hash docs, splits match
+    llm_split_train_eval, and pack offsets are contiguous within
+    (split, shard)."""
+    from bitcoin_price_etl_spark.llm.curation import PACK_SEQ_LEN
+    from bitcoin_price_etl_spark.registry import load_all
+
+    reg = load_all()
+    out = reg["pipeline_curate_corpus"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    splits = {
+        r.doc_id: r.split
+        for r in reg["llm_split_train_eval"].fn(spark, SF_SMOKE).collect()
+    }
+    for r in rows:
+        assert splits[r.doc_id] == r.split
+    # offsets: within each (split, shard), sorted by doc_id, each doc's
+    # (pack_id, pack_offset) equals running-sum of n_tokens
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.split, r.shard)].append(r)
+    for g in groups.values():
+        cum = 0
+        for r in sorted(g, key=lambda r: r.doc_id):
+            assert (r.pack_id, r.pack_offset) == (
+                cum // PACK_SEQ_LEN,
+                cum % PACK_SEQ_LEN,
+            )
+            cum += r.n_tokens
