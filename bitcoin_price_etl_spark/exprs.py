@@ -15,6 +15,21 @@ fractional digits, products at most 4 — so scale 4 keeps every conversion
 far from any boundary (distance ~1e-5 vs ulp ~1e-11) and both engines
 convert identically. DECIMAL(38,4) holds sums to 1e34: no overflow at any
 scale factor.
+
+Quantize-then-double (round 2): when a checked value is inherently
+order-sensitive or libm-dependent — partial-agg double sums/averages
+(llm_embed_centroids), ln/exp derivatives (llm_tfidf), ratios of saturated
+high-precision moments (agg_corr) — neither raw doubles (certain last-ulp
+drift) nor high-scale decimals (conversion-boundary drift) survive the
+hash gate. The discipline: quantize the FINAL value through a COARSE
+decimal whose quantum sits ≥6 orders above the noise floor, on BOTH
+sides, then cast back to DOUBLE at the edge (never emit DECIMAL itself:
+the driver's canonicalizer hashes Spark and DuckDB decimal objects
+differently — the round-1 agg_corr failure). If the quantized value feeds
+an ORDER BY (tfidf ranking), sort on the decimal BEFORE the double cast so
+both engines rank identical exact values. Also never emit arrays in
+checked outputs (pandas canonicalizer cannot hash list cells — the
+round-1 agg_listagg crash); join them to delimited strings.
 """
 
 from __future__ import annotations

@@ -52,9 +52,11 @@ def query(key: str, oracle: Optional[str] = None):
 # The driver's correctness gate records only the FIRST ~50 keys of
 # ``queries()`` order per round, so ordered_keys() rotates never-verified
 # keys to the front each round; keys listed here keep their hard evidence
-# and stay covered by tests/test_oracle_parity.py locally. Update this set
-# from each round's CORRECTNESS file.
-DRIVER_VERIFIED: frozenset[str] = frozenset(
+# and stay covered by tests/test_oracle_parity.py locally. Extend per
+# round with `python -m tools.merge_verified CORRECTNESS_r{N}.json`
+# (writes driver_verified.json next to this module; the union below picks
+# it up — no source edit needed).
+_VERIFIED_R01: frozenset[str] = frozenset(
     {
         "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_rollup_cube",
         "agg_conditional", "agg_stats", "agg_cube", "agg_pivot", "agg_median",
@@ -70,6 +72,21 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "fn_string", "fn_date", "fn_math", "fn_hash", "fn_json",
     }
 )
+
+
+def _load_verified_extra() -> frozenset[str]:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "driver_verified.json")
+    try:
+        with open(path) as f:
+            return frozenset(json.load(f))
+    except (OSError, ValueError):
+        return frozenset()
+
+
+DRIVER_VERIFIED: frozenset[str] = _VERIFIED_R01 | _load_verified_extra()
 
 # Explicit head of the round's verification window, most-important-first:
 # the two round-1 representation fixes (must re-certify), then every
