@@ -180,3 +180,31 @@ def stateful_user_counts_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich_job(
+    spark: SparkSession, sf_dir: str, sink: str, ckpt: str
+) -> StreamingQuery:
+    """Stream–static enrichment: the event stream joins the static customer
+    dimension (re-read and broadcast per micro-batch — how Spark handles
+    slowly-changing dims without restart), then aggregates per
+    (hour window, market segment) under the watermark. The batch twin is
+    registry key `stream_static_join`."""
+    from bitcoin_price_etl_spark.catalog import load
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n_events")
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+    )
+    return _with_trigger(writer, None).start()

@@ -286,3 +286,41 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen_str"),
     )
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {dsum_sql('e.value', 'sum_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: enrich the event stream with a slowly-changing
+    dimension (customer market segment) before windowed aggregation — the
+    canonical streaming-enrichment pattern (clickstream × user dim).
+
+    Streaming form (streaming/jobs.py stream_static_enrich_job): the
+    static side is a plain batch DataFrame joined into the stream; Spark
+    re-plans it per micro-batch, broadcasting the dim — the stream side
+    never shuffles for the join, state is only the windowed agg. The batch
+    twin is identical relational algebra, so the oracle checks it
+    exactly."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )

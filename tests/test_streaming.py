@@ -141,3 +141,34 @@ def test_stateful_user_counts(spark):
     s = {(r["user_id"], r["n_events"]) for r in out.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static join + windowed agg: emitted (closed) windows must
+    match the batch twin exactly; only windows inside the 2h watermark of
+    max ts may be withheld."""
+    import datetime
+
+    out, _ = _run(spark, jobs.stream_static_enrich_job)
+    from bitcoin_price_etl_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    cust = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    watermark = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    batch = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "c_mktsegment",
+            "n_events",
+        )
+    )
+    s = {tuple(r) for r in out.collect()}
+    b_rows = batch.collect()
+    b_all = {(r[0], r[2], r[3]) for r in b_rows}
+    b_closed = {(r[0], r[2], r[3]) for r in b_rows if r[1] <= watermark}
+    assert s >= b_closed, "stream missing watermark-closed windows"
+    assert s <= b_all, "stream emitted a window the batch twin doesn't have"
