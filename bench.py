@@ -56,6 +56,14 @@ HEADLINE = [
     "llm_decontaminate",
     "llm_epoch_shuffle",
     "llm_repetition_filter",
+    "llm_chunk_documents",
+    "llm_tfidf",
+    "llm_embed_quantize",
+    "llm_sim_search_lsh",
+    "llm_split_train_eval",
+    "pipeline_curate_corpus",
+    "sink_merge_upsert",
+    "stream_static_join",
     "agg_mode",
     "sql_cte_pipeline",
     "udf_pandas",

@@ -388,3 +388,47 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedoubled"
         ),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0))
+                AS BIGINT) AS n_positive,
+           list_reduce(list_transform(embedding,
+               x -> CAST(greatest(CAST(x AS DOUBLE), 0.0) AS DOUBLE)),
+               (s, x) -> s + x) AS relu_sum,
+           CAST(len(list_filter(embedding,
+                    x -> abs(CAST(x AS DOUBLE)) <= 10.0)) = len(embedding)
+                AS BOOLEAN) AS all_bounded,
+           CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 3.0)) > 0
+                AS BOOLEAN) AS any_outlier
+    FROM embeddings
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over array columns — filter / exists /
+    forall / aggregate, the SQL-lambda surface that keeps per-element logic
+    JVM-side (codegen'd projection, zero exchanges) instead of falling back
+    to a Python UDF.
+
+    relu_sum folds sequentially in index order (the llm_sim_search
+    bit-parity pattern); exists/forall are spelled as list_filter
+    cardinality tests in DuckDB (its RE has no exists/forall aliases), the
+    same relational semantics."""
+    e = load(spark, sf_dir, "embeddings")
+    x_d = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x_d(x) > 0.0))
+        .cast("long")
+        .alias("n_positive"),
+        F.aggregate(
+            F.transform("embedding", lambda x: F.greatest(x_d(x), F.lit(0.0))),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("relu_sum"),
+        F.forall("embedding", lambda x: F.abs(x_d(x)) <= 10.0).alias("all_bounded"),
+        F.exists("embedding", lambda x: F.abs(x_d(x)) > 3.0).alias("any_outlier"),
+    )

@@ -97,7 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-1 failures, now fixed
     "agg_corr", "agg_listagg",
     # SURVEY §2.2 ops with no driver row (VERDICT r01 "untested")
-    "fn_array", "fn_map", "fn_conditional",
+    "fn_array", "fn_map", "fn_conditional", "fn_higher_order",
     "scan_parquet", "scan_json", "sink_parquet_append", "source_rest",
     "validate_pass", "validate_quarantine",
     "stream_tumbling", "stream_sliding", "stream_session",
