@@ -274,3 +274,53 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT l_orderkey, l_quantity, CAST(NULL AS VARCHAR) AS l_returnflag
+        FROM lineitem WHERE l_linenumber = 1 AND l_orderkey <= 400
+    ), v2 AS (
+        SELECT l_orderkey, l_quantity, l_returnflag
+        FROM lineitem WHERE l_linenumber = 2 AND l_orderkey <= 400
+    )
+    SELECT l_orderkey, l_quantity,
+           COALESCE(l_returnflag, 'UNKNOWN') AS l_returnflag,
+           l_returnflag IS NULL AS from_v1
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: a v1 file written WITHOUT
+    a column and a v2 file WITH it, read back as ONE table via parquet
+    mergeSchema — the 100 TB reality where years of files drift (the
+    reference pins its schema per-write, R17; an engine must also READ
+    mixed generations). Missing columns surface as NULL and are healed
+    with an explicit default; `from_v1` proves which generation each row
+    came from.
+
+    At scale mergeSchema costs one footer read per file at planning time
+    (or none with a declared read schema — the production choice once the
+    union schema is known); row data is never rewritten."""
+    from bitcoin_price_etl_spark.paths import delete_path, sink_path
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    target = sink_path("schema_evolution/lineitem_gen")
+    delete_path(spark, target)
+    v1 = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_quantity")
+    v2 = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    v1.write.parquet(f"{target}/gen=v1")
+    v2.write.parquet(f"{target}/gen=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{target}/gen=v1", f"{target}/gen=v2"
+    )
+    return merged.select(
+        "l_orderkey",
+        "l_quantity",
+        F.coalesce("l_returnflag", F.lit("UNKNOWN")).alias("l_returnflag"),
+        F.col("l_returnflag").isNull().alias("from_v1"),
+    )

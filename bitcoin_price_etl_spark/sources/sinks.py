@@ -233,3 +233,58 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("e.o_orderkey").isNull().alias("inserted"),
     )
+
+
+@query("sink_compact_small_files", oracle=None)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every streaming/
+    hourly-append layout eventually needs (R18's per-run appends make one
+    file per micro-batch per partition; a year of hourly runs = 8760 tiny
+    files whose footer/open costs dominate the scan). Rewrite each
+    partition's many small files into few right-sized ones with a
+    per-partition-bounded repartition; data content is untouched.
+
+    Rows-only key returning before/after layout stats (file counts have no
+    SQL twin); the test contract: rows preserved, files strictly reduced,
+    partition values unchanged. At 100 TB this is the same job, partition-
+    parallel: repartition(N) within each partition directory sized to the
+    target file size (AQE coalescing handles the long tail)."""
+    from bitcoin_price_etl_spark.paths import delete_path, sink_path
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    frag = sink_path("compact/fragmented")
+    tidy = sink_path("compact/compacted")
+    for p in (frag, tidy):
+        delete_path(spark, p)
+    # simulate many hourly appends: 8 micro-batch writes per partition value
+    li.repartition(8).write.mode("append").partitionBy("l_returnflag").parquet(frag)
+    src = spark.read.parquet(frag)
+    src.repartition(1, "l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(tidy)
+
+    def layout(path: str):
+        # input_file_name() is nondeterministic so it must be materialized
+        # as a column before entering an aggregate
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("f").alias("n_files"),
+        )
+
+    before = layout(frag).select(
+        F.col("l_returnflag").cast("string"), "n_rows",
+        F.col("n_files").alias("files_before"),
+    )
+    after = layout(tidy).select(
+        F.col("l_returnflag").cast("string"), "n_rows",
+        F.col("n_files").alias("files_after"),
+    )
+    return (
+        before.join(after, ["l_returnflag", "n_rows"])
+        .orderBy("l_returnflag")
+    )

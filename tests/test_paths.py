@@ -45,3 +45,14 @@ def test_delete_path_is_scheme_agnostic(spark, monkeypatch):
     assert os.path.isdir(f"{TEST_BASE_LOCAL}/delete_probe")
     delete_path(spark, target)
     assert not os.path.exists(f"{TEST_BASE_LOCAL}/delete_probe")
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, monkeypatch):
+    """Compaction contract: per-partition row counts unchanged, file count
+    strictly reduced (8 fragmented appends -> 1 per partition here)."""
+    monkeypatch.setenv("SPARK_GRAFT_STORAGE_BASE", TEST_BASE)
+    rows = load_all()["sink_compact_small_files"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.files_after < r.files_before
+        assert r.n_rows > 0
