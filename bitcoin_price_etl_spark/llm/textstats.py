@@ -381,3 +381,66 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "term", "tf", "df", F.col("qtfidf").cast("double").alias("tfidf")
         )
     )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ), cnt AS (
+        SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(ln(CAST(cnt.c AS DOUBLE))) / COUNT(*)
+                     - (SELECT ln(CAST(n AS DOUBLE)) FROM tot)
+                     AS DECIMAL(18,4)) AS DOUBLE) AS unigram_logprob
+    FROM tok t JOIN cnt ON t.term = cnt.term
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model scoring: mean per-token
+    log-probability under the corpus's OWN unigram distribution —
+    low-scoring documents are token-frequency outliers (gibberish, rare-
+    symbol soup), the classic perplexity-proxy quality gate.
+
+    Two-pass model-build-then-score, all engine-side: pass 1 aggregates
+    the term histogram (the 'model' — one row per distinct term); pass 2
+    re-joins tokens to their counts on the uniform term key and folds
+    ln(count) per document, subtracting ln(total) once (avg ln(c/N) =
+    avg ln(c) − ln N — halves the ln calls and avoids tiny quotients).
+    At 100 TB both passes shuffle only (term, count) pairs; AQE broadcasts
+    the histogram when the vocabulary is small.
+
+    Parity: ln() is libm-dependent and the per-doc sum is
+    partial-aggregated, so the final score is quantized through
+    DECIMAL(18,4) then cast back to double (exprs.py quantize-then-double
+    discipline; noise floor ~1e-11, quantum 1e-4)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term"),
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    per = tok.join(cnt, "term").crossJoin(F.broadcast(tot))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.log(F.col("c").cast("double"))) / F.count(F.lit(1))
+                - F.first(F.log(F.col("n").cast("double")))
+            )
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("unigram_logprob"),
+        )
+    )

@@ -118,7 +118,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-2 additions (oracle-bearing, ahead of the rows-only tail)
     "llm_chunk_documents", "llm_tfidf", "llm_embed_quantize",
     "llm_split_train_eval", "sink_merge_upsert", "pipeline_curate_corpus",
-    "scan_schema_evolution", "sink_compact_small_files",
+    "scan_schema_evolution", "sink_compact_small_files", "llm_unigram_logprob",
     "llm_dedup_simhash", "llm_sim_search_fast", "llm_sim_search_lsh",
     "llm_sim_search_ivf", "llm_multimodal_decode", "llm_multimodal_resize",
 )
