@@ -444,3 +444,76 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unigram_logprob"),
         )
     )
+
+
+@query(
+    "llm_data_card",
+    oracle="""
+    WITH t AS (
+        SELECT source, lang,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM t
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE)
+                     / (SELECT CAST(corpus_tokens AS DOUBLE) FROM tot)
+                     AS DECIMAL(18,8)) AS DOUBLE) AS token_share
+    FROM t
+    GROUP BY source, lang
+    """,
+)
+def llm_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: per-(source, lang) provenance report — doc counts,
+    token totals/extremes, character volume, and each slice's share of the
+    corpus token budget. This is the governance artifact every training-
+    data release ships (datasheets/data cards) and the input to mixture
+    reweighting (llm_corpus_mix consumes exactly these shares).
+
+    One partial-aggregated hash agg over (source, lang) — the shuffle
+    carries a handful of longs per map partition per slice — plus a 1-row
+    broadcast of the corpus total. Integer arithmetic end-to-end except
+    token_share, which divides two exact longs-as-doubles and is quantized
+    per the edge discipline."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    tot = t.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "sum_tokens",
+            "min_tokens",
+            "max_tokens",
+            "sum_chars",
+            (
+                F.col("sum_tokens").cast("double")
+                / F.col("corpus_tokens").cast("double")
+            )
+            .cast("decimal(18,8)")
+            .cast("double")
+            .alias("token_share"),
+        )
+    )
