@@ -208,3 +208,42 @@ def stream_static_enrich_job(
         .option("checkpointLocation", ckpt)
     )
     return _with_trigger(writer, None).start()
+
+
+def stream_stream_join_job(
+    spark: SparkSession, sf_dir: str, sink: str, ckpt: str
+) -> StreamingQuery:
+    """Stream–stream interval join (click → purchase attribution within 30
+    minutes): both sides watermarked, the time-band predicate in the join
+    condition so Spark can expire click state once no future purchase can
+    match. Batch twin: registry key `stream_stream_join`."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .alias("c")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+    )
+    return _with_trigger(writer, None).start()

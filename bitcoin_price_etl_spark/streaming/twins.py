@@ -324,3 +324,50 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join: clicks joined to same-user purchases
+    within the following 30 minutes — attribution, the canonical
+    double-stream stateful operator. The streaming form
+    (streaming/jobs.py stream_stream_join_job) watermarks BOTH sides and
+    carries the time-range predicate so Spark bounds each side's join
+    state (click state expires once no purchase can still match —
+    watermark + upper bound); without the interval condition the state
+    would grow forever.
+
+    Batch twin: the identical equi-join on user_id plus the time-band
+    theta condition — an equi-join with a range residual, NEVER a pure
+    theta join (the user_id key is what shards state/work at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.user_id").alias("user_id"),
+            F.date_format("c.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+    )

@@ -172,3 +172,27 @@ def test_stream_static_enrich_matches_batch(spark):
     b_closed = {(r[0], r[2], r[3]) for r in b_rows if r[1] <= watermark}
     assert s >= b_closed, "stream missing watermark-closed windows"
     assert s <= b_all, "stream emitted a window the batch twin doesn't have"
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream interval join (inner): matches emit as soon as both
+    sides arrive — a bounded availableNow pass must produce exactly the
+    batch join result (watermarks bound state, not inner-join output)."""
+    out, _ = _run(spark, jobs.stream_stream_join_job)
+    from bitcoin_price_etl_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    batch = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )
+    s = {(r.click_id, r.purchase_id) for r in out.collect()}
+    b = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert s == b
