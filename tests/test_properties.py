@@ -375,3 +375,30 @@ def test_curate_pipeline_composes_stage_semantics(spark):
                 cum % PACK_SEQ_LEN,
             )
             cum += r.n_tokens
+
+
+def test_lsh_arrow_signatures_match_jvm_twin(spark):
+    """The Arrow matmul signature stage must produce exactly the JVM fold
+    twin's band values on the whole fixture corpus."""
+    import numpy as np
+
+    from bitcoin_price_etl_spark.llm.simsearch import (
+        DIM,
+        _band_signature_cols,
+        _band_signature_sigs,
+    )
+
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((16, DIM))
+    e = load(spark, SF_SMOKE, "embeddings")
+    jvm = {
+        (r.vec_id, r.band0, r.band1, r.band2, r.band3)
+        for r in e.select("vec_id", "embedding", *_band_signature_cols(planes))
+        .drop("embedding")
+        .collect()
+    }
+    arrow = {
+        (r.vec_id, r.band0, r.band1, r.band2, r.band3)
+        for r in _band_signature_sigs(e, planes).drop("embedding").collect()
+    }
+    assert jvm == arrow
