@@ -42,6 +42,10 @@ DOC_KEYS = [
     "llm_repetition_filter",
     "llm_chunk_documents",
     "llm_tfidf",
+    "llm_unigram_logprob",
+    "llm_split_train_eval",
+    "pipeline_curate_corpus",
+    "llm_data_card",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
