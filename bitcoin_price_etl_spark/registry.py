@@ -102,7 +102,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "validate_pass", "validate_quarantine",
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_foreachbatch_append",
-    "stream_static_join", "stream_stream_join",
+    "stream_static_join", "stream_stream_join", "source_rest_stream",
     "udf_scalar", "udf_pandas", "udf_grouped", "udtf",
     "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
     "llm_multimodal_cols",

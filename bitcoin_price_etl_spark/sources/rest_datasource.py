@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 SNAPSHOT_SCHEMA = T.StructType(
@@ -44,6 +49,9 @@ class BpiRestDataSource(DataSource):
     def reader(self, schema):
         return BpiRestReader(int(self.options.get("snapshots", "24")))
 
+    def simpleStreamReader(self, schema):
+        return BpiRestStreamReader(int(self.options.get("snapshots", "24")))
+
 
 class BpiRestReader(DataSourceReader):
     def __init__(self, snapshots: int):
@@ -68,3 +76,52 @@ class BpiRestReader(DataSourceReader):
                 doc["bpi"]["GBP"]["rate_float"],
                 doc["bpi"]["EUR"]["rate_float"],
             )
+
+
+class BpiRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the poller (PySpark 4 SimpleDataSourceStreamReader):
+    each micro-batch reads the next window of snapshots — the engine form
+    of the reference's @hourly poll loop (R19 cadence × R1/R2 fetch), with
+    the offset = snapshot index checkpointed by Spark, so restarts resume
+    exactly where the last run committed (no re-poll, no gap).
+
+    Offline, snapshots replay deterministically from the fixture generator;
+    `readBetweenOffsets` re-derives any committed window for recovery —
+    the contract a production poller satisfies by persisting raw responses
+    (exactly the reference's raw-zone upload, bpi_etl_bigquery.py:80-84).
+    """
+
+    BATCH = 6
+
+    def __init__(self, snapshots: int):
+        self.snapshots = snapshots
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def _rows(self, start: int, end: int):
+        from bitcoin_price_etl_spark.sources.scans import synth_bpi_documents
+
+        docs = synth_bpi_documents(self.snapshots)
+        out = []
+        for i in range(start, end):
+            doc = json.loads(docs[i])
+            out.append(
+                (
+                    i,
+                    doc["time"]["updatedISO"],
+                    doc["chartName"],
+                    doc["bpi"]["USD"]["rate_float"],
+                    doc["bpi"]["GBP"]["rate_float"],
+                    doc["bpi"]["EUR"]["rate_float"],
+                )
+            )
+        return out
+
+    def read(self, start):
+        i = start["idx"]
+        end = min(i + self.BATCH, self.snapshots)
+        return iter(self._rows(i, end)), {"idx": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["idx"], end["idx"]))

@@ -15,13 +15,13 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.paths import scratch_dir
 from bitcoin_price_etl_spark.registry import query
 
 
@@ -62,7 +62,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting.
     """
     ev = load(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="scan_json_")
+    tmp = scratch_dir("scan_json")
     path = os.path.join(tmp, "events_json")
     ev.select(
         F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
@@ -232,7 +232,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the original table proves the text round-trip is lossless for
     ints and strings."""
     n = load(spark, sf_dir, "nation")
-    tmp = tempfile.mkdtemp(prefix="scan_csv_")
+    tmp = scratch_dir("scan_csv")
     path = os.path.join(tmp, "nation_csv")
     n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").option(
         "header", "true"
@@ -268,7 +268,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer/reader pair. DuckDB cannot read ORC, so the oracle is the source
     table itself — the round-trip must be the identity."""
     s = load(spark, sf_dir, "supplier")
-    tmp = tempfile.mkdtemp(prefix="scan_orc_")
+    tmp = scratch_dir("scan_orc")
     path = os.path.join(tmp, "supplier_orc")
     s.write.mode("overwrite").orc(path)
     return spark.read.orc(path).select(
@@ -324,3 +324,38 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("l_returnflag", F.lit("UNKNOWN")).alias("l_returnflag"),
         F.col("l_returnflag").isNull().alias("from_v1"),
     )
+
+
+@query("source_rest_stream", oracle=None)
+def source_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST poller as a STREAMING Python DataSource
+    (`spark.readStream.format("bpi_rest")`, PySpark 4
+    SimpleDataSourceStreamReader): micro-batches advance a checkpointed
+    snapshot-index offset — the reference's @hourly poll loop with
+    exactly-once resume instead of Airflow catchup bookkeeping. Runs the
+    bounded stream to completion in-process and returns the collected
+    table (rows-only: replay fixtures have no DuckDB view; equality with
+    the batch DataSource is asserted in tests/test_streaming.py)."""
+    from bitcoin_price_etl_spark.sources.rest_datasource import BpiRestDataSource
+
+    try:
+        spark.dataSource.register(BpiRestDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("bpi_rest").option("snapshots", "24").load()
+    name = "bpi_rest_stream_out"
+    # Python stream sources don't support Trigger.AvailableNow (Spark falls
+    # back to ONE batch); drive repeated micro-batches and block until the
+    # offset stops advancing instead
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -15,11 +15,10 @@ Trigger.AvailableNow stream inside the query callable.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.paths import scratch_dir
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.exprs import dsum, dsum_sql
 from bitcoin_price_etl_spark.registry import query
@@ -223,7 +222,7 @@ def stream_foreachbatch_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bitcoin_price_etl_spark.streaming.jobs import stage_stream_dir
 
-    tmp = tempfile.mkdtemp(prefix="stream_append_")
+    tmp = scratch_dir("stream_append_twin")
     sink = tmp + "/sink"
     ckpt = tmp + "/ckpt"
 
@@ -274,7 +273,7 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bitcoin_price_etl_spark.streaming.jobs import stateful_user_counts_job
 
-    tmp = tempfile.mkdtemp(prefix="stream_stateful_")
+    tmp = scratch_dir("stream_stateful_twin")
     sink = tmp + "/sink"
     ckpt = tmp + "/ckpt"
     stateful_user_counts_job(spark, sf_dir, sink, ckpt).awaitTermination(120)

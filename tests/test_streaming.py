@@ -257,3 +257,15 @@ def test_checkpoint_restart_is_exactly_once(spark):
     run_once()  # third run, no new files: nothing reprocessed
     ids3 = [r.event_id for r in spark.read.parquet(sink).collect()]
     assert sorted(ids3) == sorted(ids2)
+
+
+def test_rest_stream_datasource_matches_batch(spark):
+    """The streaming Python DataSource must deliver exactly the batch
+    DataSource's rows once drained — offset-driven micro-batches cover the
+    whole snapshot range with no gaps or duplicates."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    reg = load_all()
+    s = {tuple(r) for r in reg["source_rest_stream"].fn(spark, SF_SMOKE).collect()}
+    b = {tuple(r) for r in reg["source_rest_datasource"].fn(spark, SF_SMOKE).collect()}
+    assert s == b and len(s) == 24
