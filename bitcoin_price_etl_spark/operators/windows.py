@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.catalog import load
-from bitcoin_price_etl_spark.exprs import DEC
+from bitcoin_price_etl_spark.exprs import DEC, davg, davg_sql
 from bitcoin_price_etl_spark.registry import query
 
 
@@ -277,4 +277,109 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.sum(new_session).over(run).cast("long").alias("session_id"),
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, {davg_sql('value', 'v')}
+        FROM events GROUP BY 1
+    ), keyed AS (
+        SELECT h, v, CAST(epoch(h) AS BIGINT) / 3600 AS hidx FROM hourly
+    ), obs AS (
+        SELECT h, v FROM keyed WHERE hidx % 5 <> 2
+    ), bounds AS (
+        SELECT min(h) AS lo, max(h) AS hi FROM keyed
+    ), grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), j AS (
+        SELECT g.h, o.v FROM grid g LEFT JOIN obs o ON g.h = o.h
+    ), w AS (
+        SELECT h, v,
+               last_value(v IGNORE NULLS) OVER
+                   (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               first_value(v IGNORE NULLS) OVER
+                   (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS BIGINT) END
+                          IGNORE NULLS) OVER
+                   (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS BIGINT) END
+                           IGNORE NULLS) OVER
+                   (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM j
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(CAST(epoch(h) AS BIGINT) - pt AS DOUBLE)
+                        / CAST(nt - pt AS DOUBLE)) END AS value_filled,
+           v IS NULL AS was_gap
+    FROM w
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps in an hourly series — the time-series
+    repair step between the reference's hourly polls (a missed poll leaves
+    a hole; forward-fill (join_asof) biases flat, linear interpolation is
+    the standard repair for slowly-moving rates). Gaps are synthesized
+    deterministically (every 5th hour index) so the operator exercises
+    real holes at any SF.
+
+    Shape: aggregate to the hourly series first (partial-agg, exact davg),
+    THEN run the unpartitioned interpolation window — the same control-
+    plane stance as join_asof's rate series: the window's input is the
+    hourly aggregate (~9k rows/year), never the event corpus, so the
+    single-partition sort is microscopic at any corpus size (partition by
+    series id when interpolating many series).
+
+    Parity: base values come from the exact decimal average; prev/next
+    picks move identical doubles; the interpolation weight divides exact
+    integer second deltas — every arithmetic step sees identical operands
+    in both engines, so results are bit-equal with no quantization needed."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        davg("value", "v")
+    )
+    keyed = hourly.withColumn(
+        "hidx", (F.unix_timestamp("h") / 3600).cast("long")
+    )
+    obs = keyed.filter(F.col("hidx") % 5 != 2).select("h", "v")
+    bounds = keyed.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h")
+    )
+    j = grid.join(obs, "h", "left")
+    t = F.unix_timestamp("h").cast("long")
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    marked = j.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(F.when(F.col("v").isNotNull(), t), ignorenulls=True)
+        .over(w_prev)
+        .alias("pt"),
+        F.first(F.when(F.col("v").isNotNull(), t), ignorenulls=True)
+        .over(w_next)
+        .alias("nt"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((t - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double"))
+        )
+    )
+    return marked.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        filled.alias("value_filled"),
+        F.col("v").isNull().alias("was_gap"),
     )

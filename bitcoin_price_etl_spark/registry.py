@@ -119,7 +119,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "llm_chunk_documents", "llm_tfidf", "llm_embed_quantize",
     "llm_split_train_eval", "sink_merge_upsert", "pipeline_curate_corpus",
     "scan_schema_evolution", "sink_compact_small_files", "llm_unigram_logprob",
-    "llm_data_card",
+    "llm_data_card", "ts_interpolate_linear",
     "llm_dedup_simhash", "llm_sim_search_fast", "llm_sim_search_lsh",
     "llm_sim_search_ivf", "llm_sim_search_recall",
     "llm_multimodal_decode", "llm_multimodal_resize",
