@@ -263,7 +263,11 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulate many hourly appends: 8 micro-batch writes per partition value
     li.repartition(8).write.mode("append").partitionBy("l_returnflag").parquet(frag)
     src = spark.read.parquet(frag)
-    src.repartition(1, "l_returnflag").write.mode("overwrite").partitionBy(
+    # hash-repartition BY the partition column (not repartition(1, ...),
+    # which funnels the whole table through one task): each partition value
+    # lands wholly in one of the 8 tasks, so the write emits exactly one
+    # right-sized file per value while the rewrite itself stays parallel
+    src.repartition(8, "l_returnflag").write.mode("overwrite").partitionBy(
         "l_returnflag"
     ).parquet(tidy)
 
