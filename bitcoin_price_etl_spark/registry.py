@@ -12,7 +12,14 @@ Parity discipline (SURVEY.md §5, §7 hard-parts):
   decimals to double at the edge;
 - float aggregations go through exprs.decimal-sum so partial-agg order can
   never change the answer (double sums are order-sensitive; decimal sums
-  are exact and associative).
+  are exact and associative);
+- order-sensitive / libm-dependent checked values (partial-agg averages,
+  ln-derived scores, saturated-moment ratios) follow the
+  quantize-then-double rule — coarse DECIMAL on BOTH sides, then cast back
+  to DOUBLE at the edge; never emit DECIMAL or ARRAY columns themselves
+  (the driver canonicalizer hashes decimals engine-differently and cannot
+  hash list cells — both were round-1 failures). Full rationale:
+  exprs.py module docstring.
 """
 
 from __future__ import annotations
@@ -103,6 +110,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_foreachbatch_append",
     "stream_static_join", "stream_stream_join", "source_rest_stream",
+    "sink_rest_push",
     "udf_scalar", "udf_pandas", "udf_grouped", "udtf",
     "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
     "llm_multimodal_cols",

@@ -16,11 +16,15 @@ from __future__ import annotations
 
 import json
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -125,3 +129,71 @@ class BpiRestStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return iter(self._rows(start["idx"], end["idx"]))
+
+
+@dataclass
+class _PushCommit(WriterCommitMessage):
+    part_file: str
+    n_rows: int
+
+
+class BpiRestSinkWriter(DataSourceWriter):
+    """Write side of the poller surface (PySpark 4 DataSourceWriter): each
+    task POSTs its partition's rows to the ingestion endpoint and returns a
+    commit message; `commit()` runs driver-side only after EVERY task
+    succeeded, publishing the batch manifest — Spark's two-phase commit
+    makes the push all-or-nothing per job, with `abort()` cleaning up
+    partials (the idempotent-retry story the reference gets from
+    WRITE_APPEND + Airflow retries, as engine protocol).
+
+    Offline, the 'endpoint' is newline-JSON part files under the
+    configured storage base (the only production delta is swapping the
+    file append for `requests.post`); the manifest lists committed parts.
+    """
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.base, exist_ok=True)
+        part = os.path.join(self.base, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part + ".inprogress", "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.rename(part + ".inprogress", part)
+        return _PushCommit(part_file=part, n_rows=n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "parts": sorted(m.part_file for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.base, "_MANIFEST.json"), "w") as f:
+            f.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.part_file):
+                os.remove(m.part_file)
+
+
+class BpiRestSinkDataSource(DataSource):
+    """df.write.format("bpi_rest_sink").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bpi_rest_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return BpiRestSinkWriter(self.options["path"])

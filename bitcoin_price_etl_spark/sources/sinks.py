@@ -292,3 +292,32 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         before.join(after, ["l_returnflag", "n_rows"])
         .orderBy("l_returnflag")
     )
+
+
+@query("sink_rest_push", oracle=None)
+def sink_rest_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound push through a PySpark 4 Python DataSource WRITER — the
+    reverse-ETL half of the REST surface (reader/stream-reader cover
+    ingest): each task pushes its partition and returns a commit message;
+    the driver publishes a manifest only when every task succeeded
+    (two-phase commit; abort removes partials). Round-trips the pushed
+    rows back through the JSON landing files and checks them against the
+    source (rows-only: the landing zone has no DuckDB view — equality with
+    the read side is asserted in tests)."""
+    from bitcoin_price_etl_spark.paths import scratch_dir
+    from bitcoin_price_etl_spark.sources.rest_datasource import (
+        BpiRestDataSource,
+        BpiRestSinkDataSource,
+        SNAPSHOT_SCHEMA,
+    )
+
+    for ds in (BpiRestDataSource, BpiRestSinkDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass  # already registered in this session
+    src = spark.read.format("bpi_rest").option("snapshots", "24").load()
+    landing = scratch_dir("rest_push_landing")
+    src.write.format("bpi_rest_sink").option("path", landing).mode("append").save()
+    out = spark.read.schema(SNAPSHOT_SCHEMA).json(f"{landing}/part-*.jsonl")
+    return out

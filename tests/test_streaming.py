@@ -269,3 +269,22 @@ def test_rest_stream_datasource_matches_batch(spark):
     s = {tuple(r) for r in reg["source_rest_stream"].fn(spark, SF_SMOKE).collect()}
     b = {tuple(r) for r in reg["source_rest_datasource"].fn(spark, SF_SMOKE).collect()}
     assert s == b and len(s) == 24
+
+
+def test_rest_push_sink_two_phase_commit(spark):
+    """Python DataSource writer: pushed rows round-trip equal to the
+    source; the manifest (written only in commit()) accounts for every
+    part and row."""
+    import json as _json
+
+    from bitcoin_price_etl_spark.registry import load_all
+
+    reg = load_all()
+    pushed = reg["sink_rest_push"].fn(spark, SF_SMOKE)
+    src = {tuple(r) for r in reg["source_rest_datasource"].fn(spark, SF_SMOKE).collect()}
+    got = {tuple(r) for r in pushed.collect()}
+    assert got == src
+    with open("/tmp/spark_graft_local_scratch/rest_push_landing/_MANIFEST.json") as f:
+        man = _json.load(f)
+    assert man["n_rows"] == len(src)
+    assert all(p.endswith(".jsonl") for p in man["parts"])
