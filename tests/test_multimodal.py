@@ -138,3 +138,83 @@ def test_multimodal_decode_end_to_end(spark):
             assert r.features[2 + c] == pytest.approx(sum(rgb[c::3]) / n / 255.0)
         checked += 1
     assert checked == 4
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        data=st.data(),
+    )
+    def test_ppm_encode_decode_roundtrip_random(w, h, data):
+        from bitcoin_price_etl_spark.llm.multimodal import encode_ppm
+
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        data=st.data(),
+    )
+    def test_bmp_roundtrip_random(w, h, data):
+        """Any (w, h) incl. padded strides: rebuild the bottom-up BGR raster
+        and assert the decoder restores the exact top-down RGB bytes."""
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        stride = (w * 3 + 3) & ~3
+        pad = stride - w * 3
+        rows = [rgb[r * w * 3 : (r + 1) * w * 3] for r in range(h)]
+        raster = b"".join(
+            bytes(ch for trip in zip(row[2::3], row[1::3], row[0::3]) for ch in trip)
+            + b"\x00" * pad
+            for row in reversed(rows)
+        )
+        assert decode_bmp24(_bmp24_header(w, h) + raster) == (w, h, rgb)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        ow=st.integers(1, 4),
+        oh=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_resize_nearest_pixels_come_from_source(w, h, ow, oh, data):
+        from bitcoin_price_etl_spark.llm.multimodal import resize_nearest
+
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        out = resize_nearest(rgb, w, h, ow, oh)
+        assert len(out) == ow * oh * 3
+        src_pixels = {rgb[i * 3 : (i + 1) * 3] for i in range(w * h)}
+        for i in range(ow * oh):
+            assert out[i * 3 : (i + 1) * 3] in src_pixels
