@@ -381,8 +381,8 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, l2norm,
-           list_transform(embedding, x -> CAST(x AS DOUBLE) / l2norm)
-               AS unit_embedding
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) / l2norm AS unit_val
     FROM n WHERE l2norm > 0
     """,
 )
@@ -391,13 +391,21 @@ def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     before cosine ANN (unit vectors turn cosine into plain dot product,
     halving the per-pair math in every downstream operator).
 
+    Output is long format (vec_id, l2norm, pos, unit_val) — the r2 driver
+    run proved a raw array column crashes the pandas canonicalizer
+    (unhashable list cells), same failure mode as r1 agg_listagg; long
+    format is the registry's no-arrays discipline (the
+    llm_embed_quantize pattern). Production callers wanting the array
+    shape use the in-engine form before the posexplode edge.
+
     Parity: the norm is a sequential double fold in index order (Spark
     aggregate ≡ DuckDB list_reduce — same operand order, same IEEE ops),
-    and each element divide runs on identical doubles, so the 64 output
-    doubles per row hash bit-equal. The norm is materialized as a column
-    BEFORE the transform lambda — referencing the fold inside the lambda
-    would re-evaluate it per element (64× the work; the measured O(n²)
-    trap from the shingle pipeline). Stateless projection: zero shuffles.
+    and each element divide runs on identical doubles, so every unit_val
+    hashes bit-equal with no quantization. The norm is materialized as a
+    column BEFORE the explode — referencing the fold inside a per-element
+    lambda would re-evaluate it per element (64× the work; the measured
+    O(n²) trap from the shingle pipeline). Stateless projection: zero
+    shuffles; posexplode ≡ generate_subscripts/unnest (1-based pos).
     """
     e = load(spark, sf_dir, "embeddings")
     norm = F.sqrt(
@@ -413,9 +421,13 @@ def llm_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "l2norm",
-            F.transform(
-                "embedding", lambda x: x.cast("double") / F.col("l2norm")
-            ).alias("unit_embedding"),
+            F.posexplode("embedding").alias("pos0", "x"),
+        )
+        .select(
+            "vec_id",
+            "l2norm",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            (F.col("x").cast("double") / F.col("l2norm")).alias("unit_val"),
         )
     )
 
