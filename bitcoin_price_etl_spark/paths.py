@@ -32,18 +32,30 @@ from pyspark.sql import SparkSession
 DEFAULT_BASE = "file:///tmp/spark_graft_scratch"
 
 
+def _session_token() -> str:
+    """Per-process isolation token: two concurrent sessions on one host
+    (driver run + bench, parallel pytest workers) must not wipe each
+    other's staged data mid-query (round-2 ADVICE — the stable-location
+    scheme this refines was single-session only). Resolved at call time,
+    always driver-side: executors receive fully-resolved paths, so the
+    driver PID is the session identity everywhere."""
+    return f"pid{os.getpid()}"
+
+
 def storage_base() -> str:
     """Base URI for all engine-managed output paths (env-configurable)."""
     return os.environ.get("SPARK_GRAFT_STORAGE_BASE", DEFAULT_BASE).rstrip("/")
 
 
 def sink_path(name: str) -> str:
-    """Stable, per-key output location under the configured base.
+    """Stable-within-a-session, per-key output location under the
+    configured base.
 
     Stable names + overwrite/explicit-delete semantics, NOT fresh mkdtemp
-    per call: repeated bench/test/driver runs reuse one location instead of
-    accumulating unbounded /tmp garbage (round-1 ADVICE)."""
-    return f"{storage_base()}/{name}"
+    per call: repeated runs in one session reuse one location instead of
+    accumulating unbounded /tmp garbage (round-1 ADVICE). The per-process
+    token keeps concurrent sessions from clobbering each other."""
+    return f"{storage_base()}/{_session_token()}/{name}"
 
 
 def delete_path(spark: SparkSession, path: str) -> None:
@@ -55,13 +67,19 @@ def delete_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def scratch_root() -> str:
+    """This session's local scratch root (no wipe — path resolution only)."""
+    return os.path.join("/tmp", "spark_graft_local_scratch", _session_token())
+
+
 def scratch_dir(name: str) -> str:
-    """Fixed LOCAL scratch directory, wiped and recreated on each call.
+    """LOCAL scratch directory under this session's root, wiped and
+    recreated on each call.
 
     For driver-local staging only (e.g. copying a single-file fixture into
     a directory for a file-streaming source); engine output goes through
     sink_path/storage_base instead."""
-    base = os.path.join("/tmp", "spark_graft_local_scratch", name)
+    base = os.path.join(scratch_root(), name)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base

@@ -115,7 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # scalar-function + operator stragglers
     "fn_explode", "fn_bitwise", "fn_encode", "fn_regex",
     "ts_interpolate_linear", "join_bucketed_colocated", "sink_merge_upsert",
-    "stream_stateful_counts",
+    "stream_stateful_counts", "source_rest_authed",
     # the r2 driver failure, output shape fixed this round — must certify
     "llm_embed_normalize",
     # LLM-pipeline oracle-bearing tail

@@ -149,6 +149,15 @@ class BpiRestSinkWriter(DataSourceWriter):
     Offline, the 'endpoint' is newline-JSON part files under the
     configured storage base (the only production delta is swapping the
     file append for `requests.post`); the manifest lists committed parts.
+
+    CONSTRAINT: the offline file emulation writes with local os APIs on
+    executors while commit()/abort() run driver-side against the same
+    paths — valid only where driver and executors share a filesystem
+    (local mode here; NFS/fuse mounts on a cluster). The production form
+    has no such constraint: write() POSTs and returns the server-assigned
+    batch id, commit() publishes those ids, abort() POSTs deletes — no
+    executor-local state. abort() additionally sweeps *.inprogress
+    leftovers so a task killed mid-write cannot leak a partial file.
     """
 
     def __init__(self, base: str):
@@ -181,11 +190,16 @@ class BpiRestSinkWriter(DataSourceWriter):
             f.write(_json.dumps(manifest))
 
     def abort(self, messages):
+        import glob
         import os
 
         for m in messages:
             if m is not None and os.path.exists(m.part_file):
                 os.remove(m.part_file)
+        # tasks that died mid-write never produced a commit message; their
+        # .inprogress partials are only findable by sweeping the base
+        for leftover in glob.glob(os.path.join(self.base, "*.inprogress")):
+            os.remove(leftover)
 
 
 class BpiRestSinkDataSource(DataSource):

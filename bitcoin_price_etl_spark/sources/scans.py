@@ -217,6 +217,48 @@ def source_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_rest_authed",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('2022-12-18', 'EUR', CAST(0.94 AS DOUBLE)),
+        ('2022-12-18', 'IDR', CAST(15600.5 AS DOUBLE))
+    ) AS t(rate_date, symbol, rate)
+    """,
+)
+def source_rest_authed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authenticated REST source (R2): the OER historical fetch with the
+    reference's exact auth shape — app_id from a masked secret pathway +
+    server-side `symbols` projection (bpi_etl_bigquery.py:120-128,
+    `Variable.get('oer_api_key')`). The engine resolves the credential
+    from SPARK_GRAFT_OER_APP_ID (sources/auth.py; fixture key offline),
+    sends it only in request params, and logs only the masked view.
+
+    The symbols list is pushdown for REST: the server filters rates
+    before responding, so a 1000-endpoint poll ships exactly the columns
+    the pipeline joins on. The fixture twin enforces both behaviors
+    (401 without a key, projected payload), so this plan provably works
+    against the FILTERED response. Oracle: the fixture is deterministic,
+    so the expected (rate_date, symbol, rate) rows are stated literally —
+    a full hash check, unlike the replay-only BPI source keys.
+    """
+    from bitcoin_price_etl_spark.sources.auth import (
+        fetch_oer_historical,
+        rest_auth_from_env,
+    )
+
+    auth = rest_auth_from_env(symbols=("IDR", "EUR"))
+    doc_json = fetch_oer_historical("2022-12-18", auth)
+    raw = spark.createDataFrame([(doc_json,)], "payload string")
+    doc = raw.select(F.from_json("payload", OER_SCHEMA).alias("d"))
+    return doc.select(
+        F.date_format(F.timestamp_seconds(F.col("d.timestamp")), "yyyy-MM-dd").alias(
+            "rate_date"
+        ),
+        F.explode(F.col("d.rates")).alias("symbol", "rate"),
+    )
+
+
+@query(
     "scan_csv",
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey FROM nation

@@ -9,9 +9,13 @@ counts for every registry key at sf0.001; tests/test_plan_snapshot.py
 fails on any drift so a plan change must be intentional (regenerate with
 `python -m tests.plan_snapshot_tool`).
 
-Counts use explain("formatted"), which prints each node once in the tree
-and once in the detail section — values are therefore 2× the node count,
-consistently; equality comparison is what matters.
+Counts parse the detail section of explain("formatted") — lines of the
+form `(N) NodeName …` name each physical node exactly once, so the
+recorded numbers ARE node counts (the earlier substring scheme counted
+every node twice and let ReusedExchange inflate the Exchange total —
+round-2 ADVICE). ReusedExchange is tracked as its own property so a
+Reuse→real-Exchange regression changes TWO counters and cannot cancel
+out.
 """
 
 from __future__ import annotations
@@ -19,14 +23,19 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 from contextlib import redirect_stdout
 
 SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "plans_snapshot.json")
 
-# node types worth locking: data movement + join strategy + scan count
+# node types worth locking: data movement + join strategy + scan count.
+# Labels are matched as whole node names at line starts, so "Exchange"
+# never absorbs BroadcastExchange/ReusedExchange and "Window" never
+# absorbs WindowGroupLimit.
 PROPS = (
     "Exchange",
     "BroadcastExchange",
+    "ReusedExchange",
     "BroadcastHashJoin",
     "BroadcastNestedLoopJoin",
     "CartesianProduct",
@@ -52,13 +61,13 @@ def plan_props(df) -> dict[str, int]:
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    # "Exchange" must not double-count "BroadcastExchange"
     counts = {}
     for p in PROPS:
-        n = plan.count(p)
-        if p == "Exchange":
-            n -= plan.count("BroadcastExchange")
-        counts[p] = n
+        # detail-section node headers: "(12) NodeName" (optionally followed
+        # by "[codegen id : n]", a table identifier, etc.); the negative
+        # lookahead keeps prefixes from matching longer node names
+        pat = re.compile(rf"^\(\d+\) {re.escape(p)}(?![A-Za-z])", re.M)
+        counts[p] = len(pat.findall(plan))
     return {k: v for k, v in counts.items() if v}
 
 

@@ -9,7 +9,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from bitcoin_price_etl_spark.paths import delete_path, sink_path, storage_base
+from bitcoin_price_etl_spark.paths import (
+    _session_token,
+    delete_path,
+    sink_path,
+    storage_base,
+)
 from bitcoin_price_etl_spark.registry import load_all
 from tests.conftest import SF_SMOKE
 
@@ -22,7 +27,9 @@ def test_storage_base_env_swap(spark, monkeypatch):
     sink; repeated runs do NOT accumulate appends or scratch dirs."""
     monkeypatch.setenv("SPARK_GRAFT_STORAGE_BASE", TEST_BASE)
     assert storage_base() == TEST_BASE
-    assert sink_path("x/y") == f"{TEST_BASE}/x/y"
+    # per-process token isolates concurrent sessions sharing one base
+    assert sink_path("x/y") == f"{TEST_BASE}/{_session_token()}/x/y"
+    assert _session_token() == f"pid{os.getpid()}"
 
     expected = (
         spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
@@ -32,7 +39,9 @@ def test_storage_base_env_swap(spark, monkeypatch):
     for _ in range(2):  # second run must not see the first run's appends
         out = load_all()["sink_parquet_append"].fn(spark, SF_SMOKE)
         assert out.count() == 2 * expected
-    assert os.path.isdir(f"{TEST_BASE_LOCAL}/sink_append/bpi_xr_hourly_twin")
+    assert os.path.isdir(
+        f"{TEST_BASE_LOCAL}/{_session_token()}/sink_append/bpi_xr_hourly_twin"
+    )
 
 
 def test_delete_path_is_scheme_agnostic(spark, monkeypatch):
@@ -41,10 +50,11 @@ def test_delete_path_is_scheme_agnostic(spark, monkeypatch):
     connectors are on the classpath."""
     monkeypatch.setenv("SPARK_GRAFT_STORAGE_BASE", TEST_BASE)
     target = sink_path("delete_probe")
+    local = f"{TEST_BASE_LOCAL}/{_session_token()}/delete_probe"
     spark.range(10).write.mode("overwrite").parquet(target)
-    assert os.path.isdir(f"{TEST_BASE_LOCAL}/delete_probe")
+    assert os.path.isdir(local)
     delete_path(spark, target)
-    assert not os.path.exists(f"{TEST_BASE_LOCAL}/delete_probe")
+    assert not os.path.exists(local)
 
 
 def test_compaction_preserves_rows_and_reduces_files(spark, monkeypatch):

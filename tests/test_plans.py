@@ -312,6 +312,20 @@ def test_embed_centroids_partial_agg_not_element_carrying(spark):
     assert "collect_list" in plan_exact
 
 
+def test_embed_centroids_exact_guard_refuses_hot_labels(spark, monkeypatch):
+    """The element-carrying parity anchor must refuse production volumes:
+    with the group-size cap lowered below the fixture's hottest label, the
+    plan must not even build (round-2 VERDICT guard)."""
+    import pytest
+
+    from bitcoin_price_etl_spark.llm import simsearch
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(simsearch, "MAX_EXACT_GROUP_ROWS", 1)
+    with pytest.raises(ValueError, match="MAX_EXACT_GROUP_ROWS"):
+        simsearch.llm_embed_centroids_exact(spark, SF_SMOKE)
+
+
 def test_chunk_and_quantize_are_zero_shuffle(spark):
     """Chunking and int8 quantization are narrow maps (sequence/posexplode
     + projection): zero exchanges, so they run at scan throughput on any

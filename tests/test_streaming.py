@@ -284,7 +284,9 @@ def test_rest_push_sink_two_phase_commit(spark):
     src = {tuple(r) for r in reg["source_rest_datasource"].fn(spark, SF_SMOKE).collect()}
     got = {tuple(r) for r in pushed.collect()}
     assert got == src
-    with open("/tmp/spark_graft_local_scratch/rest_push_landing/_MANIFEST.json") as f:
+    from bitcoin_price_etl_spark.paths import scratch_root
+
+    with open(f"{scratch_root()}/rest_push_landing/_MANIFEST.json") as f:
         man = _json.load(f)
     assert man["n_rows"] == len(src)
     assert all(p.endswith(".jsonl") for p in man["parts"])
