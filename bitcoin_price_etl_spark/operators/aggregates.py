@@ -683,3 +683,63 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.year("o_orderdate")).alias("n_years"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "table_profile_stats",
+    oracle="""
+    WITH long AS (
+        SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(v) AS n_nulls,
+           COUNT(DISTINCT v) AS n_distinct,
+           MIN(v) AS min_val,
+           MAX(v) AS max_val,
+           CAST(SUM(CAST(v AS DECIMAL(38,4))) AS DOUBLE) AS sum_val
+    FROM long GROUP BY col_name
+    """,
+)
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile: per-column row/null/distinct counts
+    and min/max/sum in ONE scan — the statistics pass behind cost-based
+    optimization and data-quality monitoring (Spark's own
+    ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, surfaced as a
+    queryable frame instead of catalog metadata).
+
+    Shape: unpivot to (col_name, value) long form — a zero-shuffle
+    Expand, 4x row multiplication INSIDE the map stage — then one
+    grouped aggregate. The scan reads the fact table once no matter how
+    many columns are profiled; the exchange carries one row per
+    (partition x column) for the plain aggs plus the distinct two-phase.
+    At 100 TB swap COUNT(DISTINCT) for approx_count_distinct: the HLL
+    sketch partial-aggregates (constant state per column vs shuffling
+    every distinct value); exact distinct is kept here because it is
+    what the cross-engine hash gate can certify, and the agg_hll_sketch
+    key already certifies the sketch path.
+
+    Parity: counts exact; min/max pick raw doubles; sum through the
+    decimal discipline.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "col_name",
+        "v",
+    )
+    return long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+        dsum("v", "sum_val"),
+    )

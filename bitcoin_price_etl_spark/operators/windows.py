@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.catalog import load
-from bitcoin_price_etl_spark.exprs import DEC, davg, davg_sql
+from bitcoin_price_etl_spark.exprs import DEC, davg, davg_sql, dsum
 from bitcoin_price_etl_spark.registry import query
 
 
@@ -382,4 +382,74 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         filled.alias("value_filled"),
         F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS bar_date,
+               ts, event_id, value
+        FROM events
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar_date
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar_date
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM base
+    )
+    SELECT event_type, bar_date,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks,
+           CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS volume
+    FROM ranked GROUP BY event_type, bar_date
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to daily OHLC bars per series — the
+    classic market-data rollup of exactly the reference's domain (hourly
+    BTC rates → daily candles; the hypertable/time-bucket rollup of
+    TimescaleDB/kdb re-expressed as one Spark aggregate).
+
+    Scale shape: ONE partial-aggregated groupBy. min_by/max_by carry a
+    single (value, key-struct) candidate per map partition through the
+    exchange — constant reducer state per (series, day) no matter how many
+    ticks land in a bar, so a hot trading day costs nothing extra (the
+    window-rank formulation the oracle uses would shuffle every tick to
+    its bar's reducer; Spark gets the O(1)-state form, DuckDB the
+    independently-shaped check). The struct-typed pick key makes the agg
+    buffer non-mutable, so Spark plans SortAggregate instead of
+    HashAggregate — still partial+final with O(1) group state; the
+    per-partition sort is the price of a total-order tie pin (dropping to
+    min_by(value, ts) restores hash agg but lets tied timestamps flap).
+
+    Parity: open/high/low/close are RAW input doubles picked by total
+    order (ts, event_id) — no arithmetic, so bit-exact; volume goes
+    through the exact decimal sum; ties cannot flap because the pick key
+    is unique per row (struct ordering pin, the agg_minmax_by rule).
+    """
+    ev = load(spark, sf_dir, "events")
+    pick = F.struct("ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("bar_date"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "bar_date")
+        .agg(
+            F.min_by("value", pick).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", pick).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum("value", "volume"),
+        )
     )
