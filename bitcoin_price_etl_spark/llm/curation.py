@@ -222,9 +222,9 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                                '  +', ' ', 'g')) AS norm_text,
-           length(trim(regexp_replace(
+           CAST(length(trim(regexp_replace(
                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-               '  +', ' ', 'g'))) AS norm_chars
+               '  +', ' ', 'g'))) AS INT) AS norm_chars
     FROM documents
     """,
 )

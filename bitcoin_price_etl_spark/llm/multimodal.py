@@ -380,3 +380,172 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, orig_w int, orig_h int, resized binary, "
         "resized_bytes long, status string",
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: real RIFF/WAV PCM16 payloads + strict pure-Python parser
+
+WAV_N_SAMPLES = 16  # 32 payload bytes = two md5 digests
+WAV_RATES = (8000, 12000, 16000)
+
+
+def _wav_header(sample_rate: int, n_data_bytes: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for PCM16 mono: 'RIFF' + riff
+    size + 'WAVE', a 16-byte 'fmt ' chunk (audio_format=1 PCM, 1 channel,
+    byte_rate = rate*2, block_align=2, bits=16), then the 'data' chunk
+    header."""
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + n_data_bytes, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", n_data_bytes)
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, list[int]]:
+    """Strict RIFF/WAV parser → (sample_rate, signed int16 samples).
+
+    Walks the RIFF chunk list (any chunk order, unknown chunks skipped with
+    correct word-aligned padding), requires a PCM (format 1) mono 16-bit
+    'fmt ' chunk before 'data', and unpacks the data chunk as little-endian
+    int16. Raises ValueError on bad magic, truncated chunks, or an
+    unsupported encoding — the quarantine contract of decode_image."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if riff_size + 8 != len(data):
+        raise ValueError("RIFF size mismatch")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _block, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported encoding (fmt={audio_format}, ch={channels}, bits={bits})"
+        )
+    if len(raw) % 2:
+        raise ValueError("odd data length for 16-bit samples")
+    return rate, list(struct.unpack(f"<{len(raw) // 2}h", raw))
+
+
+def with_audio_payloads(df: DataFrame) -> DataFrame:
+    """documents → real WAV binaries, built with JVM expressions only.
+
+    Each document becomes a PCM16 mono clip of WAV_N_SAMPLES samples whose
+    32 sample bytes derive from md5 chains of the text (content-addressed,
+    deterministic); the sample rate cycles through WAV_RATES by doc_id so
+    the downstream parser must actually read the fmt chunk. The payloads
+    are REAL files — `file`/aplay parse them."""
+    n_bytes = WAV_N_SAMPLES * 2
+    samples = F.unhex(F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("a")))))
+    hdr = F.col("doc_id") % len(WAV_RATES)
+    payload = F.concat(
+        F.when(hdr == 0, F.lit(_wav_header(WAV_RATES[0], n_bytes)))
+        .when(hdr == 1, F.lit(_wav_header(WAV_RATES[1], n_bytes)))
+        .otherwise(F.lit(_wav_header(WAV_RATES[2], n_bytes))),
+        samples,
+    )
+    return df.select("doc_id", payload.alias("payload"))
+
+
+@query(
+    "llm_multimodal_audio",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(text) || md5(text || 'a') AS hex64,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, sample_rate, i,
+               (strpos('0123456789abcdef', substring(hex64, i*4+1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hex64, i*4+2, 1)) - 1) AS lo,
+               (strpos('0123456789abcdef', substring(hex64, i*4+3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(hex64, i*4+4, 1)) - 1) AS hi
+        FROM h, unnest(range({WAV_N_SAMPLES})) AS t(i)
+    ),
+    v AS (
+        SELECT doc_id, sample_rate,
+               CASE WHEN lo + 256 * hi >= 32768
+                    THEN lo + 256 * hi - 65536
+                    ELSE lo + 256 * hi END AS sample
+        FROM s
+    )
+    SELECT doc_id, sample_rate,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(COUNT(*) AS DOUBLE) * 1000.0 / sample_rate AS duration_ms,
+           CAST(MAX(ABS(sample)) AS INT) AS peak_abs,
+           CAST(SUM(ABS(sample)) AS BIGINT) AS sum_abs,
+           'wav-decoded' AS decode_status
+    FROM v
+    GROUP BY doc_id, sample_rate
+    """,
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality pipeline over REAL WAV bytes: JVM-side synthesis of
+    PCM16 mono RIFF files (varying sample rates so the header must be
+    parsed, not assumed), strict pure-Python RIFF walker in mapInPandas,
+    integer sample statistics out. Completes the image (decode/resize) /
+    video (frames) / audio modality triple.
+
+    The oracle is a genuine differential: DuckDB reconstructs the int16
+    little-endian samples ARITHMETICALLY from the md5 hex (nibble lookup →
+    lo + 256·hi, two's complement), never seeing a WAV byte — so a parser
+    bug (wrong chunk offset, endianness, sign handling) hash-mismatches.
+    All checked stats are integers except duration_ms, which divides the
+    same two exact integers in both engines (identical double division).
+
+    Scale shape: payload synthesis and decode are narrow maps — audio
+    bytes never shuffle; the final stats frame is one row per clip. A real
+    corpus swaps the synthesized column for a binary payload read and this
+    plan is unchanged; corrupt files become quarantine rows (decode_status
+    'error:...'), never task failures.
+    """
+    d = load(spark, sf_dir, "documents")
+    mm = with_audio_payloads(d)
+    return mm.mapInPandas(audio_stats_batch, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, duration_ms double, "
+    "peak_abs int, sum_abs long, decode_status string"
+)
+
+
+def audio_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: WAV payload → parsed rate + integer sample stats;
+    malformed payloads become quarantine rows."""
+    for pdf in batches:
+        rows = {k.split()[0]: [] for k in AUDIO_STATS_SCHEMA.split(", ")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                rate, samples = decode_wav(bytes(payload))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["duration_ms"].append(len(samples) * 1000.0 / rate)
+                rows["peak_abs"].append(max((abs(s) for s in samples), default=0))
+                rows["sum_abs"].append(sum(abs(s) for s in samples))
+                rows["decode_status"].append("wav-decoded")
+            except ValueError as e:
+                rows["sample_rate"].append(0)
+                rows["n_samples"].append(0)
+                rows["duration_ms"].append(0.0)
+                rows["peak_abs"].append(0)
+                rows["sum_abs"].append(0)
+                rows["decode_status"].append(f"error:{e}")
+            rows["doc_id"].append(doc_id)
+        yield pd.DataFrame(rows)

@@ -743,3 +743,94 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_val"),
         dsum("v", "sum_val"),
     )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,1))
+                             * CAST(l_quantity AS DECIMAL(18,1))
+                             AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,1))
+                                  * CAST(l_quantity AS DECIMAL(18,1))
+                                  AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,1))
+                             AS DECIMAL(28,3))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,1))
+                                  * CAST(l_quantity AS DECIMAL(18,1))
+                                  AS DECIMAL(18,2))
+                             * CAST(CAST(l_quantity AS DECIMAL(18,1))
+                                    * CAST(l_quantity AS DECIMAL(18,1))
+                                    AS DECIMAL(18,2))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS s4
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(CAST((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / power(s2 / n - (s1 / n) * (s1 / n), 1.5)
+                     AS DECIMAL(10,6)) AS DOUBLE) AS skewness,
+           CAST(CAST((s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                     / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+                     - 3.0 AS DECIMAL(10,6)) AS DOUBLE) AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from decimal-exact power
+    sums — the 3rd/4th-moment extension of agg_corr, NOT the built-in
+    skewness()/kurtosis() (their streaming central-moment updates are
+    order-dependent and drift in the last ulps between engines; Spark's
+    kurtosis is excess, DuckDB's is also excess but sample-corrected —
+    different estimator entirely).
+
+    Discipline (exprs.py): each input converts to decimal at its natural
+    scale FIRST (l_quantity → DECIMAL(18,1)), powers multiply in decimal
+    with an explicit exact cast after every product (x² scale 2, x³ scale
+    3, x⁴ scale 4 — max value ~6.25e6/row, sums fit DECIMAL(38,4)), so
+    Σx..Σx⁴ are exact integers-of-quanta. The moment combination runs in
+    DOUBLE with TEXTUALLY IDENTICAL formulas on both sides, and the final
+    statistics quantize through DECIMAL(10,6): Σx⁴ at sf0.1 is ~3.7e13
+    with 4 decimals — past double's exact range, so the decimal→double
+    cast may differ by an ulp between engines (the agg_corr lesson);
+    after /n and the ~5× cancellation in the centered moments that noise
+    is ≤1e-8, six orders under the quantum.
+
+    Scale shape: one partial-aggregated groupBy carrying five fixed-width
+    accumulators per group — constant state, no second pass (the textbook
+    two-pass centered algorithm re-reads the data; the power-sum form
+    trades it for the decimal exactness the gate needs anyway).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x1 = "CAST(l_quantity AS DECIMAL(18,1))"
+    x2 = f"CAST({x1} * {x1} AS DECIMAL(18,2))"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM({x1}) AS DOUBLE)").alias("s1"),
+        F.expr(f"CAST(SUM({x2}) AS DOUBLE)").alias("s2"),
+        F.expr(f"CAST(SUM(CAST({x2} * {x1} AS DECIMAL(28,3))) AS DOUBLE)").alias("s3"),
+        F.expr(f"CAST(SUM(CAST({x2} * {x2} AS DECIMAL(38,4))) AS DOUBLE)").alias("s4"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "CAST(CAST((s3 / n - 3 * (s1 / n) * (s2 / n)"
+            " + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+            " / power(s2 / n - (s1 / n) * (s1 / n), 1.5)"
+            " AS DECIMAL(10,6)) AS DOUBLE)"
+        ).alias("skewness"),
+        F.expr(
+            "CAST(CAST((s4 / n - 4 * (s1 / n) * (s3 / n)"
+            " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+            " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+            " / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))"
+            " - 3.0 AS DECIMAL(10,6)) AS DOUBLE)"
+        ).alias("excess_kurtosis"),
+    )

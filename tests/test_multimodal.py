@@ -218,3 +218,83 @@ if HAVE_HYPOTHESIS:
         src_pixels = {rgb[i * 3 : (i + 1) * 3] for i in range(w * h)}
         for i in range(ow * oh):
             assert out[i * 3 : (i + 1) * 3] in src_pixels
+
+
+# ---------------------------------------------------------------------------
+# WAV audio
+
+
+def test_wav_roundtrip():
+    from bitcoin_price_etl_spark.llm.multimodal import _wav_header, decode_wav
+
+    import struct as _struct
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321, 100]
+    raw = _struct.pack(f"<{len(samples)}h", *samples)
+    data = _wav_header(12000, len(raw)) + raw
+    rate, out = decode_wav(data)
+    assert rate == 12000
+    assert out == samples
+
+
+def test_wav_skips_unknown_chunks_and_padding():
+    """RIFF walkers must skip foreign chunks (LIST/INFO metadata is common)
+    including the odd-size word-alignment pad byte."""
+    from bitcoin_price_etl_spark.llm.multimodal import decode_wav
+
+    import struct as _struct
+
+    samples = [5, -6, 7]
+    raw = _struct.pack("<3h", *samples)
+    fmt = _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+    junk = _struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # odd size + pad
+    datac = _struct.pack("<4sI", b"data", len(raw)) + raw
+    body = b"WAVE" + junk + fmt + datac
+    data = _struct.pack("<4sI", b"RIFF", len(body)) + body
+    rate, out = decode_wav(data)
+    assert rate == 8000
+    assert out == samples
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda d: b"RIFX" + d[4:],                     # bad magic
+        lambda d: d[:40],                              # truncated
+        lambda d: d[:20] + b"\x02" + d[21:],           # stereo
+        lambda d: d[:4] + b"\xff\x00\x00\x00" + d[8:], # riff size lies
+    ],
+)
+def test_wav_rejects_malformed(mutate):
+    from bitcoin_price_etl_spark.llm.multimodal import _wav_header, decode_wav
+
+    good = _wav_header(8000, 4) + b"\x01\x00\x02\x00"
+    with pytest.raises(ValueError):
+        decode_wav(mutate(good))
+
+
+def test_multimodal_audio_quarantines_corrupt(spark):
+    """A corrupt payload in the frame becomes a quarantine row, not a task
+    failure — and good rows around it still decode."""
+    import pandas as pd
+
+    from bitcoin_price_etl_spark.llm.multimodal import (
+        AUDIO_STATS_SCHEMA,
+        _wav_header,
+        audio_stats_batch,
+    )
+
+    good = _wav_header(16000, 4) + b"\x01\x00\xff\xff"
+    bad = b"RIFFgarbage-not-a-wav"
+    src = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [good, bad]})
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in src.mapInPandas(audio_stats_batch, AUDIO_STATS_SCHEMA).collect()
+    }
+    assert rows[1]["decode_status"] == "wav-decoded"
+    assert rows[1]["sample_rate"] == 16000
+    assert rows[1]["peak_abs"] == 1 and rows[1]["sum_abs"] == 2
+    assert rows[2]["decode_status"].startswith("error:")
+    assert rows[2]["n_samples"] == 0
