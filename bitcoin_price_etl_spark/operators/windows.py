@@ -453,3 +453,72 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "volume"),
         )
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    ),
+    scored AS (
+        SELECT d.event_type, d.event_id,
+               CAST(CAST(0.6745 * (d.value - d.med) / m.mad
+                         AS DECIMAL(12,6)) AS DOUBLE) AS z_robust
+        FROM dev d JOIN mad m USING (event_type)
+    )
+    SELECT event_type, event_id, z_robust
+    FROM scored
+    WHERE ABS(z_robust) > 3.5
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag events whose modified z-score
+    0.6745·(x−median)/MAD exceeds 3.5 (Iglewicz-Hoadley) — median/MAD
+    instead of mean/stddev so the outliers being hunted can't poison the
+    estimator that hunts them. The monitoring pass a production feed of
+    the reference's price stream needs (a fat-fingered rate spike must
+    not silently enter the warehouse; cf. validate_quarantine's schema
+    gate — this is the STATISTICAL gate).
+
+    Two-pass shape: per-series exact median (tiny frame) broadcast back,
+    absolute deviations, per-series exact MAD broadcast back, then a
+    codegen'd score-and-filter — the fact table is scanned, never
+    globally sorted, and both join probes are broadcast hashes. Spark's
+    exact percentile buffers each group's values (O(group) agg state —
+    the parity anchor, same contract as llm_embed_centroids_exact); at
+    100 TB swap approx_percentile(value, 0.5, 1e-4): constant-state
+    sketch, partial-aggregable, and the 3.5σ gate is insensitive to a
+    1e-4 quantile shift.
+
+    Parity: medians interpolate on arbitrary doubles, where the engines'
+    a+(b−a)·f forms can drift an ulp — the score is QUANTIZED through
+    DECIMAL(12,6) on both sides (6 orders over ulp noise, the agg_corr
+    rule), and the >3.5 gate compares post-quantization values, so both
+    engines gate identical numbers and the flag set cannot flap.
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "CAST(CAST(0.6745 * (value - med) / mad AS DECIMAL(12,6)) AS DOUBLE)"
+        ).alias("z_robust"),
+    )
+    return scored.filter(F.abs(F.col("z_robust")) > 3.5)

@@ -444,3 +444,101 @@ def sink_rest_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write.format("bpi_rest_sink").option("path", landing).mode("append").save()
     out = spark.read.schema(SNAPSHOT_SCHEMA).json(f"{landing}/part-*.jsonl")
     return out
+
+
+def _interleave_sql(a: str, b: str, bits: int) -> str:
+    """SQL for the Morton/Z-value of two `bits`-wide ints: a's bit i lands
+    at 2i+1, b's at 2i (DuckDB syntax, << >> & only)."""
+    parts = [
+        f"((({a} >> {i}) & 1) << {2 * i + 1}) + ((({b} >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    ]
+    return " + ".join(parts)
+
+
+Z_BITS = 8
+Z_FILE_SHIFT = 8  # 16-bit z-value >> 8 → 256 logical files
+
+
+@query(
+    "sink_zorder_layout",
+    oracle=f"""
+    WITH src AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS qv
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT MAX(cents) AS max_c, MAX(qv) AS max_q FROM src
+    ),
+    ranked AS (
+        SELECT (cents * 256) // (max_c + 1) AS a,
+               (qv * 256) // (max_q + 1) AS b
+        FROM src, bounds
+    ),
+    z AS (
+        SELECT a, b, {_interleave_sql('a', 'b', Z_BITS)} AS zval FROM ranked
+    )
+    SELECT CAST(zval >> {Z_FILE_SHIFT} AS INT) AS file_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(a) AS INT) AS min_price_bucket,
+           CAST(MAX(a) AS INT) AS max_price_bucket,
+           CAST(MIN(b) AS INT) AS min_qty_bucket,
+           CAST(MAX(b) AS INT) AS max_qty_bucket
+    FROM z
+    GROUP BY file_id
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout maintenance — Delta/Iceberg's
+    OPTIMIZE ZORDER BY re-expressed: interleave the bits of two column
+    ranks so rows close in EITHER dimension land in the same file, then
+    report per-file min/max of both dimensions — the footer stats a scan
+    uses for data skipping. A linear sort clusters one column perfectly
+    and leaves the other's per-file range at full width; the Z-curve
+    bounds BOTH (each 256th of the curve spans ≤1/16 of each axis), which
+    is the entire point: predicates on either column prune ~15/16 of
+    files.
+
+    Mechanics: each column maps to an 8-bit rank by exact integer
+    arithmetic — money to cents (half-away-from-zero round is parity-safe
+    on 2-decimal doubles), then (v·256) div (max+1) — and the 16-bit
+    z-value is built from shifts/ands only; every intermediate is an
+    integer, so the cross-engine gate certifies the curve bit-for-bit.
+    file_id = zval >> 8 models 256 fixed-size files; the physical write is
+    `repartitionByRange(zval).sortWithinPartitions(zval)` + parquet
+    (sink_parquet_append's path) — not re-run here because the LAYOUT
+    decision is what needs certifying; the write mechanics are already
+    covered by sink_compact_small_files.
+
+    Scale shape: one 1-row bounds agg broadcast back (the only exchange
+    besides the final stats agg); rank/interleave are codegen'd
+    projections. At 100 TB the bounds come from table stats instead, and
+    repartitionByRange's range sampler replaces the fixed 256-file split.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qv"),
+    )
+    bounds = src.agg(F.max("cents").alias("max_c"), F.max("qv").alias("max_q"))
+    ranked = src.crossJoin(F.broadcast(bounds)).select(
+        F.expr("(cents * 256) DIV (max_c + 1)").alias("a"),
+        F.expr("(qv * 256) DIV (max_q + 1)").alias("b"),
+    )
+    zval = None
+    for i in range(Z_BITS):
+        hi = F.shiftleft(F.shiftright(F.col("a"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        lo = F.shiftleft(F.shiftright(F.col("b"), i).bitwiseAND(F.lit(1)), 2 * i)
+        bit = hi + lo
+        zval = bit if zval is None else zval + bit
+    z = ranked.select("a", "b", zval.alias("zval"))
+    return z.groupBy(
+        F.shiftright(F.col("zval"), Z_FILE_SHIFT).cast("int").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("a").cast("int").alias("min_price_bucket"),
+        F.max("a").cast("int").alias("max_price_bucket"),
+        F.min("b").cast("int").alias("min_qty_bucket"),
+        F.max("b").cast("int").alias("max_qty_bucket"),
+    )
