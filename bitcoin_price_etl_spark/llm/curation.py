@@ -27,7 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.catalog import load
@@ -695,4 +695,53 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("cum_before") / PACK_SEQ_LEN).cast("long").alias("pack_id"),
         (F.col("cum_before") % PACK_SEQ_LEN).cast("long").alias("pack_offset"),
+    )
+
+
+DOMAIN_CAP = 40
+
+
+@query(
+    "llm_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY len(str_split(text, ' ')) DESC, doc_id
+               ) AS INT) AS rank_in_source
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens, rank_in_source
+    FROM ranked WHERE rank_in_source <= {DOMAIN_CAP}
+    """,
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the RefinedWeb/C4 anti-domination rule:
+    no single source may contribute more than DOMAIN_CAP documents, and
+    the slots go to the longest documents first (deterministic doc_id
+    tie-break). Keeps one crawl domain, one wiki mirror, or one boilerplate
+    farm from owning the training mix after dedup (the volume-side
+    complement of llm_corpus_mix's proportion targets).
+
+    Scale shape: row_number + rank filter plans as WindowGroupLimit —
+    each map task keeps only its local top-CAP per source BEFORE the
+    exchange, so the shuffle carries ≤ CAP·sources·partitions rows, not
+    the corpus (the win_topk_group property, here on the curation path).
+    A skewed source costs its cap, not its row count.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    w = Window.partitionBy("source").orderBy(
+        n_tokens.desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_tokens.cast("int").alias("n_tokens"),
+            F.row_number().over(w).alias("rank_in_source"),
+        )
+        .filter(F.col("rank_in_source") <= DOMAIN_CAP)
     )

@@ -522,3 +522,48 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_robust"),
     )
     return scored.filter(F.abs(F.col("z_robust")) > 3.5)
+
+
+@query(
+    "ts_vwap",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           COUNT(*) AS n_trades,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS vwap
+    FROM lineitem
+    GROUP BY ship_month
+    """,
+)
+def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per month — THE market-microstructure
+    rollup of the reference's domain (its hourly close is an unweighted
+    point sample; VWAP is what a trading desk actually benchmarks
+    against), computed as Σ(price·qty)/Σ(qty) from decimal-exact sums.
+
+    Parity: the price·qty cross-moment multiplies in decimal at natural
+    scales (18,2)×(18,1) — the agg_corr input-first rule — and both exact
+    sums cast to double BEFORE the division, so both engines divide
+    identical doubles (never divide decimals: result scales differ
+    between engines, the tpch_q14 lesson).
+
+    Scale shape: one partial-aggregated groupBy on the month bucket —
+    three fixed-width accumulators per group; month cardinality is tiny
+    so AQE coalesces the post-shuffle partitions.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        dsum("l_quantity", "total_qty", scale=1),
+        (
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)"
+            )
+            / F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)")
+        ).alias("vwap"),
+    )
