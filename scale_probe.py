@@ -46,6 +46,8 @@ DOC_KEYS = [
     "llm_split_train_eval",
     "pipeline_curate_corpus",
     "llm_data_card",
+    "llm_domain_cap",
+    "llm_multimodal_audio",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -112,6 +114,57 @@ def build_scaled_embeddings(spark, src_dir: str, mult: int, out_dir: Path) -> No
     )
 
 
+def build_scaled_fact(spark, src_dir: str, mult: int, out_dir: Path,
+                      table: str, pk: str, extra=None) -> None:
+    """Generic fact scaling: union pk-shifted copies — disjoint keys
+    preserve join fan-out while every group/bar/block gets mult× rows
+    (the hot-group stress). `extra` maps column → per-copy shift
+    expression for columns that must ALSO stay copy-disjoint (e.g. the
+    fuzzy join's blocking key, so candidate pairs grow linearly, not
+    quadratically — duplicating identical names mult× would make every
+    block a mult×-bigger all-pairs clique, which no real corpus does)."""
+    from pyspark.sql import functions as F
+
+    from bitcoin_price_etl_spark.catalog import load
+
+    d = load(spark, src_dir, table)
+    n = d.count()
+    copies = []
+    for i in range(mult):
+        c = d.withColumn(pk, F.col(pk) + F.lit(i * n))
+        for col, shift in (extra or {}).items():
+            c = c.withColumn(col, shift(F.col(col), i))
+        copies.append(c)
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    scaled.coalesce(max(1, 4 * mult)).write.mode("overwrite").parquet(
+        str(out_dir / f"{table}.parquet")
+    )
+
+
+# key → (table, pk, extra-shift) for fact-table keys; every listed key reads
+# ONLY this table (plus broadcast-size dims none of these touch).
+FACT_KEYS = {
+    "ts_resample_ohlc": ("events", "event_id", None),
+    "ts_anomaly_mad": ("events", "event_id", None),
+    "ts_interpolate_linear": ("events", "event_id", None),
+    "table_profile_stats": ("lineitem", "l_orderkey", None),
+    "agg_skew_kurt": ("lineitem", "l_orderkey", None),
+    "ts_vwap": ("lineitem", "l_orderkey", None),
+    "sink_zorder_layout": ("lineitem", "l_orderkey", None),
+    "sink_scd2": ("customer", "c_custkey", None),
+    "join_fuzzy_blocked": (
+        "part",
+        "p_partkey",
+        # p_size joins the blocking key: shifting it per copy keeps blocks
+        # copy-local so candidates grow linearly with the corpus
+        {"p_size": lambda col, i: col + 100 * i},
+    ),
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -132,6 +185,9 @@ def main() -> None:
     need_docs = any(k in DOC_KEYS for k in selected)
     need_embs = any(k in EMB_KEYS for k in selected)
 
+    fact_tables = {
+        FACT_KEYS[k][0]: FACT_KEYS[k] for k in selected if k in FACT_KEYS
+    }.values()
     try:
         for mult in mults:
             out = SCRATCH / f"x{mult}"
@@ -139,6 +195,8 @@ def main() -> None:
                 build_scaled_documents(spark, args.sf_dir, mult, out)
             if need_embs:
                 build_scaled_embeddings(spark, args.sf_dir, mult, out)
+            for table, pk, extra in fact_tables:
+                build_scaled_fact(spark, args.sf_dir, mult, out, table, pk, extra)
         # warm shared paths once
         warm_key = "llm_dedup_exact" if need_docs else selected[0]
         reg[warm_key].fn(spark, str(SCRATCH / f"x{mults[0]}")).write.format(
