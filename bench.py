@@ -81,6 +81,18 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q21",
     "subquery_correlated",
+    # round-3 additions: time-series rollups, warehouse maintenance,
+    # entity resolution, robust stats, per-domain caps, audio modality
+    "ts_resample_ohlc",
+    "ts_vwap",
+    "ts_anomaly_mad",
+    "table_profile_stats",
+    "agg_skew_kurt",
+    "sink_scd2",
+    "sink_zorder_layout",
+    "join_fuzzy_blocked",
+    "llm_domain_cap",
+    "llm_multimodal_audio",
 ]
 
 
