@@ -30,15 +30,25 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    (spark.sql.legacy.parquet.nanosAsLong). Convert to TimestampType by
-    integer-truncating to micros — the same truncation DuckDB applies when
-    narrowing TIMESTAMP_NS to its micro TIMESTAMP, so both engines see
-    identical instants. DIV is integer division: nanos exceed 2^53, so a
-    double division would corrupt low bits.
+    """Normalize events.ts to TimestampType (LTZ) whatever the fixture
+    generation wrote:
+
+    - TIMESTAMP(NANOS) parquet is read as long
+      (spark.sql.legacy.parquet.nanosAsLong); integer-truncate to micros —
+      the same truncation DuckDB applies narrowing TIMESTAMP_NS, so both
+      engines see identical instants. DIV is integer division: nanos exceed
+      2^53, so a double division would corrupt low bits.
+    - timestamp[us] with no tz flag is read as TIMESTAMP_NTZ; cast to
+      TIMESTAMP because Structured Streaming's withWatermark only accepts
+      LTZ event time. The session timezone is pinned UTC (session.py), so
+      the cast re-labels the same wall-clock instant — DuckDB's naive
+      TIMESTAMP and the canonicalized pandas values are unchanged.
     """
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

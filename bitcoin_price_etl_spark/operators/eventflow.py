@@ -1,0 +1,239 @@
+"""Event-flow analytics: sessionization, funnel conversion, cohort retention.
+
+The reference's domain is a single hourly price feed (dags/bpi_etl/
+bpi_etl_bigquery.py:280-301 — one row per hour), but any engine fed by its
+event stream needs the classic user-behavior rollups the moment more than
+one entity emits events. These are the three canonical ones, each expressed
+as a declarative Catalyst plan whose shuffle count is pinned by plan tests.
+
+Scale posture (100 TB): all three operators key their heavy work on
+`user_id`. The first exchange hash-partitions events by user; every later
+per-user step (session numbering, funnel joins, cohort join-back) reuses
+that partitioning — Spark's ClusteredDistribution is satisfied by any
+subset of the grouping keys, so `groupBy(user_id, session_seq)` after a
+`Window.partitionBy(user_id)` adds NO second exchange. Skew risk is a
+hot user (bot traffic); the mitigation at scale is the same salting
+pattern as join_salted_skew, not a different algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import dsum, dsum_sql
+from bitcoin_price_etl_spark.registry import query
+
+SESSION_GAP_SECONDS = 1800  # 30 min inactivity closes a session
+
+
+@query(
+    "ts_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, session_seq,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_event_types,
+           {dsum_sql('value', 'total_value')}
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after 30 min of user
+    inactivity; emit one row per session with bounds and totals.
+
+    Scale shape: ONE exchange. The window hash-partitions events by
+    user_id and sorts (ts, event_id) within partitions; the session-level
+    groupBy clusters on (user_id, session_seq), which the existing
+    user_id partitioning already satisfies, so Catalyst plans the final
+    aggregate with no second shuffle (plan-tested). Gap detection uses
+    integer microsecond arithmetic (unix_micros), not double seconds —
+    exact in both engines, no boundary flap at the 30-min edge.
+
+    Parity: (ts, event_id) is a unique total order, so lag() picks the
+    same predecessor in both engines; session numbering is a running sum
+    of 0/1 ints (exact); total_value goes through the decimal sum.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    numbered = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        dsum("value", "total_value"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS ts1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS ts2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS ts3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT count(t1.user_id) AS n_viewed,
+           count(t2.user_id) AS n_clicked_after_view,
+           count(t3.user_id) AS n_purchased_after_click,
+           CAST(count(t2.user_id) AS DOUBLE) / count(t1.user_id)
+               AS view_to_click_rate,
+           CAST(count(t3.user_id) AS DOUBLE) / count(t1.user_id)
+               AS view_to_purchase_rate
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view → click → purchase: a user counts at
+    stage N only with an event of that type strictly after their stage-N-1
+    time. One summary row with stage counts and conversion rates.
+
+    Scale shape: every join and aggregate keys on user_id, so after the
+    first exchange the per-stage frames are co-partitioned; the stage
+    joins shuffle no event text, only (user_id, ts) pairs. The funnel is
+    sequential by definition (stage N needs stage N-1's timestamp), so
+    three narrow user-keyed frames — not a per-event window over the
+    whole stream — is the minimal-state formulation.
+
+    Parity: stage times are raw min(ts) picks; rates are single IEEE
+    divisions of small integer counts — bit-identical across engines, no
+    quantization needed.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    joined = t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+    n1 = F.count("ts1")
+    n2 = F.count("ts2")
+    n3 = F.count("ts3")
+    return joined.agg(
+        n1.alias("n_viewed"),
+        n2.alias("n_clicked_after_view"),
+        n3.alias("n_purchased_after_click"),
+        (n2.cast("double") / n1).alias("view_to_click_rate"),
+        (n3.cast("double") / n1).alias("view_to_purchase_rate"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ), activity AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS BIGINT)
+                   AS week_offset,
+               e.user_id
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), retained AS (
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM activity GROUP BY cohort_week, week_offset
+    )
+    SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+           r.week_offset, r.n_active, s.cohort_size,
+           CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+    FROM retained r JOIN sizes s ON r.cohort_week = s.cohort_week
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort, week-offset), how many came back.
+
+    Scale shape: the firsts frame is one exchange on user_id; the
+    activity join-back reuses that partitioning (user-keyed equi-join, no
+    event payload shuffled — only user_id/ts). The (cohort, offset)
+    distinct-count is the second exchange, over |cohorts|×|offsets| keys.
+    The cohort-sizes frame is |cohorts| rows — broadcast into the final
+    rate join, never shuffled.
+
+    Parity: week truncation is date_trunc('week') (ISO Monday start) in
+    both engines; the offset is integer day-diff / 7; the rate is one
+    IEEE division of small ints — all exact.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    activity = ev.join(firsts, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+        "user_id",
+    )
+    retained = activity.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        retained.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+    )

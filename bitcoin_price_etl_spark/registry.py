@@ -150,6 +150,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module so decorators run; return the registry."""
     from bitcoin_price_etl_spark.operators import (  # noqa: F401
         aggregates,
+        eventflow,
         joins,
         projections,
         setops,

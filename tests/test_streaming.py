@@ -234,14 +234,19 @@ def test_checkpoint_restart_is_exactly_once(spark):
 
     # batch 2: same events with disjoint ids, shifted +35 days — written
     # from the RAW frame so the file schema matches the stream's declared
-    # schema (ts stays bigint nanos). The shift must clear the WHOLE
-    # fixture span (a month): batch-2 rows older than the checkpointed
-    # watermark (max(batch1) - 2h) are late data that dropDuplicates
-    # correctly drops — verified: +1 day left only the last-day tail.
-    ev2 = (
-        load_raw(spark, SF_SMOKE, "events")
-        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
-        .withColumn("ts", F.col("ts") + F.lit(35 * 86_400_000_000_000))
+    # schema (whatever the fixture generation wrote: bigint nanos or
+    # timestamp_ntz — shift in the native unit either way). The shift must
+    # clear the WHOLE fixture span (a month): batch-2 rows older than the
+    # checkpointed watermark (max(batch1) - 2h) are late data that
+    # dropDuplicates correctly drops — verified: +1 day left only the
+    # last-day tail.
+    raw2 = load_raw(spark, SF_SMOKE, "events")
+    if dict(raw2.dtypes)["ts"] == "bigint":
+        shifted = F.col("ts") + F.lit(35 * 86_400_000_000_000)
+    else:
+        shifted = F.col("ts") + F.expr("INTERVAL 35 DAYS")
+    ev2 = raw2.withColumn("event_id", F.col("event_id") + F.lit(10_000_000)).withColumn(
+        "ts", shifted
     )
     # write through a temp dir then move the file in atomically-ish
     ev2dir = tmp + "/ev2"
