@@ -745,3 +745,110 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank_in_source") <= DOMAIN_CAP)
     )
+
+
+_TEMP_T = 0.7  # temperature < 1 flattens the source distribution
+
+
+@query(
+    "llm_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(n_s) AS n FROM counts
+    ), weighted AS (
+        SELECT source, n_s,
+               CAST(pow(CAST(n_s AS DOUBLE) / n, {_TEMP_T}) AS DECIMAL(18,9))
+                   AS pw,
+               CAST(n_s AS DOUBLE) / n AS w
+        FROM counts, tot
+    ), z AS (
+        SELECT sum(pw) AS zsum FROM weighted
+    ), ratios AS (
+        SELECT source, n_s, w,
+               (CAST(pw AS DOUBLE) / CAST(zsum AS DOUBLE)) / w AS r
+        FROM weighted, z
+    ), accepts AS (
+        SELECT source, n_s,
+               LEAST(CAST(floor((r / (SELECT max(r) FROM ratios))
+                                * 4294967296.0) AS BIGINT),
+                     4294967295) AS thr_int
+        FROM ratios
+    )
+    SELECT d.doc_id, d.source,
+           CAST(a.thr_int AS DOUBLE) / 4294967296.0 AS accept_rate
+    FROM documents d JOIN accepts a ON d.source = a.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lower(lpad(to_hex(a.thr_int), 8, '0'))
+    """,
+)
+def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source resampling (the multilingual-corpus
+    rebalancing rule of mBERT/XLM-R/mT5: sample source s with probability
+    ∝ (share_s)^T, T<1 boosting the tail). Acceptance rate per source is
+    the target share over the natural share, scaled so the most
+    over-boosted source keeps everything; membership is the same
+    deterministic md5-threshold draw as llm_sample_hash, so the sample is
+    reproducible on any cluster layout.
+
+    Scale shape: two tiny aggregates (per-source counts — |sources| rows)
+    and ONE broadcast join back onto the corpus; the fact table never
+    shuffles. The draw is a pure filter on md5(doc_id).
+
+    Parity: counts and their ratios are exact (integer counts, single
+    IEEE divisions); the one libm call (pow) is quantized through
+    DECIMAL(18,9) on both sides before the order-insensitive decimal sum;
+    the acceptance threshold becomes an INTEGER number of 2^-32 quanta
+    compared against the first 8 md5 hex digits as strings — no float
+    comparison at the decision edge. The LEAST(…, 2^32-1) cap costs one
+    draw in 4·10^9 of acceptance for full-keep sources, identically in
+    both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    # Control-plane frame: |sources| rows. localCheckpoint it so the
+    # tot/z/rmax chain of tiny cross-joined aggregates reuses ONE
+    # materialized pass over the corpus — without it every crossJoin
+    # re-derives counts from lineage and the plan scans documents 8×
+    # (observed), which at 100 TB is 6 needless full scans.
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(F.sum("n_s").alias("n"))
+    weighted = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.expr(
+            f"CAST(pow(CAST(n_s AS DOUBLE) / n, {_TEMP_T}) AS DECIMAL(18,9))"
+        ).alias("pw"),
+        F.expr("CAST(n_s AS DOUBLE) / n").alias("w"),
+    )
+    z = weighted.agg(F.sum("pw").alias("zsum"))
+    ratios = weighted.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_s",
+        F.expr("(CAST(pw AS DOUBLE) / CAST(zsum AS DOUBLE)) / w").alias("r"),
+    )
+    rmax = ratios.agg(F.max("r").alias("rmax"))
+    accepts = ratios.crossJoin(F.broadcast(rmax)).select(
+        "source",
+        F.expr(
+            "LEAST(CAST(floor((r / rmax) * 4294967296.0D) AS BIGINT),"
+            " 4294967295L)"
+        ).alias("thr_int"),
+    )
+    u_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thr_hex = F.lower(F.lpad(F.expr("hex(thr_int)"), 8, "0"))
+    return (
+        d.join(F.broadcast(accepts), "source")
+        .filter(u_hex < thr_hex)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("thr_int").cast("double") / F.lit(4294967296.0)).alias(
+                "accept_rate"
+            ),
+        )
+    )

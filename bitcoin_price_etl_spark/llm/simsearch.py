@@ -635,3 +635,76 @@ def llm_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, n_hit long, k long, recall_at_k double"
     )
+
+
+KMEANS_K = 8
+
+
+@query(
+    "llm_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+    ), scored AS (
+        SELECT e.vec_id, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (s, x) -> s + x) AS dist2
+        FROM embeddings e CROSS JOIN cent c
+    ), ranked AS (
+        SELECT vec_id, cid, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cid) AS rn
+        FROM scored
+    )
+    SELECT vec_id, cid AS cluster_id, dist2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd assignment step: every vector goes to its
+    nearest of K seed centroids (the K lowest vec_ids — k-means round 0
+    with fixed seeds), by squared L2 with centroid-id tie pin. This is
+    the oracle-checkable unit of the k-means loop whose full iteration
+    lives in llm_sim_search_ivf's centroid build (rows-only there); one
+    assign step + llm_embed_centroids' partial-agg re-centering compose
+    into a complete verifiable Lloyd round.
+
+    Scale shape: the K-row centroid frame broadcasts; each vector meets
+    its K candidates inside its own partition (BroadcastNestedLoopJoin of
+    a K-row attach), and the argmin groupBy map-side-combines K rows back
+    to 1 before any exchange — the corpus never shuffles its embedding
+    payload, only (vec_id, best-struct) pairs move.
+
+    Parity: element differences/squares are IEEE double ops on
+    float-valued inputs, folded sequentially from 0 in index order in
+    both engines (the llm_sim_search bit-exactness argument, reference
+    dot-product discipline) — so dist2 is bit-identical and the raw
+    double is emitted unquantized; ties pin on centroid id via the
+    struct's lexicographic order.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    diff2 = F.expr(
+        "aggregate(zip_with(embedding, cvec,"
+        " (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " 0.0D, (s, x) -> s + x)"
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", diff2.alias("dist2")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cid")).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cid").alias("cluster_id"),
+        F.col("best.dist2").alias("dist2"),
+    )

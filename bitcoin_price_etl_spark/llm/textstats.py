@@ -517,3 +517,61 @@ def llm_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_share"),
         )
     )
+
+
+VOCAB_MIN_COUNT = 5
+VOCAB_TOP_K = 200
+
+
+@query(
+    "llm_vocab_build",
+    oracle=f"""
+    WITH toks AS (
+        SELECT d.doc_id, t.token
+        FROM documents d,
+             unnest(string_split_regex(lower(d.text), '[^a-z]+'))
+                 AS t(token)
+        WHERE t.token <> ''
+    ), counted AS (
+        SELECT token,
+               count(*) AS n_total,
+               count(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY token
+        HAVING count(*) >= {VOCAB_MIN_COUNT}
+    )
+    SELECT token, n_total, n_docs
+    FROM counted
+    ORDER BY n_total DESC, token
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def llm_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary candidate build: corpus-wide token frequencies
+    with a min-count floor, top-K by frequency — the first pass of any
+    BPE/WordPiece vocab trainer (count the base units before merging).
+
+    Scale shape: the classic word-count — explode shuffles (token,
+    doc_id) pairs once, partial aggregation combines map-side so the
+    exchange carries one row per distinct token per partition, not one
+    per occurrence. The distinct doc-count uses Spark's two-level
+    distinct expand on the SAME token partitioning (no second exchange);
+    top-K is TakeOrderedAndProject — no global sort at any corpus size.
+
+    Parity: pure integer counts over an identical tokenization
+    ([^a-z]+ split of lower(); both regex engines agree on this ASCII
+    class); ordering tie-pinned by token string.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counted = (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_total") >= VOCAB_MIN_COUNT)
+    )
+    return counted.orderBy(F.desc("n_total"), "token").limit(VOCAB_TOP_K)
