@@ -385,3 +385,88 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.alias("edit_dist"),
         )
     )
+
+
+RANGE_BIN_SECONDS = 900  # ±15-min attribution window and bin width
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH errors AS (
+        SELECT event_id, ts FROM events WHERE event_type = 'error'
+    ), purchases AS (
+        SELECT ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           count(p.ts) AS n_nearby_purchases
+    FROM errors e
+    LEFT JOIN purchases p
+      ON abs(epoch_us(e.ts) - epoch_us(p.ts))
+         <= {RANGE_BIN_SECONDS} * 1000000
+    GROUP BY e.event_id, e.ts
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval join via binning: for every error event, count
+    purchase events within ±15 minutes. The naive form is a non-equi
+    theta join — quadratic BNLJ between two FACT-sized sides (the
+    broadcast-banding trick of join_theta_range only works when one side
+    is a dim). The scale path: quantize time into bins as wide as the
+    match radius, explode each purchase into the 2-3 bins its ±radius
+    interval can touch, and equi-join on bin — candidates are then only
+    same-bin pairs (linear in data for any fixed radius), re-filtered by
+    the exact predicate. Each true pair survives exactly once because the
+    error's own bin is a single value.
+
+    Scale shape: one shuffle of each side on the 8-byte bin key (the
+    explode is ≤3× row growth of the (bin, ts) pair — the payload never
+    fans out), a co-partitioned count per error, and a user-side left
+    join to restore zero-match errors. No BNLJ node in the plan
+    (plan-tested) — contrast join_theta_range, whose BNLJ is the right
+    call only against a broadcastable side.
+
+    Parity: all bin and distance math is exact integer microseconds;
+    counts are integers. The oracle states the plain quadratic predicate
+    (DuckDB plans its own IEJoin) — independent formulation, same rows.
+    """
+    bin_us = RANGE_BIN_SECONDS * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    # Bin ids via integer DIV, never double division: epoch micros exceed
+    # 2^50, where a double quotient can round across the bin boundary and
+    # silently drop a true pair.
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", F.expr(f"unix_micros(ts) DIV {bin_us}").alias("bin")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("p_us")
+    )
+    purch_binned = purchases.select(
+        "p_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"(p_us - {bin_us}) DIV {bin_us}"),
+                F.expr(f"(p_us + {bin_us}) DIV {bin_us}"),
+            )
+        ).alias("bin"),
+    )
+    counts = (
+        errors.join(purch_binned, "bin")
+        .filter(
+            F.abs(F.unix_micros("ts") - F.col("p_us")) <= F.lit(bin_us)
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby_purchases"))
+    )
+    return (
+        errors.select("event_id", "ts")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            F.coalesce("n_nearby_purchases", F.lit(0)).alias(
+                "n_nearby_purchases"
+            ),
+        )
+    )

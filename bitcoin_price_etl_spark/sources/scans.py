@@ -401,3 +401,57 @@ def source_rest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_BINARYFILE_N_DOCS = 40  # doc_id < 40 staged as one opaque file each
+
+
+@query(
+    "scan_binaryfile",
+    oracle=f"""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id < {_BINARYFILE_N_DOCS}
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload ingest via Spark's binaryFile source — the scan
+    path a multimodal corpus uses for image/audio/video blobs sitting in
+    an object store (one file per asset, no decode at scan time; decode
+    is llm_multimodal_decode's job downstream).
+
+    The fixture stage writes each document's utf-8 bytes as one .bin file
+    (local scratch stands in for the bucket); the engine reads them back
+    as (path, length, content) and emits filename, byte length, and
+    content digest. The oracle never touches the files — it derives the
+    same triple from the documents view, so the check proves the binary
+    round-trip is byte-exact.
+
+    Scale shape: binaryFile is a FileScan — distributed, splittable by
+    file, partition-prunable by path glob (pathGlobFilter pins *.bin
+    here). One task per file group; no shuffle at all. At 100 TB the same
+    plan reads s3a://bucket/assets/*.bin; only paths.storage_base
+    changes.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BINARYFILE_N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    stage = scratch_dir("scan_binaryfile")
+    for r in docs:
+        with open(os.path.join(stage, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )

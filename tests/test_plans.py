@@ -362,3 +362,24 @@ def test_lsh_probe_is_band_bucket_equi_join(spark):
     assert key_lines and all(
         "band_id" in l and "band_bits" in l for l in key_lines
     ), plan
+
+
+def test_range_binned_join_has_no_bnlj(spark):
+    """The binned interval join must stay an equi-join on the bin key at
+    every size — a BroadcastNestedLoopJoin would mean Catalyst fell back
+    to the quadratic theta form the binning exists to avoid. The
+    candidate explode must also stay bounded (sequence over ≤3 bins)."""
+    plan = plan_of(q(spark, "join_range_binned"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan  # the bounded per-purchase bin explode
+
+
+def test_kmeans_assign_broadcasts_centroids_and_combines_mapside(spark):
+    """K centroid rows attach via broadcast (the only BNLJ, a K-row
+    attach); the argmin aggregate must be partial+final so K candidate
+    rows per vector combine map-side before the exchange."""
+    plan = plan_of(q(spark, "llm_kmeans_assign"))
+    assert "BroadcastExchange" in plan
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan  # centroid pick, no global sort
