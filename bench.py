@@ -93,6 +93,15 @@ HEADLINE = [
     "join_fuzzy_blocked",
     "llm_domain_cap",
     "llm_multimodal_audio",
+    # round-3 second wave: event-flow analytics, binned interval join,
+    # vocab/temperature curation, k-means assignment
+    "ts_sessionize",
+    "funnel_conversion",
+    "cohort_retention",
+    "join_range_binned",
+    "llm_vocab_build",
+    "llm_sample_temperature",
+    "llm_kmeans_assign",
 ]
 
 

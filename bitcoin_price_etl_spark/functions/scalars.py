@@ -432,3 +432,56 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall("embedding", lambda x: F.abs(x_d(x)) <= 10.0).alias("all_bounded"),
         F.exists("embedding", lambda x: F.abs(x_d(x)) > 3.0).alias("any_outlier"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                   || '&ref=home' AS url
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: parse_url HOST/PATH/QUERY-key/PROTOCOL over
+    synthesized per-document URLs — the crawl-metadata parsing every web
+    corpus pipeline runs before domain capping and URL dedup
+    (llm_domain_cap's upstream in a real crawl).
+
+    Spark evaluates the dedicated parse_url expression (JVM
+    java.net.URI-backed, codegen'd); the oracle re-derives the same
+    fields with anchored regexes — an independent formulation, so the
+    check also guards parse_url's semantics against the plain-string
+    reading. Zero-shuffle projection.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=home"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -708,3 +708,102 @@ def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.cid").alias("cluster_id"),
         F.col("best.dist2").alias("dist2"),
     )
+
+
+PQ_SUBSPACES = 4  # 64-dim vectors → 4 × 16-dim subvectors
+PQ_SUBDIM = 16
+
+
+@query(
+    "llm_embed_pq",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS cid, embedding
+        FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+    ), sub AS (
+        SELECT e.vec_id, t.s,
+               e.embedding[({PQ_SUBDIM}*t.s+1):({PQ_SUBDIM}*t.s+{PQ_SUBDIM})]
+                   AS v
+        FROM embeddings e CROSS JOIN unnest([0,1,2,3]) AS t(s)
+    ), csub AS (
+        SELECT c.cid, t.s,
+               c.embedding[({PQ_SUBDIM}*t.s+1):({PQ_SUBDIM}*t.s+{PQ_SUBDIM})]
+                   AS cv
+        FROM seeds c CROSS JOIN unnest([0,1,2,3]) AS t(s)
+    ), scored AS (
+        SELECT sub.vec_id, sub.s, csub.cid,
+               list_reduce(list_transform(list_zip(sub.v, csub.cv),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (acc, x) -> acc + x) AS dist2
+        FROM sub JOIN csub ON sub.s = csub.s
+    ), ranked AS (
+        SELECT vec_id, s, cid, dist2,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist2, cid) AS rn
+        FROM scored
+    )
+    SELECT vec_id, CAST(s AS INT) AS subspace, cid AS code, dist2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: split every vector into 4 contiguous
+    16-dim subvectors and code each against the K seed sub-centroids (the
+    same deterministic seed rule as llm_kmeans_assign) — the standard
+    embedding-compression layout (PQ, Jégou et al. 2011) that turns a
+    256-byte float vector into 4 small codes for billion-scale ANN. The
+    long (vec_id, subspace, code) output IS the inverted PQ index layout
+    a 100 TB store shards on.
+
+    Scale shape: the codebook is K×SUBSPACES = 32 broadcast rows; each
+    vector explodes into exactly 4 subvector rows (bounded fanout, narrow
+    payload) that meet their codebook column inside the partition; the
+    per-(vec, subspace) argmin combines map-side before its single
+    exchange. The corpus never shuffles raw embeddings.
+
+    Parity: identical bit-exact squared-L2 fold as llm_kmeans_assign;
+    ties pin on centroid id. Subvector slicing is 1-based length-16 in
+    both engines.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    s_col = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    sub = e.select("vec_id", "embedding").select(
+        "vec_id", s_col, "embedding"
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(
+            F.col("embedding"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM
+        ).alias("v"),
+    )
+    csub = seeds.select("cid", s_col, "cvec").select(
+        "cid",
+        "s",
+        F.slice(F.col("cvec"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+            "cv"
+        ),
+    )
+    diff2 = F.expr(
+        "aggregate(zip_with(v, cv,"
+        " (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    scored = sub.join(F.broadcast(csub), "s").select(
+        "vec_id", "s", "cid", diff2.alias("dist2")
+    )
+    best = scored.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist2", "cid")).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("s").alias("subspace"),
+        F.col("best.cid").alias("code"),
+        F.col("best.dist2").alias("dist2"),
+    )

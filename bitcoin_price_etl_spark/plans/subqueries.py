@@ -120,3 +120,43 @@ def subquery_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice * (1 - l_discount)", "revenue"),
         )
     )
+
+
+@query(
+    "subquery_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 50
+    """,
+)
+def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's two largest orders —
+    the per-row-subquery SQL surface (every modern warehouse exposes it;
+    Catalyst plans it as DomainJoin → decorrelated window/limit, never a
+    per-row re-execution loop).
+
+    Scale shape: Catalyst decorrelates the lateral limit into a
+    partitioned rank over the join of the filtered customer keys with
+    orders — the same plan win_topk_group gets by hand. The semantics a
+    user writes per-row, the engine executes set-at-a-time.
+
+    Parity: identical SQL text semantics in DuckDB (which also plans
+    lateral as a dependent join); picked prices are raw doubles with a
+    (price DESC, orderkey) total-order pin so ties cannot flap.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 50
+        """
+    )

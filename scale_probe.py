@@ -48,6 +48,8 @@ DOC_KEYS = [
     "llm_data_card",
     "llm_domain_cap",
     "llm_multimodal_audio",
+    "llm_vocab_build",
+    "llm_sample_temperature",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -57,6 +59,7 @@ EMB_KEYS = [
     "llm_embed_centroids",
     "llm_embed_quantize",
     "llm_sim_search_lsh",
+    "llm_kmeans_assign",
 ]
 
 
@@ -155,6 +158,16 @@ FACT_KEYS = {
     "ts_vwap": ("lineitem", "l_orderkey", None),
     "sink_zorder_layout": ("lineitem", "l_orderkey", None),
     "sink_scd2": ("customer", "c_custkey", None),
+    # event_id-shifted copies keep user_id/ts, so every user's window and
+    # every time bin get mult× rows — exactly the hot-partition stress
+    # sessionize/cohort sorts and the binned join's per-bin candidate
+    # mass must absorb. NOTE join_range_binned's OUTPUT (pair count) is
+    # quadratic in per-bin density by definition; the probe measures the
+    # plan staying an equi-join while true-pair volume explodes.
+    "ts_sessionize": ("events", "event_id", None),
+    "funnel_conversion": ("events", "event_id", None),
+    "cohort_retention": ("events", "event_id", None),
+    "join_range_binned": ("events", "event_id", None),
     "join_fuzzy_blocked": (
         "part",
         "p_partkey",
