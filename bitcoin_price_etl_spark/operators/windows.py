@@ -567,3 +567,89 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)")
         ).alias("vwap"),
     )
+
+
+EWMA_DECAY = 0.8  # (1 - alpha), alpha = 0.2
+EWMA_HORIZON = 20  # finite window: bounded state AND bounded exponents
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_type, ts, event_id, value,
+               list(value) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN {EWMA_HORIZON - 1} PRECEDING
+                                          AND CURRENT ROW) AS lv
+        FROM events
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_id, value,
+           CAST(CAST(
+               list_reduce(list_transform(list_zip(lv,
+                   list_transform(generate_series(1, len(lv)),
+                       k -> pow({EWMA_DECAY}, len(lv) - k))),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (s, x) -> s + x)
+               / list_reduce(list_transform(generate_series(1, len(lv)),
+                   k -> pow({EWMA_DECAY}, len(lv) - k)),
+                   (s, x) -> s + x)
+           AS DECIMAL(18,6)) AS DOUBLE) AS ewma
+    FROM framed
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon exponentially-weighted moving average per series —
+    the denoised price track of every market-data stack (the reference's
+    hourly BTC series smoothed), in the 20-observation truncated form.
+
+    Why truncated: the textbook recursive EWMA needs either a sequential
+    scan (not distributed) or exponent terms like (1-a)^(-rownum) that
+    overflow doubles after a few thousand rows. A 20-tap horizon keeps
+    weights in [0.8^19, 1], carries bounded per-row state (the same
+    reason production stream processors cap EWMA lookback), and changes
+    the value by < 0.8^20 ≈ 1.2e-2 relative — inside the smoothing noise.
+
+    Scale shape: ONE exchange (the series window); the frame list is ≤20
+    doubles per row, assembled in sort order within the partition — no
+    second shuffle, no unbounded state.
+
+    Parity: both engines build the frame list oldest-first under the
+    same (ts, event_id) total order, apply identical pow(0.8, k) weights
+    (libm-identical inputs), and fold sequentially from index 0; the one
+    division is quantized through DECIMAL(18,6) against residual drift.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_HORIZON - 1), 0)
+    )
+    framed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.collect_list("value").over(w).alias("lv"),
+    )
+    ewma = F.expr(
+        f"""CAST(CAST(
+            aggregate(zip_with(lv,
+                transform(sequence(1, size(lv)),
+                    k -> pow({EWMA_DECAY}D, size(lv) - k)),
+                (x, wt) -> x * wt),
+                0.0D, (s, p) -> s + p)
+            / aggregate(transform(sequence(1, size(lv)),
+                    k -> pow({EWMA_DECAY}D, size(lv) - k)),
+                0.0D, (s, p) -> s + p)
+        AS DECIMAL(18,6)) AS DOUBLE)"""
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_id",
+        "value",
+        ewma.alias("ewma"),
+    )

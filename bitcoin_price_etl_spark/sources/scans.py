@@ -455,3 +455,51 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_id, value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style date partitioning + partition-pruned read — THE serving
+    layout for a 100 TB event store (one directory per day; a day query
+    touches 1/365th of the files, enforced by the planner, not by luck).
+
+    The fixture stage writes events partitioned by event_date; the read
+    filters on the partition column and Catalyst turns it into a
+    PartitionFilters entry — zero data files outside 2024-01-15 are even
+    opened (asserted in tests/test_plans.py). The oracle recomputes the
+    same rows from the unpartitioned view, proving the layout round-trip
+    loses nothing.
+
+    Parity: partition values are date strings derived with the same
+    format in both engines; row payloads are raw source columns.
+    """
+    from bitcoin_price_etl_spark.paths import delete_path, sink_path
+
+    ev = load(spark, sf_dir, "events")
+    target = sink_path("partitioned/events_by_day")
+    delete_path(spark, target)
+    ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    ).write.partitionBy("event_date").parquet(target)
+    back = spark.read.parquet(target).filter(
+        F.col("event_date") == "2024-01-15"
+    )
+    return back.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_id",
+        "value",
+    )

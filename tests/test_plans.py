@@ -383,3 +383,13 @@ def test_kmeans_assign_broadcasts_centroids_and_combines_mapside(spark):
     assert "BroadcastExchange" in plan
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan  # centroid pick, no global sort
+
+
+def test_partition_pruned_scan_reads_one_day(spark):
+    """The date filter must land in PartitionFilters (directory pruning),
+    not PushedFilters (row-group pruning) — only then does a day query
+    skip opening 364/365ths of the store's files."""
+    plan = plan_of(q(spark, "scan_partition_pruned"))
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_date" in pf_line, pf_line
