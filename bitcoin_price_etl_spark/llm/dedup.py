@@ -590,3 +590,57 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common_shingles"))
         .filter(F.col("n_common_shingles") >= DECONTAM_MIN_COMMON)
     )
+
+
+@query(
+    "llm_contamination_report",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(str_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(str_split(text, ' '), i, i + {SHINGLE_WORDS - 1}), ' ')
+               ))) AS s
+        FROM documents
+    ),
+    eval_sh AS (
+        SELECT DISTINCT doc_id AS eval_doc_id, s FROM sh
+        WHERE doc_id % {DECONTAM_EVAL_MOD} = {DECONTAM_EVAL_REM}
+    ),
+    train_sh AS (
+        SELECT doc_id AS train_doc_id, s FROM sh
+        WHERE doc_id % {DECONTAM_EVAL_MOD} != {DECONTAM_EVAL_REM}
+    ),
+    pairs AS (
+        SELECT train_doc_id, eval_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_common_shingles
+        FROM train_sh t JOIN eval_sh e USING (s)
+        GROUP BY train_doc_id, eval_doc_id
+        HAVING COUNT(*) >= {DECONTAM_MIN_COMMON}
+    )
+    SELECT eval_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminating_train_docs,
+           MAX(n_common_shingles) AS max_overlap,
+           CAST(SUM(n_common_shingles) AS BIGINT) AS total_overlap
+    FROM pairs
+    GROUP BY eval_doc_id
+    """,
+)
+def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-document contamination report: for every eval doc,
+    how many training documents leak ≥K of its shingles, the worst
+    overlap, and the total — the audit artifact a data card cites when
+    declaring an eval set clean (the aggregate view of
+    llm_decontaminate's pair-level flags).
+
+    Scale shape: the pair frame is llm_decontaminate's (broadcast
+    eval-postings probe — the corpus never shuffles its shingles); this
+    adds one eval-keyed aggregate over the ALREADY-small flagged-pair
+    set. Integer counts only.
+    """
+    pairs = llm_decontaminate(spark, sf_dir)
+    return pairs.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminating_train_docs"),
+        F.max("n_common_shingles").alias("max_overlap"),
+        F.sum("n_common_shingles").cast("long").alias("total_overlap"),
+    )

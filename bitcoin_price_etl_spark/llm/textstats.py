@@ -575,3 +575,86 @@ def llm_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_total") >= VOCAB_MIN_COUNT)
     )
     return counted.orderBy(F.desc("n_total"), "token").limit(VOCAB_TOP_K)
+
+
+@query(
+    "llm_quality_ensemble",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_tok,
+               len(list_distinct(str_split(text, ' '))) AS n_uniq,
+               len(list_filter(str_split(text, ' '),
+                   x -> x IN {_STOPWORDS!r})) AS n_stop,
+               n_chars
+        FROM documents
+    ), gates AS (
+        SELECT doc_id,
+               CASE WHEN n_tok BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+                   AS g_length,
+               CASE WHEN n_stop * 20 >= n_tok AND n_stop * 5 <= n_tok * 3
+                    THEN 1 ELSE 0 END AS g_stopword,
+               CASE WHEN n_chars * 1 >= n_tok * 3
+                     AND n_chars * 1 <= n_tok * 12 THEN 1 ELSE 0 END
+                   AS g_tokenlen,
+               CASE WHEN n_uniq * 2 >= n_tok THEN 1 ELSE 0 END AS g_diversity
+        FROM feat
+    )
+    SELECT doc_id, g_length, g_stopword, g_tokenlen, g_diversity,
+           CAST(0.4 * g_length + 0.2 * g_stopword + 0.2 * g_tokenlen
+                + 0.2 * g_diversity AS DOUBLE) AS ensemble_score,
+           CASE WHEN 0.4 * g_length + 0.2 * g_stopword + 0.2 * g_tokenlen
+                     + 0.2 * g_diversity >= 0.8
+                THEN 1 ELSE 0 END AS keep
+    FROM gates
+    """,
+)
+def llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rule quality gate (the Gopher/FineWeb ensemble pattern):
+    length band, stopword-ratio band, mean-token-length band, and
+    lexical-diversity gates combined into a weighted score with a keep
+    threshold.
+
+    Every gate is an INTEGER cross-multiplication comparison (n_stop/n_tok
+    ≥ 0.05 becomes n_stop·20 ≥ n_tok), so no gate can flap on a float
+    boundary in either engine; the ensemble score is a weighted sum of
+    0/1 ints — a handful of exact IEEE products. Zero-shuffle projection
+    over one scan (the rule set widens at no extra pass: at 100 TB this
+    is the shape that matters — N rules must not mean N scans).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_arr = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_arr})))")
+    g_length = F.when(n_tok.between(20, 80), 1).otherwise(0)
+    g_stopword = F.when(
+        (n_stop * 20 >= n_tok) & (n_stop * 5 <= n_tok * 3), 1
+    ).otherwise(0)
+    g_tokenlen = F.when(
+        (F.col("n_chars") >= n_tok * 3) & (F.col("n_chars") <= n_tok * 12), 1
+    ).otherwise(0)
+    g_diversity = F.when(n_uniq * 2 >= n_tok, 1).otherwise(0)
+    gated = d.select(
+        "doc_id",
+        g_length.alias("g_length"),
+        g_stopword.alias("g_stopword"),
+        g_tokenlen.alias("g_tokenlen"),
+        g_diversity.alias("g_diversity"),
+    )
+    # SQL-text literals on purpose: both engines then parse 0.4/0.2 as
+    # DECIMALs and sum exactly (0.6, not 0.6000000000000001) before the
+    # single cast to double — Python float literals would push Spark into
+    # IEEE addition while DuckDB stays decimal, a guaranteed mismatch.
+    score_sql = (
+        "0.4 * g_length + 0.2 * g_stopword + 0.2 * g_tokenlen"
+        " + 0.2 * g_diversity"
+    )
+    return gated.select(
+        "*",
+        F.expr(f"CAST({score_sql} AS DOUBLE)").alias("ensemble_score"),
+        F.expr(f"CASE WHEN {score_sql} >= 0.8 THEN 1 ELSE 0 END").alias(
+            "keep"
+        ),
+    )

@@ -147,6 +147,55 @@ def build_scaled_fact(spark, src_dir: str, mult: int, out_dir: Path,
     )
 
 
+# Multi-table TPC-H-tier keys: lineitem AND orders scale together with a
+# JOIN-CONSISTENT shift — both shift orderkey by i × (max(o_orderkey)+1),
+# the key-space unit of the table that OWNS the key, so every copy's
+# lineitems still find exactly their order (per-table row counts would
+# desynchronize the keys). o_custkey / l_suppkey / l_partkey stay fixed:
+# customers, suppliers and parts each serve mult× more orders — the
+# hot-dimension stress a growing fact table actually produces. All other
+# tables are copied through unscaled.
+TPCH_KEYS = [
+    "tpch_q1_full",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q2",
+    "tpch_q11",
+]
+
+_TPCH_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+
+def build_scaled_tpch(spark, src_dir: str, mult: int, out_dir: Path) -> None:
+    from pyspark.sql import functions as F
+
+    from bitcoin_price_etl_spark.catalog import load
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    o = load(spark, src_dir, "orders")
+    li = load(spark, src_dir, "lineitem")
+    unit = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    for name, df, key in (("orders", o, "o_orderkey"),
+                          ("lineitem", li, "l_orderkey")):
+        copies = [
+            df.withColumn(key, F.col(key) + F.lit(i * unit))
+            for i in range(mult)
+        ]
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionByName(c)
+        scaled.coalesce(max(1, 4 * mult)).write.mode("overwrite").parquet(
+            str(out_dir / f"{name}.parquet")
+        )
+    for t in _TPCH_COPY_TABLES:
+        dst = out_dir / f"{t}.parquet"
+        if not dst.exists():
+            shutil.copy(f"{src_dir}/{t}.parquet", dst)
+
+
 # key → (table, pk, extra-shift) for fact-table keys; every listed key reads
 # ONLY this table (plus broadcast-size dims none of these touch).
 FACT_KEYS = {
@@ -201,6 +250,7 @@ def main() -> None:
     fact_tables = {
         FACT_KEYS[k][0]: FACT_KEYS[k] for k in selected if k in FACT_KEYS
     }.values()
+    need_tpch = any(k in TPCH_KEYS for k in selected)
     try:
         for mult in mults:
             out = SCRATCH / f"x{mult}"
@@ -210,6 +260,8 @@ def main() -> None:
                 build_scaled_embeddings(spark, args.sf_dir, mult, out)
             for table, pk, extra in fact_tables:
                 build_scaled_fact(spark, args.sf_dir, mult, out, table, pk, extra)
+            if need_tpch:
+                build_scaled_tpch(spark, args.sf_dir, mult, out)
         # warm shared paths once
         warm_key = "llm_dedup_exact" if need_docs else selected[0]
         reg[warm_key].fn(spark, str(SCRATCH / f"x{mults[0]}")).write.format(
