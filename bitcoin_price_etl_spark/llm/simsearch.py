@@ -281,7 +281,7 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-              (s, x) -> s + x) / (a.norm * b.norm) > 0.5
+              (s, x) -> s + x) / (a.norm * b.norm) > 0.35
     """,
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,7 +317,10 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cosine,
         )
-        .filter(F.col("cosine") > 0.5)
+        # 0.35, not 0.5: the isotropic fixture's max within-label cosine
+        # is 0.475 (sf0.01), so a 0.5 gate returned zero pairs at every
+        # SF — a vacuous hash check (the tpch_q18 lesson)
+        .filter(F.col("cosine") > 0.35)
     )
 
 

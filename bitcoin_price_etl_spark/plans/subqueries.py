@@ -94,7 +94,11 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
     FROM lineitem
     WHERE l_partkey IN (
-        SELECT p_partkey FROM part WHERE p_retailprice > 1500.0
+        SELECT p.p_partkey
+        FROM part p,
+             (SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx
+              FROM part) b
+        WHERE p.p_retailprice > b.mn + 0.9 * (b.mx - b.mn)
     )
     GROUP BY l_returnflag
     """,
@@ -102,14 +106,24 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery over a computed key set: revenue from premium parts only.
 
-    The IN set (`p_retailprice > 1500`) is a filtered dimension — Spark
-    plans the membership test as a broadcast LEFT SEMI join, so the fact
-    scan streams once and never shuffles on the probe side.
+    The IN set is the top decile of the OBSERVED retail-price band
+    (min + 0.9·(max−min)) — relative on purpose: the fixture's price
+    ceiling varies by SF (919.9 at sf0.001, 999.9 above), so any fixed
+    cutoff is either empty or trivial at some scale (the original 1500
+    sat above every ceiling and made the whole query empty — a vacuous
+    hash check). min/max and the threshold arithmetic are single IEEE
+    ops, bit-identical across engines. The set is a filtered dimension —
+    Spark plans the membership test as a broadcast LEFT SEMI join, so
+    the fact scan streams once and never shuffles on the probe side.
     """
     li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    bounds = part.agg(
+        F.min("p_retailprice").alias("mn"), F.max("p_retailprice").alias("mx")
+    )
     premium = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_retailprice") > 1500.0)
+        part.crossJoin(F.broadcast(bounds))
+        .filter(F.col("p_retailprice") > F.expr("mn + 0.9D * (mx - mn)"))
         .select("p_partkey")
     )
     return (

@@ -455,21 +455,30 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(c_acctbal)
         FROM customer WHERE c_acctbal > 0.0
     )
-    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00')
     GROUP BY c.c_nationkey
     """,
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 global-sales-opportunity, adapted (driver customer has no phone —
     the country-code grouping becomes c_nationkey): wealthy customers with
-    NO orders, per nation.
+    no RECENT order (none in 1997H1), per nation. The window bound is
+    load-bearing: the fixture gives every customer at least one lifetime
+    order at every SF, so the spec's unbounded NOT EXISTS was provably
+    empty — a vacuous hash check (the tpch_q18 lesson).
 
     Composes the scalar subquery (positive-balance mean, broadcast) with an
-    anti join against orders. The anti join probes on o_custkey — at scale
-    the orders side is pre-aggregated to distinct custkeys by Catalyst's
-    semi/anti pushdown, so the exchange carries keys, not orders."""
+    anti join against the date-filtered orders. The anti join probes on
+    o_custkey — at scale the orders side is pre-aggregated to distinct
+    custkeys by Catalyst's semi/anti pushdown, so the exchange carries
+    keys, not orders."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
     pos_avg = c.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "pos_avg"))
     return (
         c.crossJoin(F.broadcast(pos_avg))
@@ -824,7 +833,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE s.s_suppkey IN (
         SELECT sh.l_suppkey
         FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
-        WHERE p.p_name LIKE '%red%' AND sh.qty > 100.0
+        WHERE p.p_name LIKE '%red%' AND sh.qty > 40.0
     )
     """,
 )
@@ -845,7 +854,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.groupBy("l_suppkey", "l_partkey").agg(dsum("l_quantity", "qty"))
     qualifying = (
         shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
-        .filter(F.col("qty") > 100.0)
+        .filter(F.col("qty") > 40.0)
         .select("l_suppkey")
     )
     s = load(spark, sf_dir, "supplier")
