@@ -653,3 +653,72 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         ewma.alias("ewma"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_of_type
+        FROM events
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_id, event_type,
+           CAST(SUM(first_of_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count — how many distinct event types each user
+    has seen up to each event. COUNT(DISTINCT) OVER a running frame is
+    unsupported in both engines (and inherently O(n·distinct) done
+    naively); the standard rewrite flags each (user, type)'s FIRST
+    occurrence with one rank window, then running-sums the 0/1 flags.
+
+    Scale shape: ONE exchange — but only with the explicit
+    repartition(user_id) FIRST. Left alone, Catalyst partitions the rank
+    window on its own (user, type) key, which the second window's
+    user-only clustering cannot reuse (subset rule runs the other way),
+    costing a second full shuffle (observed). Pre-partitioning on the
+    COARSER key satisfies both windows — HashPartitioning(user) ⊆
+    {user, type} — so the plan is Exchange → Sort → Window → Sort →
+    Window, no second shuffle (locked in the plan snapshot). State per
+    row is one counter.
+
+    Parity: (ts, event_id) is a unique total order; flags and their
+    running sum are exact integers.
+    """
+    ev = load(spark, sf_dir, "events").repartition("user_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.row_number().over(w_type) == 1, 1).otherwise(0).alias(
+            "first_of_type"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_id",
+        "event_type",
+        F.sum("first_of_type").over(w_user).cast("bigint").alias(
+            "n_types_seen"
+        ),
+    )

@@ -542,3 +542,55 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").cast("int").alias("min_qty_bucket"),
         F.max("b").cast("int").alias("max_qty_bucket"),
     )
+
+
+@query(
+    "sink_training_shards",
+    oracle="""
+    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+    """,
+)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export: write the corpus as 16 hash-keyed shard
+    directories (the layout a dataloader streams round-robin) and emit
+    the shard MANIFEST — doc/token/char volumes and id bounds per shard —
+    computed from the files READ BACK, so the check certifies the export
+    round-trip, not the plan that produced it (the datasheet-plus-layout
+    artifact every pretraining run ships with its corpus).
+
+    Scale shape: the shard key is the first md5 hex digit of doc_id —
+    deterministic, uniform, layout-independent (the llm_sample_hash
+    draw); the write is one partitionBy pass, the manifest one grouped
+    aggregate over the read-back. At 100 TB the same two jobs run with
+    more shard digits (substring width is the fanout dial).
+
+    Parity: the oracle recomputes the manifest from the source view —
+    integer counts/sums only, so any lost or duplicated row in the
+    export flips the hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    target = sink_path("training_shards/documents_sharded")
+    delete_path(spark, target)
+    d.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+            "shard"
+        ),
+    ).write.partitionBy("shard").parquet(target)
+    back = spark.read.parquet(target)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
