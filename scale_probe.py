@@ -50,6 +50,9 @@ DOC_KEYS = [
     "llm_multimodal_audio",
     "llm_vocab_build",
     "llm_sample_temperature",
+    "llm_quality_ensemble",
+    "llm_contamination_report",
+    "sink_training_shards",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -60,6 +63,7 @@ EMB_KEYS = [
     "llm_embed_quantize",
     "llm_sim_search_lsh",
     "llm_kmeans_assign",
+    "llm_embed_pq",
 ]
 
 
@@ -217,6 +221,9 @@ FACT_KEYS = {
     "funnel_conversion": ("events", "event_id", None),
     "cohort_retention": ("events", "event_id", None),
     "join_range_binned": ("events", "event_id", None),
+    "ts_ewma": ("events", "event_id", None),
+    "win_running_distinct": ("events", "event_id", None),
+    "scan_partition_pruned": ("events", "event_id", None),
     "join_fuzzy_blocked": (
         "part",
         "p_partkey",
