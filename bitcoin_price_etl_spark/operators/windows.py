@@ -722,3 +722,151 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types_seen"
         ),
     )
+
+
+ROLL_TAPS = 21  # rolling-median / z-score window width
+
+
+@query(
+    "win_rolling_median",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_type, ts, event_id, value,
+               list(value) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN {ROLL_TAPS - 1} PRECEDING
+                                          AND CURRENT ROW) AS lv
+        FROM events
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_id, value,
+           list_sort(lv)[CAST((len(lv) + 1) // 2 AS BIGINT)]
+               AS rolling_median
+    FROM framed
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median filter per series (21-tap) — the robust despike
+    pass market-data pipelines run before derived analytics (a single
+    bad tick moves a rolling MEAN for 21 rows; the median ignores it).
+
+    No native windowed median exists in either engine; the portable form
+    sorts the bounded frame list and picks the lower middle (exact for
+    odd frames; the deterministic convention for the partition-head
+    short frames). The picked value is a RAW input double — no
+    arithmetic at all, so cross-engine parity is trivial.
+
+    Scale shape: identical to ts_ewma — one exchange, ≤21 doubles of
+    per-row state, sort cost 21·log 21 per row inside the partition.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_TAPS - 1), 0)
+    )
+    framed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.collect_list("value").over(w).alias("lv"),
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_id",
+        "value",
+        F.expr(
+            "element_at(array_sort(lv), CAST((size(lv) + 1) DIV 2 AS INT))"
+        ).alias("rolling_median"),
+    )
+
+
+@query(
+    "ts_zscore_rolling",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_type, ts, event_id, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(19,4))
+                             * CAST(value AS DECIMAL(19,4))
+                             AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {ROLL_TAPS - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_id, value,
+           CASE WHEN n > 1 AND s2 * n > s1 * s1
+                THEN CAST(CAST(
+                     (value - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1))
+                     AS DECIMAL(18,6)) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS zscore
+    FROM framed
+    """,
+)
+def ts_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score per series (21-tap): each tick scored against its
+    own trailing window's mean/stddev — the online anomaly gate
+    complementing ts_anomaly_mad's global two-pass form.
+
+    Parity: the window moment sums (Σx, Σx²) go through the decimal
+    discipline so the frame sums are bit-identical; mean/stddev then use
+    a fixed IEEE expression tree with one libm sqrt, and the final score
+    is quantized through DECIMAL(18,6) (the agg_corr rule — ratios of
+    exact moments still carry last-ulp division noise). Degenerate
+    frames (n=1 or zero variance, including the s2·n == s1² boundary)
+    emit 0 by the same guard in both engines.
+
+    Scale shape: one exchange, two running decimal accumulators +
+    a count per row — O(1) state, no frame list at all (contrast
+    win_rolling_median, which must hold the frame).
+    """
+    ev = load(spark, sf_dir, "events")
+    framed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.expr(
+            f"""CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN {ROLL_TAPS - 1} PRECEDING AND CURRENT ROW)
+                AS DOUBLE)"""
+        ).alias("s1"),
+        F.expr(
+            f"""CAST(SUM(CAST(CAST(value AS DECIMAL(19,4))
+                              * CAST(value AS DECIMAL(19,4))
+                              AS DECIMAL(38,8))) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN {ROLL_TAPS - 1} PRECEDING AND CURRENT ROW)
+                AS DOUBLE)"""
+        ).alias("s2"),
+        F.expr(
+            f"""CAST(COUNT(*) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN {ROLL_TAPS - 1} PRECEDING AND CURRENT ROW)
+                AS BIGINT)"""
+        ).alias("n"),
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_id",
+        "value",
+        F.expr(
+            """CASE WHEN n > 1 AND s2 * n > s1 * s1
+               THEN CAST(CAST(
+                    (value - s1 / n)
+                    / sqrt((s2 - s1 * s1 / n) / (n - 1))
+                    AS DECIMAL(18,6)) AS DOUBLE)
+               ELSE CAST(0.0D AS DOUBLE) END"""
+        ).alias("zscore"),
+    )

@@ -224,6 +224,8 @@ FACT_KEYS = {
     "ts_ewma": ("events", "event_id", None),
     "win_running_distinct": ("events", "event_id", None),
     "scan_partition_pruned": ("events", "event_id", None),
+    "win_rolling_median": ("events", "event_id", None),
+    "ts_zscore_rolling": ("events", "event_id", None),
     "join_fuzzy_blocked": (
         "part",
         "p_partkey",
