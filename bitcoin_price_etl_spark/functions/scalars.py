@@ -485,3 +485,52 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(l_returnflag AS BIGINT) AS mode_as_int,
+           CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS qty_as_int,
+           CASE WHEN (l_quantity - floor(l_quantity)) = 0.0
+                THEN CAST(l_extendedprice / nullif(l_quantity, 0.0)
+                          AS DOUBLE)
+                END AS unit_price,
+           coalesce(TRY_CAST(l_returnflag AS BIGINT), -1) AS mode_or_default
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_cast on never-numeric and
+    sometimes-numeric strings, nullif-guarded division, and
+    coalesce-defaulting — the ANSI-mode survival kit (under
+    spark.sql.ansi.enabled a plain CAST('AIR' AS BIGINT) throws and
+    kills the job at row 10^12; the try_ forms degrade to NULL instead,
+    which is the only sane semantics for a 100 TB dirty-data scan).
+
+    Parity notes: qty_as_int round-trips the quantity through VARCHAR
+    and back via DOUBLE — deliberately NOT try_cast straight to BIGINT,
+    where the engines genuinely disagree ('36.0' → NULL in Spark's
+    integral-only string cast, 36 in DuckDB's rounding one); the DOUBLE
+    hop is the portable semantics. The integral guard on unit_price
+    keeps the division exact-input only. Zero-shuffle projection.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("mode_as_int"),
+        F.expr(
+            "CAST(try_cast(CAST(l_quantity AS STRING) AS DOUBLE) AS BIGINT)"
+        ).alias("qty_as_int"),
+        F.expr(
+            """CASE WHEN (l_quantity - floor(l_quantity)) = 0.0D
+               THEN CAST(l_extendedprice / nullif(l_quantity, 0.0D)
+                         AS DOUBLE) END"""
+        ).alias("unit_price"),
+        F.expr(
+            "coalesce(try_cast(l_returnflag AS BIGINT), -1L)"
+        ).alias("mode_or_default"),
+    )

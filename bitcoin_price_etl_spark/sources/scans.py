@@ -503,3 +503,77 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
+
+
+_CORRUPT_EVERY = 7  # every 7th staged line is deliberately malformed
+
+
+@query(
+    "scan_corrupt_records",
+    oracle=f"""
+    WITH staged AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END
+                   AS is_corrupt
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT CAST(SUM(1 - is_corrupt) AS BIGINT) AS n_good,
+           CAST(SUM(is_corrupt) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN is_corrupt = 0 THEN doc_id END) AS BIGINT)
+               AS good_id_sum
+    FROM staged
+    """,
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest of a partially-corrupt JSONL feed: good
+    lines parse into columns, malformed lines land whole in
+    _corrupt_record instead of killing the job — the
+    bad-row-tolerant ingest posture of validate_quarantine applied one
+    layer earlier, at the parser itself (a 100 TB crawl drop ALWAYS
+    contains broken lines; a FAILFAST scan dies mid-epoch).
+
+    The fixture stage writes every 7th document's line as malformed JSON
+    (truncated brace); the scan declares the schema plus the
+    _corrupt_record capture column and the result reports the split and
+    an id-checksum of the good rows. The oracle derives the same triple
+    from the documents view — any good line lost to the parser, or any
+    bad line silently "parsed", flips a count or the checksum.
+
+    Scale shape: a plain distributed FileScan + one aggregate; the
+    corrupt capture adds one string column to the reader, no extra pass.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .collect()
+    )
+    stage = scratch_dir("scan_corrupt")
+    path = os.path.join(stage, "feed.jsonl")
+    with open(path, "w") as f:
+        for r in docs:
+            if r.doc_id % _CORRUPT_EVERY == 0:
+                f.write('{"doc_id": %d, "payload": \n' % r.doc_id)
+            else:
+                f.write('{"doc_id": %d, "payload": "ok"}\n' % r.doc_id)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(stage)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return raw.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("doc_id"))).cast("long").alias(
+            "good_id_sum"
+        ),
+    )
