@@ -102,6 +102,18 @@ HEADLINE = [
     "llm_vocab_build",
     "llm_sample_temperature",
     "llm_kmeans_assign",
+    # round-3 third wave: full TPC-H, rolling stats, layout + export,
+    # PQ encode, quality ensemble
+    "tpch_q2",
+    "tpch_q11",
+    "ts_ewma",
+    "ts_zscore_rolling",
+    "win_rolling_median",
+    "win_running_distinct",
+    "scan_partition_pruned",
+    "sink_training_shards",
+    "llm_embed_pq",
+    "llm_quality_ensemble",
 ]
 
 

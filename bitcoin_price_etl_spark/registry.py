@@ -69,7 +69,10 @@ _VERIFIED_R01: frozenset[str] = frozenset(
         "agg_conditional", "agg_stats", "agg_cube", "agg_pivot", "agg_median",
         "agg_grouping_sets", "agg_unpivot", "agg_bool", "agg_hll_sketch",
         "agg_histogram", "agg_minmax_by", "agg_mode", "agg_multi_distinct",
-        "join_broadcast", "join_shuffle", "join_semi", "join_anti",
+        # join_anti's r01 row is deliberately NOT honored: its unbounded
+        # NOT EXISTS was vacuous (0 rows at every SF) and the semantics
+        # changed to a date-bounded window — it must re-certify.
+        "join_broadcast", "join_shuffle", "join_semi",
         "join_outer", "join_cross_scalar", "join_theta_range", "join_asof",
         "join_outer_full", "join_salted_skew", "project_rename",
         "project_regex", "filter_pred", "flatten_struct", "sort_limit",
@@ -108,10 +111,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q1_full", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14",
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22",
+    "tpch_q21", "tpch_q22", "tpch_q2", "tpch_q11",
     "subquery_scalar", "subquery_correlated", "subquery_in_agg",
+    "subquery_lateral",
     "sql_cte_pipeline", "flagship_hourly_enriched",
     "scan_csv", "scan_orc", "scan_schema_evolution",
+    # round-3 session keys with the widest user surface: certify before
+    # the llm tail (which has green local parity and lower judge weight)
+    "ts_sessionize", "funnel_conversion", "cohort_retention",
+    "join_range_binned", "join_anti",
+    "llm_vocab_build", "llm_sample_temperature", "llm_kmeans_assign",
+    "llm_embed_pq", "ts_ewma", "win_rolling_median", "ts_zscore_rolling",
+    "win_running_distinct", "scan_partition_pruned", "scan_binaryfile",
+    "sink_training_shards",
     # scalar-function + operator stragglers
     "fn_explode", "fn_bitwise", "fn_encode", "fn_regex",
     "ts_interpolate_linear", "join_bucketed_colocated", "sink_merge_upsert",
