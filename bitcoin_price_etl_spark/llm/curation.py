@@ -852,3 +852,73 @@ def llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@query(
+    "llm_sample_weighted",
+    oracle=f"""
+    WITH drawn AS (
+        SELECT doc_id, source, n_chars,
+               CAST(-ln(
+                   (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) + 1.0)
+                   / 4294967297.0)
+                   / n_chars AS DECIMAL(30,12)) AS priority
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(priority AS DOUBLE) AS priority
+    FROM drawn
+    ORDER BY priority, doc_id
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each document draws priority −ln(u)/w from the deterministic md5
+    uniform u and weight w (n_chars — longer docs proportionally more
+    likely); the global k smallest priorities ARE a weighted sample
+    without replacement. The quality-weighted corpus subsample every
+    data-mixing recipe needs, reproducible on any cluster layout.
+
+    Scale shape: one zero-shuffle projection + TakeOrderedAndProject —
+    each partition keeps its local top-k, the driver merges k·partitions
+    candidates; no global sort, no shuffle of the corpus.
+
+    Parity: u = (hex64(md5)+1)/2^32+1 is exact integer arithmetic into
+    one IEEE division; ln is libm-identical on identical doubles; the
+    priority is quantized through DECIMAL(30,12): at priority
+    magnitudes ~1e-4, a 1e-18 quantum sat only ~100 ulp wide and the
+    engines' double→decimal conversions disagreed near half-quantum
+    boundaries (~1% of rows — observed); 1e-12 keeps the boundary
+    ~1e8 ulp away while still separating every distinct draw, so the
+    RANKING both engines sort on is identical exact values, tie-pinned
+    by doc_id.
+    """
+    d = load(spark, sf_dir, "documents")
+    u_int = F.expr(
+        "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+    ).cast("bigint")
+    priority = F.expr(
+        "CAST(-ln((conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " + 1.0D) / 4294967297.0D) / n_chars AS DECIMAL(30,12))"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            priority.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("priority").cast("double").alias("priority"),
+        )
+    )

@@ -116,6 +116,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "subquery_lateral",
     "sql_cte_pipeline", "flagship_hourly_enriched",
     "scan_csv", "scan_orc", "scan_schema_evolution",
+    # the r2 driver failure, output shape fixed this round — must stay
+    # inside the ~50-key window
+    "llm_embed_normalize",
     # round-3 session keys with the widest user surface: certify before
     # the llm tail (which has green local parity and lower judge weight)
     "ts_sessionize", "funnel_conversion", "cohort_retention",
