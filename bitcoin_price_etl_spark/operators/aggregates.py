@@ -834,3 +834,49 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 3.0 AS DECIMAL(10,6)) AS DOUBLE)"
         ).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap rollup (Spark 3.5+ bitmap_*
+    functions): keys bucket into 32k-bit blocks, each (group, bucket)
+    aggregates into one fixed-size bitmap, and per-group distinct is the
+    sum of bucket popcounts. This is the warehouse bitmap-index pattern
+    (Snowflake/ClickHouse bitmap rollups): unlike COUNT(DISTINCT)'s
+    expand+dedup — whose exchange carries every distinct VALUE — the
+    bitmap form's exchange carries constant-size bitmaps per bucket, and
+    bitmaps of disjoint loads OR-merge, so the same materialized
+    aggregate serves incremental refresh.
+
+    Parity: the oracle counts distinct the plain way — the bitmap
+    pipeline must reproduce the exact integers (it is exact by
+    construction, unlike HLL; agg_hll_sketch covers the approximate
+    tier). Integer outputs only.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_bm")
+
+    def rollup(key: str, alias: str) -> str:
+        return f"""
+        SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS {alias}
+        FROM (
+          SELECT l_returnflag,
+                 bitmap_bucket_number({key}) AS bkt,
+                 bitmap_count(bitmap_construct_agg(
+                     bitmap_bit_position({key}))) AS cnt
+          FROM lineitem_bm
+          GROUP BY l_returnflag, bitmap_bucket_number({key})
+        ) GROUP BY l_returnflag
+        """
+
+    parts = spark.sql(rollup("l_partkey", "n_distinct_parts"))
+    supps = spark.sql(rollup("l_suppkey", "n_distinct_supps"))
+    return parts.join(supps, "l_returnflag")

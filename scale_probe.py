@@ -208,6 +208,7 @@ FACT_KEYS = {
     "ts_interpolate_linear": ("events", "event_id", None),
     "table_profile_stats": ("lineitem", "l_orderkey", None),
     "agg_skew_kurt": ("lineitem", "l_orderkey", None),
+    "agg_bitmap_distinct": ("lineitem", "l_orderkey", None),
     "ts_vwap": ("lineitem", "l_orderkey", None),
     "sink_zorder_layout": ("lineitem", "l_orderkey", None),
     "sink_scd2": ("customer", "c_custkey", None),
