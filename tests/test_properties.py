@@ -402,3 +402,129 @@ def test_lsh_arrow_signatures_match_jvm_twin(spark):
         for r in _band_signature_sigs(e, planes).drop("embedding").collect()
     }
     assert jvm == arrow
+
+
+def test_sessionize_against_brute_force(spark):
+    """ts_sessionize must agree with a driver-side brute-force pass:
+    same session count per user, same per-session bounds, and every
+    intra-session gap within the 30-min threshold while every
+    session-to-session gap exceeds it."""
+    from bitcoin_price_etl_spark.operators.eventflow import (
+        SESSION_GAP_SECONDS,
+        ts_sessionize,
+    )
+
+    got = {
+        (r.user_id, r.session_seq): (r.session_start, r.session_end, r.n_events)
+        for r in ts_sessionize(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        start = end = None
+        n = 0
+        prev = None
+        for ts, _eid in evs:
+            if prev is None or (ts - prev).total_seconds() > SESSION_GAP_SECONDS:
+                if seq:
+                    expected[(uid, seq)] = (start, end, n)
+                seq += 1
+                start, n = ts, 0
+            end = ts
+            n += 1
+            prev = ts
+        expected[(uid, seq)] = (start, end, n)
+    assert set(got) == set(expected)
+    for k, (start, end, n) in expected.items():
+        g_start, g_end, g_n = got[k]
+        assert g_n == n, (k, got[k], (start, end, n))
+        assert g_start == start.strftime("%Y-%m-%d %H:%M:%S")
+        assert g_end == end.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_range_binned_join_equals_brute_force(spark):
+    """The binned interval join must count exactly the pairs the naive
+    O(n²) predicate admits — bin math can neither drop a boundary pair
+    nor double-count one (each error's bin is unique)."""
+    from bitcoin_price_etl_spark.operators.joins import (
+        RANGE_BIN_SECONDS,
+        join_range_binned,
+    )
+
+    got = {
+        r.event_id: r.n_nearby_purchases
+        for r in join_range_binned(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "ts"
+    ).collect()
+    errors = [(r.event_id, r.ts) for r in ev if r.event_type == "error"]
+    purchases = [r.ts for r in ev if r.event_type == "purchase"]
+    radius = RANGE_BIN_SECONDS
+    for eid, ts in errors:
+        n = sum(1 for p in purchases if abs((ts - p).total_seconds()) <= radius)
+        assert got[eid] == n, (eid, got[eid], n)
+    assert len(got) == len(errors)
+
+
+def test_weighted_sample_matches_reference_formula(spark):
+    """llm_sample_weighted's winners must equal a driver-side replay of
+    the Efraimidis–Spirakis draw (same md5 uniform, same weights) — the
+    sample is a pure function of keys and weights, never of layout."""
+    import hashlib
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from bitcoin_price_etl_spark.llm.curation import (
+        WEIGHTED_SAMPLE_K,
+        llm_sample_weighted,
+    )
+
+    got = [r.doc_id for r in llm_sample_weighted(spark, SF_SMOKE).collect()]
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()
+    scored = []
+    for r in docs:
+        u_int = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        pri = -math.log((u_int + 1.0) / 4294967297.0) / r.n_chars
+        pri_q = Decimal(repr(pri)).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+        scored.append((pri_q, r.doc_id))
+    expected = [d for _, d in sorted(scored)[:WEIGHTED_SAMPLE_K]]
+    assert sorted(got) == sorted(expected)
+
+
+def test_kmeans_assign_matches_numpy_argmin(spark):
+    """llm_kmeans_assign must agree with a numpy float64 argmin over the
+    same seed centroids (tie-break on centroid id)."""
+    import numpy as np
+
+    from bitcoin_price_etl_spark.llm.simsearch import (
+        KMEANS_K,
+        llm_kmeans_assign,
+    )
+
+    got = {
+        r.vec_id: r.cluster_id for r in llm_kmeans_assign(spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    rows.sort(key=lambda r: r.vec_id)
+    cents = [(r.vec_id, np.array(r.embedding, dtype=np.float64))
+             for r in rows[:KMEANS_K]]
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        best = min(
+            (float(((v - c) * (v - c)).sum()), cid) for cid, c in cents
+        )[1]
+        assert got[r.vec_id] == best, r.vec_id
