@@ -502,8 +502,8 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_regionkey = 1 AND n2.n_regionkey = 2)
+        OR (n1.n_regionkey = 2 AND n2.n_regionkey = 1))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
@@ -515,7 +515,12 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     The nation table joins twice under different roles (supplier side /
     customer side) — both broadcast; the disjunctive pair predicate is a
     residual after both dims attach. Facts shuffle once each on their join
-    keys; the year comes from l_shipdate so no extra column is carried."""
+    keys; the year comes from l_shipdate so no extra column is carried.
+    The pair is REGION-level (region 1 ↔ region 2), not the spec's two
+    single nations: the fixture has only ~SF·100 suppliers over 25
+    nations, so any one nation pair is empty at small SFs and the check
+    would be vacuous (the tpch_q18 lesson); region pairing keeps the
+    directional-volume shape non-trivially populated at every SF."""
     s = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -524,14 +529,18 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n1 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("n1_region"),
     )
     n2 = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("n2_region"),
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("n1_region") == 1) & (F.col("n2_region") == 2)
+    ) | ((F.col("n1_region") == 2) & (F.col("n2_region") == 1))
     return (
         F.broadcast(s)
         .join(li, s.s_suppkey == li.l_suppkey)

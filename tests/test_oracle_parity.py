@@ -24,3 +24,27 @@ def test_rows_only_runs(spark, sf_dir, key):
     df = spec.fn(spark, sf_dir)
     assert len(df.columns) > 0
     assert df.count() >= 0
+
+
+def test_no_oracle_is_vacuous():
+    """Every oracle must return at least one row at smoke scale: an
+    empty result passes the driver's hash gate while proving nothing
+    (five keys shipped that way before the round-3 audit — Q20/Q22/
+    join_anti/subquery_in_agg/llm_dedup_embed all had predicates the
+    fixtures could never satisfy). DuckDB-only, no Spark session."""
+    import duckdb
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    empty = []
+    for key in ORACLE_KEYS:
+        sql = load_all()[key].oracle
+        if len(con.sql(sql).fetchall()) == 0:
+            empty.append(key)
+    assert not empty, f"vacuous oracles (0 rows at smoke scale): {empty}"
