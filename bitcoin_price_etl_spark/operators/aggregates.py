@@ -880,3 +880,46 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = spark.sql(rollup("l_partkey", "n_distinct_parts"))
     supps = spark.sql(rollup("l_suppkey", "n_distinct_supps"))
     return parts.join(supps, "l_returnflag")
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)
+               AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (the t-digest-style sketch tier for
+    quantiles, next to agg_hll_sketch's distinct tier) with its accuracy
+    CONTRACT as the checked value: the oracle cannot reproduce Spark's
+    percentile_approx sketch, but it can assert the promise — the Spark
+    side emits whether the sketch's median lands within 1% of the exact
+    one, and the oracle emits literal TRUE. A sketch drifting out of
+    contract flips the flag and fails the hash — an honest check of the
+    approximation, not of bit-equal internals.
+
+    exact_p50 itself is Spark's exact interpolated percentile vs
+    DuckDB's quantile_cont (the agg_median parity pairing). At 100 TB
+    the sketch path is the one to run: percentile_approx
+    partial-aggregates constant-size state, where exact percentile
+    carries per-group value lists.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias(
+            "approx_p50"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.01 * F.abs(F.col("exact_p50"))
+        ).alias("approx_within_1pct"),
+    )

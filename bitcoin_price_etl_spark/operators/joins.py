@@ -478,3 +478,79 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH rates AS (
+        SELECT date_trunc('hour', ts) AS rate_ts,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS rate
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY date_trunc('hour', ts)
+    ), clicks AS (
+        SELECT event_id, ts FROM events WHERE event_type = 'click'
+    ), cand AS (
+        SELECT c.event_id, c.ts, r.rate_ts, r.rate,
+               row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(r.rate_ts)),
+                            r.rate_ts) AS rn
+        FROM clicks c JOIN rates r
+          ON abs(epoch_us(c.ts) - epoch_us(r.rate_ts))
+             <= CAST(43200000000 AS BIGINT)
+    )
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           rate AS nearest_rate,
+           strftime(rate_ts, '%Y-%m-%d %H:%M:%S') AS rate_ts_str
+    FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each click picks the temporally
+    CLOSEST hourly purchase-rate, before or after, within a 12-hour
+    search radius (tie → earlier mark) — the other as-of flavor kdb/
+    QuestDB users reach for when the quote can legitimately arrive after
+    the trade. join_asof covers the classic backward-only form.
+
+    Scale shape: the rate series is time-bucketed — its cardinality is
+    hours-in-span, FIXED regardless of fact volume — so it broadcasts at
+    any SF and the candidate scan is O(|rates within ±12 h|) ≈ 25 per
+    click via a broadcast nested loop, then a per-click argmin that
+    combines map-side. This is the right plan ONLY because one side is
+    bucket-bounded; a fact-fact nearest join is join_range_binned's
+    territory.
+
+    Parity: distances are exact integer microseconds; the picked rate is
+    the decimal-exact hourly mean both engines derive; argmin tie-pins
+    on rate_ts.
+    """
+    ev = load(spark, sf_dir, "events")
+    rates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("rate_ts"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)"
+                " / COUNT(value)"
+            ).alias("rate")
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    dist = F.abs(F.unix_micros("ts") - F.unix_micros("rate_ts"))
+    cand = clicks.join(
+        F.broadcast(rates), dist <= 12 * 3600 * 1_000_000
+    ).select("event_id", "ts", "rate_ts", "rate", dist.alias("d_us"))
+    best = cand.groupBy("event_id").agg(
+        F.min(F.struct("d_us", "rate_ts", "rate", "ts")).alias("b")
+    )
+    return best.select(
+        "event_id",
+        F.date_format("b.ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("b.rate").alias("nearest_rate"),
+        F.date_format("b.rate_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "rate_ts_str"
+        ),
+    )
