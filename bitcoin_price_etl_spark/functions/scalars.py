@@ -534,3 +534,41 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(try_cast(l_returnflag AS BIGINT), -1L)"
         ).alias("mode_or_default"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured payloads: parse_json
+    once into the binary variant encoding, then typed variant_get path
+    extraction and schema_of_variant introspection — the
+    columnar-shredded semi-structured story (a VARIANT column scans and
+    extracts ~an order faster than re-parsing JSON text per expression,
+    and is the engine's answer to open-schema event payloads at 100 TB).
+
+    The oracle expresses the same extractions over DuckDB's JSON type —
+    deliberately a DIFFERENT semi-structured representation proving the
+    same values out; schema_of_variant's output is pinned against the
+    fixture's known payload shape (a literal in the oracle), so a
+    variant-inference regression fails the hash. Zero-shuffle projection.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_int"
+        ),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias(
+            "k_str"
+        ),
+        F.expr("schema_of_variant(parse_json(props))").alias("vschema"),
+    )
