@@ -237,3 +237,120 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+FUNNEL_WINDOW_SECONDS = 86400  # 24 h from the entry event
+
+
+@query(
+    "funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
+        FROM events WHERE event_type = 'view'
+    ), c AS (
+        SELECT user_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ), vc AS (
+        SELECT v.user_id, v.v_id, v.v_us, min(c.c_us) AS first_c
+        FROM v LEFT JOIN c
+          ON v.user_id = c.user_id
+         AND c.c_us > v.v_us
+         AND c.c_us <= v.v_us + CAST({FUNNEL_WINDOW_SECONDS} AS BIGINT)
+                                * 1000000
+        GROUP BY v.user_id, v.v_id, v.v_us
+    ), vcp AS (
+        SELECT vc.user_id, vc.v_id, vc.v_us, vc.first_c,
+               min(p.p_us) AS first_p
+        FROM vc LEFT JOIN p
+          ON vc.user_id = p.user_id
+         AND vc.first_c IS NOT NULL
+         AND p.p_us > vc.first_c
+         AND p.p_us <= vc.v_us + CAST({FUNNEL_WINDOW_SECONDS} AS BIGINT)
+                                 * 1000000
+        GROUP BY vc.user_id, vc.v_id, vc.v_us, vc.first_c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_entries,
+           CAST(sum(CASE WHEN first_c IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reached_click,
+           CAST(sum(CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reached_purchase
+    FROM vcp GROUP BY user_id
+    """,
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse windowFunnel semantics): EVERY view
+    event opens a 24-hour window; within it, count whether a click
+    follows the view and then a purchase follows that click — per-entry
+    chains, not funnel_conversion's one-strict-sequence-per-user. The
+    retention metric behind "of N impressions, how many converted within
+    a day".
+
+    Scale shape: both chain steps are equi-joins on user_id with a time
+    band as residual — after the first exchange every frame is
+    user-co-partitioned, and the per-entry argmin (earliest qualifying
+    next step) combines map-side. Per-user fanout is views×clicks inside
+    one user's partition — bounded by per-user activity, never by corpus
+    size; a bot-user hot key takes the join_salted_skew treatment, not a
+    different algorithm.
+
+    Parity: all time math is integer microseconds; counts are integers;
+    the argmin picks are min() over exact integers.
+    """
+    win_us = FUNNEL_WINDOW_SECONDS * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    # LEFT join with NO post-filter: filtering joined rows by the window
+    # would delete a view entirely when all its clicks fall outside the
+    # window (it must still count as an entry) — the window condition
+    # lives inside the conditional min instead.
+    vc = (
+        v.join(c, ["user_id"], "left")
+        .groupBy("user_id", "v_id", "v_us")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("c_us") > F.col("v_us"))
+                    & (F.col("c_us") <= F.col("v_us") + win_us),
+                    F.col("c_us"),
+                )
+            ).alias("first_c")
+        )
+    )
+    vcp = (
+        vc.join(p, ["user_id"], "left")
+        .groupBy("user_id", "v_id", "v_us", "first_c")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("first_c").isNotNull()
+                    & (F.col("p_us") > F.col("first_c"))
+                    & (F.col("p_us") <= F.col("v_us") + win_us),
+                    F.col("p_us"),
+                )
+            ).alias("first_p")
+        )
+    )
+    return vcp.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(F.when(F.col("first_c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached_click"),
+        F.sum(F.when(F.col("first_p").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached_purchase"),
+    )
