@@ -222,6 +222,8 @@ FACT_KEYS = {
     "funnel_conversion": ("events", "event_id", None),
     "cohort_retention": ("events", "event_id", None),
     "join_range_binned": ("events", "event_id", None),
+    "funnel_windowed": ("events", "event_id", None),
+    "join_asof_nearest": ("events", "event_id", None),
     "ts_ewma": ("events", "event_id", None),
     "win_running_distinct": ("events", "event_id", None),
     "scan_partition_pruned": ("events", "event_id", None),
