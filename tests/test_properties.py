@@ -528,3 +528,73 @@ def test_kmeans_assign_matches_numpy_argmin(spark):
             (float(((v - c) * (v - c)).sum()), cid) for cid, c in cents
         )[1]
         assert got[r.vec_id] == best, r.vec_id
+
+
+def test_rolling_median_matches_python_replay(spark):
+    """win_rolling_median must equal a driver-side replay: per series,
+    sort by (ts, event_id), take the trailing ≤21 values, sort them, and
+    pick the lower middle — validating the frame-order assumption the
+    windowed list builds on."""
+    from bitcoin_price_etl_spark.operators.windows import (
+        ROLL_TAPS,
+        win_rolling_median,
+    )
+
+    got = {
+        (r.event_type, r.event_id): r.rolling_median
+        for r in win_rolling_median(spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for etype, evs in series.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        for i, (_, eid, _) in enumerate(evs):
+            frame = sorted(vals[max(0, i - ROLL_TAPS + 1): i + 1])
+            expect = frame[(len(frame) + 1) // 2 - 1]
+            assert got[(etype, eid)] == expect, (etype, eid)
+
+
+def test_ewma_matches_python_replay(spark):
+    """ts_ewma must equal a float64 replay of the truncated formula with
+    the same 1e-6 decimal quantization at the edge."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from bitcoin_price_etl_spark.operators.windows import (
+        EWMA_DECAY,
+        EWMA_HORIZON,
+        ts_ewma,
+    )
+
+    got = {
+        (r.event_type, r.event_id): r.ewma
+        for r in ts_ewma(spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for etype, evs in series.items():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        for i, (_, eid, _) in enumerate(evs):
+            frame = vals[max(0, i - EWMA_HORIZON + 1): i + 1]
+            n = len(frame)
+            num = 0.0
+            den = 0.0
+            for k, x in enumerate(frame):
+                w = EWMA_DECAY ** (n - 1 - k)
+                num += x * w
+                den += w
+            expect = float(
+                Decimal(repr(num / den)).quantize(
+                    Decimal("1e-6"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert got[(etype, eid)] == expect, (etype, eid)
