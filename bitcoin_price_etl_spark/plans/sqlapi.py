@@ -56,3 +56,53 @@ def sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE tree AS (
+        SELECT CAST(0 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT d.doc_id, t.depth + 1
+        FROM documents d JOIN tree t
+          ON (d.doc_id - 1) {div} 2 = t.doc_id
+        WHERE d.doc_id BETWEEN 1 AND 126
+    )
+    SELECT t.doc_id, t.depth,
+           CAST((t.doc_id - 1) {div} 2 AS BIGINT) AS parent_id
+    FROM tree t
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL.format(div="//").replace(
+        "CAST((t.doc_id - 1) // 2 AS BIGINT) AS parent_id",
+        "CAST(CASE WHEN t.doc_id = 0 THEN NULL"
+        " ELSE (t.doc_id - 1) // 2 END AS BIGINT) AS parent_id",
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE transitive closure (Spark 4 recursive CTEs): walk
+    a 127-node parent tree derived from doc_ids (heap rule: parent =
+    (id−1)÷2) and emit every node's depth and parent — the org-chart/
+    BOM/reachability SQL surface. llm_dedup_cluster implements the same
+    fixpoint manually with a driver loop; this is the declarative form
+    the engine now executes natively (iterative UNION materialization
+    inside one statement).
+
+    Scale shape: each recursion step is an equi-join of the frontier
+    against the child relation on the parent key — co-partitionable, and
+    the iteration count is the DEPTH of the hierarchy (7 here, log n for
+    a balanced tree), not its size.
+
+    Parity: DuckDB runs the same recursive CTE text (integer division
+    spelled // vs DIV); depths and parent ids are exact integers.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _RECURSIVE_SQL.format(div="DIV").replace(
+            "CAST((t.doc_id - 1) DIV 2 AS BIGINT) AS parent_id",
+            "CAST(CASE WHEN t.doc_id = 0 THEN NULL"
+            " ELSE (t.doc_id - 1) DIV 2 END AS BIGINT) AS parent_id",
+        )
+    )
