@@ -923,3 +923,80 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.abs(F.col("exact_p50"))
         ).alias("approx_within_1pct"),
     )
+
+
+@query(
+    "agg_linreg",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST((epoch_us(ts)
+                              - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                             // 3600000000 AS DECIMAL(18,0))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST((epoch_us(ts)
+                              - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                             // 3600000000 AS DECIMAL(18,0))
+                        * CAST((epoch_us(ts)
+                              - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                             // 3600000000 AS DECIMAL(18,0))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST((epoch_us(ts)
+                              - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                             // 3600000000 AS DECIMAL(18,0))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(14,8)) AS DOUBLE) AS slope_per_hour,
+           CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n AS DECIMAL(14,6)) AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend line (slope/intercept of value over time) —
+    the price-drift analytic of the reference's domain, from the same
+    decimal-exact moment sums as agg_corr (the built-in regr_slope
+    streams updates in engine-specific order and drifts in the last
+    ulps). x is integer HOURS since a fixed origin — exact in decimal,
+    small enough that x² moments stay far from overflow at any SF.
+
+    Scale shape: one partial-aggregated groupBy carrying four
+    fixed-width moment accumulators — O(1) state per series regardless
+    of volume. The slope/intercept ratios are quantized through coarse
+    decimals (the agg_corr rule: ratios of exact moments still carry
+    division noise).
+    """
+    ev = load(spark, sf_dir, "events")
+    x_dec = (
+        "CAST((unix_micros(ts) - unix_micros(TIMESTAMP '2024-01-01 00:00:00'))"
+        " DIV 3600000000 AS DECIMAL(18,0))"
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM({x_dec}) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)").alias(
+            "sy"
+        ),
+        F.expr(f"CAST(SUM({x_dec} * {x_dec}) AS DOUBLE)").alias("sxx"),
+        F.expr(
+            f"CAST(SUM({x_dec} * CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)"
+            " AS DECIMAL(14,8)) AS DOUBLE)"
+        ).alias("slope_per_hour"),
+        F.expr(
+            "CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+            " / n AS DECIMAL(14,6)) AS DOUBLE)"
+        ).alias("intercept"),
+    )
