@@ -870,3 +870,76 @@ def ts_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE CAST(0.0D AS DOUBLE) END"""
         ).alias("zscore"),
     )
+
+
+@query(
+    "win_pareto_abc",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4)) AS cum_dec,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+                    PARTITION BY o_orderstatus) AS DECIMAL(38,4)) AS tot_dec
+        FROM orders
+    )
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)
+               AS cum_share,
+           CASE WHEN cum_dec * 100 <= tot_dec * 80 THEN 'A'
+                WHEN cum_dec * 100 <= tot_dec * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification: orders ranked by value within their
+    status; each row carries its running share of the partition total
+    and an A/B/C class (top 80% of value / next 15% / tail) — the
+    inventory-analysis classic.
+
+    Parity: the running and total sums are exact decimals; the share is
+    ONE division of bit-identical doubles; the class boundaries compare
+    cum·100 ≤ tot·80 IN DECIMAL — exact cross-multiplication, so a row
+    sitting precisely on the 80% line classifies identically in both
+    engines (a double share ≤ 0.8 comparison could not promise that).
+
+    Scale shape: one exchange on the partition key; two window passes
+    over the same sort (running + partition total) with O(1) state.
+    """
+    o = load(spark, sf_dir, "orders")
+    w_run = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("o_orderstatus")
+    cum_dec = F.expr(
+        "SUM(CAST(o_totalprice AS DECIMAL(38,4)))"
+    ).over(w_run).cast("decimal(38,4)")
+    tot_dec = F.expr(
+        "SUM(CAST(o_totalprice AS DECIMAL(38,4)))"
+    ).over(w_all).cast("decimal(38,4)")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        cum_dec.alias("cum_dec"),
+        tot_dec.alias("tot_dec"),
+    )
+    return ranked.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.col("cum_dec").cast("double") / F.col("tot_dec").cast("double")
+        ).alias("cum_share"),
+        F.when(
+            F.col("cum_dec") * 100 <= F.col("tot_dec") * 80, "A"
+        )
+        .when(F.col("cum_dec") * 100 <= F.col("tot_dec") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
