@@ -598,3 +598,74 @@ def test_ewma_matches_python_replay(spark):
                 )
             )
             assert got[(etype, eid)] == expect, (etype, eid)
+
+
+def test_vocab_build_matches_counter_replay(spark):
+    """llm_vocab_build must equal a collections.Counter replay of the
+    same tokenization (lower + [^a-z]+ split, min count, top-K ordered
+    by count desc then token)."""
+    import re
+    from collections import Counter
+
+    from bitcoin_price_etl_spark.llm.textstats import (
+        VOCAB_MIN_COUNT,
+        VOCAB_TOP_K,
+        llm_vocab_build,
+    )
+
+    got = [
+        (r.token, r.n_total, r.n_docs)
+        for r in llm_vocab_build(spark, SF_SMOKE).collect()
+    ]
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    totals = Counter()
+    doc_freq = Counter()
+    for r in docs:
+        toks = [t for t in re.split(r"[^a-z]+", r.text.lower()) if t]
+        totals.update(toks)
+        doc_freq.update(set(toks))
+    kept = [(t, n) for t, n in totals.items() if n >= VOCAB_MIN_COUNT]
+    kept.sort(key=lambda tn: (-tn[1], tn[0]))
+    expected = [(t, n, doc_freq[t]) for t, n in kept[:VOCAB_TOP_K]]
+    assert got == expected
+
+
+def test_temperature_sample_matches_replay(spark):
+    """llm_sample_temperature membership must equal a Python replay of
+    the acceptance thresholds (counts → pow → decimal quantize → integer
+    2^-32 quanta) against the md5 draw."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from bitcoin_price_etl_spark.llm.curation import (
+        _TEMP_T,
+        llm_sample_temperature,
+    )
+
+    got = {r.doc_id for r in llm_sample_temperature(spark, SF_SMOKE).collect()}
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "source").collect()
+    counts = {}
+    for r in docs:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    n = sum(counts.values())
+    pw = {
+        s: Decimal(repr((c / n) ** _TEMP_T)).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+        for s, c in counts.items()
+    }
+    z = sum(pw.values())
+    r_ratio = {
+        s: (float(pw[s]) / float(z)) / (counts[s] / n) for s in counts
+    }
+    rmax = max(r_ratio.values())
+    thr = {
+        s: min(int((r_ratio[s] / rmax) * 4294967296.0), 4294967295)
+        for s in counts
+    }
+    expected = set()
+    for r in docs:
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        if u < thr[r.source]:
+            expected.add(r.doc_id)
+    assert got == expected
