@@ -225,6 +225,8 @@ FACT_KEYS = {
     "funnel_windowed": ("events", "event_id", None),
     "join_asof_nearest": ("events", "event_id", None),
     "ts_ewma": ("events", "event_id", None),
+    "agg_linreg": ("events", "event_id", None),
+    "win_pareto_abc": ("orders", "o_orderkey", None),
     "win_running_distinct": ("events", "event_id", None),
     "scan_partition_pruned": ("events", "event_id", None),
     "win_rolling_median": ("events", "event_id", None),
