@@ -922,3 +922,66 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("priority").cast("double").alias("priority"),
         )
     )
+
+
+MASK_RATE_HEX = "26"  # first 2 md5 hex chars < 0x26 ≈ 15% of positions
+
+
+@query(
+    "llm_mask_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS ts FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_transform(
+                   list_zip(ts, range(1, len(ts) + 1)),
+                   p -> CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)
+                                      || ':' || CAST(p[2] AS VARCHAR)),
+                                  1, 2) < '{MASK_RATE_HEX}'
+                             THEN '<MASK>' ELSE p[1] END),
+               ' ') AS masked_text,
+           CAST(len(list_filter(
+               range(1, len(ts) + 1),
+               i -> substring(md5(CAST(doc_id AS VARCHAR)
+                              || ':' || CAST(i AS VARCHAR)), 1, 2)
+                    < '{MASK_RATE_HEX}')) AS BIGINT) AS n_masked
+    FROM toks
+    """,
+)
+def llm_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-LM data prep: ~15% of token positions per document become
+    <MASK>, chosen by the deterministic md5 draw over (doc_id, position)
+    — the BERT-style corruption pass, reproducible on any cluster layout
+    and across epochs (the epoch id would simply join the hash input).
+
+    Scale shape: a zero-shuffle projection — the split/transform/rejoin
+    runs entirely inside whole-stage codegen over one scan; no token
+    ever leaves its row.
+
+    Parity: pure string/array surgery with an identical hash draw; the
+    masked text and count are exact in both engines (Spark transform
+    exposes the element index directly; DuckDB zips an explicit range —
+    both 1-based here).
+    """
+    d = load(spark, sf_dir, "documents")
+    mask_cond = (
+        f"substring(md5(CAST(doc_id AS STRING) || ':' || CAST({{i}} AS STRING)),"
+        f" 1, 2) < '{MASK_RATE_HEX}'"
+    )
+    masked = F.expr(
+        "array_join(transform(split(text, ' '),"
+        " (x, i) -> CASE WHEN "
+        + mask_cond.format(i="i + 1")
+        + " THEN '<MASK>' ELSE x END), ' ')"
+    )
+    n_masked = F.expr(
+        "CAST(size(filter(sequence(1, size(split(text, ' '))),"
+        " i -> " + mask_cond.format(i="i") + ")) AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        masked.alias("masked_text"),
+        n_masked.alias("n_masked"),
+    )
