@@ -53,6 +53,8 @@ DOC_KEYS = [
     "llm_quality_ensemble",
     "llm_contamination_report",
     "sink_training_shards",
+    "llm_mask_tokens",
+    "llm_sample_weighted",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
