@@ -393,3 +393,38 @@ def test_partition_pruned_scan_reads_one_day(spark):
     assert "PartitionFilters" in plan
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "event_date" in pf_line, pf_line
+
+
+def test_observe_metrics_surface(spark):
+    """DataFrame.observe: pipeline-health metrics collected as a side
+    channel of a normal action — the production observability hook (row
+    counts and decimal-exact sums surface per batch without a second
+    scan). The observed values must equal a direct aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from bitcoin_price_etl_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    obs = Observation("ingest_health")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)"
+        ).alias("sum_qty"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias(
+            "n_null_qty"
+        ),
+    )
+    kept = observed.filter(F.col("l_quantity") >= 25.0).count()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)").alias("s"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == direct.n
+    assert got["sum_qty"] == direct.s
+    assert got["n_null_qty"] == 0
+    assert 0 < kept < direct.n  # the filter actually ran on the same scan
