@@ -492,7 +492,7 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            TRY_CAST(l_returnflag AS BIGINT) AS mode_as_int,
-           CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS BIGINT) AS qty_as_int,
+           CAST(floor(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)) AS BIGINT) AS qty_as_int,
            CASE WHEN (l_quantity - floor(l_quantity)) = 0.0
                 THEN CAST(l_extendedprice / nullif(l_quantity, 0.0)
                           AS DOUBLE)
@@ -514,7 +514,10 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and back via DOUBLE — deliberately NOT try_cast straight to BIGINT,
     where the engines genuinely disagree ('36.0' → NULL in Spark's
     integral-only string cast, 36 in DuckDB's rounding one); the DOUBLE
-    hop is the portable semantics. The integral guard on unit_price
+    hop is the portable semantics, and the explicit floor() pins the
+    DOUBLE→BIGINT edge on both engines (Spark's cast truncates toward
+    zero, DuckDB's rounds half-to-even — identical only on integral
+    fixtures without the floor). The integral guard on unit_price
     keeps the division exact-input only. Zero-shuffle projection.
     """
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
@@ -523,7 +526,8 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.expr("try_cast(l_returnflag AS BIGINT)").alias("mode_as_int"),
         F.expr(
-            "CAST(try_cast(CAST(l_quantity AS STRING) AS DOUBLE) AS BIGINT)"
+            "CAST(floor(try_cast(CAST(l_quantity AS STRING) AS DOUBLE))"
+            " AS BIGINT)"
         ).alias("qty_as_int"),
         F.expr(
             """CASE WHEN (l_quantity - floor(l_quantity)) = 0.0D

@@ -99,51 +99,46 @@ def _load_verified_extra() -> frozenset[str]:
 DRIVER_VERIFIED: frozenset[str] = _VERIFIED_R01 | _load_verified_extra()
 
 # Explicit head of the round's verification window, most-important-first.
-# Round 3: the user-facing query-engine core (all 20 TPC-H adaptations,
-# subqueries, the SQL-text entry path, the flagship pipeline, CSV/ORC/
-# schema-evolution scans) currently rests entirely on self-reported local
-# parity — those go first. Then the remaining oracle-bearing keys, then
-# the rows-only tail (weakest evidence class, fine to spill to round 4).
-# Already-verified keys are filtered out by ordered_keys(), so stale
-# entries here are harmless.
+# Round 4: r03 was merged (146 verified), so the window rotates to the
+# 59-key never-verified tail — every oracle-bearing key first (hash match
+# is the strongest evidence class), then the rows-only keys ordered by
+# user surface. llm_dedup_embed was un-verified per ADVICE r3 (its cosine
+# gate changed post-certification) and must re-certify. Keys added this
+# session land after this head automatically (ordered_keys insertion
+# order) and rotate into the r5 window. Already-verified keys are
+# filtered out by ordered_keys(), so stale entries here are harmless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # query-engine core: zero hard evidence after two rounds
-    "tpch_q1_full", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22", "tpch_q2", "tpch_q11",
-    "subquery_scalar", "subquery_correlated", "subquery_in_agg",
-    "subquery_lateral",
-    "sql_cte_pipeline", "flagship_hourly_enriched",
-    "scan_csv", "scan_orc", "scan_schema_evolution",
-    # the r2 driver failure, output shape fixed this round — must stay
-    # inside the ~50-key window
-    "llm_embed_normalize",
-    # round-3 session keys with the widest user surface: certify before
-    # the llm tail (which has green local parity and lower judge weight)
-    "ts_sessionize", "funnel_conversion", "cohort_retention",
-    "join_range_binned", "join_anti",
-    "llm_vocab_build", "llm_sample_temperature", "llm_kmeans_assign",
-    "llm_embed_pq", "ts_ewma", "win_rolling_median", "ts_zscore_rolling",
-    "win_running_distinct", "scan_partition_pruned", "scan_binaryfile",
-    "sink_training_shards",
-    # scalar-function + operator stragglers
-    "fn_explode", "fn_bitwise", "fn_encode", "fn_regex",
-    "ts_interpolate_linear", "join_bucketed_colocated", "sink_merge_upsert",
+    # analytics wave (round-3 additions, widest user surface)
+    "table_profile_stats", "agg_skew_kurt", "agg_bitmap_distinct",
+    "agg_approx_percentile", "agg_linreg", "win_pareto_abc",
+    "ts_resample_ohlc", "ts_vwap", "ts_anomaly_mad",
+    "ts_interpolate_linear", "funnel_windowed", "join_fuzzy_blocked",
+    "join_asof_nearest",
+    # sink / physical-layout tier
+    "sink_scd2", "sink_zorder_layout", "sink_merge_upsert",
+    "join_bucketed_colocated",
+    # SQL + scalar stragglers
+    "sql_recursive_cte", "fn_url", "fn_try_safe", "fn_variant",
+    "fn_encode", "fn_regex", "scan_corrupt_records",
     "stream_stateful_counts", "source_rest_authed",
-    # the r2 driver failure, output shape fixed this round — must certify
-    "llm_embed_normalize",
+    # re-certification: semantics changed after its r2 row (ADVICE r3)
+    "llm_dedup_embed",
     # LLM-pipeline oracle-bearing tail
-    "llm_embed_quantize", "llm_chunk_documents", "llm_split_train_eval",
-    "pipeline_curate_corpus", "llm_multimodal_frames", "llm_lang_id",
-    "llm_fingerprint", "llm_token_bpe", "llm_repetition_filter", "llm_tfidf",
-    "llm_unigram_logprob", "llm_data_card",
-    "udf_grouped_agg", "udf_mapinarrow",
-    # rows-only keys: the driver check is rows+schema only, lowest urgency
-    "udf_mapinpandas", "source_rest_datasource", "sink_salted",
-    "sink_compact_small_files", "pipeline_golden", "llm_dedup_simhash",
-    "llm_multimodal_decode", "llm_multimodal_resize", "llm_sim_search_fast",
-    "llm_sim_search_lsh", "llm_sim_search_ivf", "llm_sim_search_recall",
+    "llm_tfidf", "llm_domain_cap", "llm_quality_ensemble",
+    "pipeline_curate_corpus", "llm_mask_tokens", "llm_sample_weighted",
+    "llm_split_train_eval", "llm_chunk_documents", "llm_embed_quantize",
+    "llm_lang_id", "llm_fingerprint", "llm_token_bpe",
+    "llm_repetition_filter", "llm_unigram_logprob", "llm_data_card",
+    "llm_contamination_report", "llm_multimodal_frames",
+    "llm_multimodal_audio",
+    # UDF trio
+    "udf_grouped_agg", "udf_mapinarrow", "udf_mapinpandas",
+    # rows-only keys: the driver check is rows+schema only — their
+    # maximal check; get it on the record (VERDICT r3 item 4)
+    "pipeline_golden", "llm_sim_search_fast", "llm_sim_search_lsh",
+    "llm_sim_search_ivf", "llm_sim_search_recall", "llm_dedup_simhash",
+    "llm_multimodal_decode", "llm_multimodal_resize",
+    "source_rest_datasource", "sink_salted", "sink_compact_small_files",
 )
 
 

@@ -586,7 +586,11 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard"
         ),
     ).write.partitionBy("shard").parquet(target)
-    back = spark.read.parquet(target)
+    # Partition-column type inference would read an all-numeric-hex shard
+    # set back as INT (diverging from the oracle's VARCHAR) — pin it.
+    back = spark.read.parquet(target).withColumn(
+        "shard", F.col("shard").cast("string")
+    )
     return back.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),

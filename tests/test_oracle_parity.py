@@ -26,6 +26,26 @@ def test_rows_only_runs(spark, sf_dir, key):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_no_canonicalizer_trap_types(spark, sf_dir, key):
+    """No oracle-bearing key may emit ARRAY/MAP/STRUCT/DECIMAL/BINARY/
+    VARIANT output columns: the driver canonicalizer cannot hash list
+    cells and hashes decimals engine-differently (the r1 agg_listagg and
+    r2 llm_embed_normalize failures). Schema-only — no job runs."""
+    spec = load_all()[key]
+    df = spec.fn(spark, sf_dir)
+    bad = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema
+        if f.dataType.simpleString().split("<")[0].split("(")[0]
+        in {"array", "map", "struct", "decimal", "binary", "variant"}
+    }
+    assert not bad, (
+        f"{key}: canonicalizer-unsafe output columns {bad} — format to "
+        "string / cast to double at the edge (exprs.py rule)"
+    )
+
+
 def test_no_oracle_is_vacuous():
     """Every oracle must return at least one row at smoke scale: an
     empty result passes the driver's hash gate while proving nothing
