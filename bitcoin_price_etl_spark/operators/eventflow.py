@@ -28,9 +28,10 @@ from bitcoin_price_etl_spark.registry import query
 SESSION_GAP_SECONDS = 1800  # 30 min inactivity closes a session
 
 
-@query(
-    "ts_sessionize",
-    oracle=f"""
+# Shared by ts_sessionize and its bounded-state twin ts_sessionize_fragments:
+# both must produce EXACTLY this result (the twin differs only in physical
+# distribution), so they certify against the same oracle.
+_SESSIONIZE_ORACLE = f"""
     WITH gaps AS (
         SELECT user_id, ts, event_id, value, event_type,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -53,8 +54,10 @@ SESSION_GAP_SECONDS = 1800  # 30 min inactivity closes a session
            {dsum_sql('value', 'total_value')}
     FROM numbered
     GROUP BY user_id, session_seq
-    """,
-)
+    """
+
+
+@query("ts_sessionize", oracle=_SESSIONIZE_ORACLE)
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after 30 min of user
     inactivity; emit one row per session with bounds and totals.
@@ -241,10 +244,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNNEL_WINDOW_SECONDS = 86400  # 24 h from the entry event
 
-
-@query(
-    "funnel_windowed",
-    oracle=f"""
+# Shared by funnel_windowed and its skew-salted twin funnel_windowed_salted:
+# salting changes only the physical distribution, so both certify against
+# the same oracle.
+_FUNNEL_WINDOWED_ORACLE = f"""
     WITH v AS (
         SELECT user_id, event_id AS v_id, epoch_us(ts) AS v_us
         FROM events WHERE event_type = 'view'
@@ -280,8 +283,10 @@ FUNNEL_WINDOW_SECONDS = 86400  # 24 h from the entry event
            CAST(sum(CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_reached_purchase
     FROM vcp GROUP BY user_id
-    """,
-)
+    """
+
+
+@query("funnel_windowed", oracle=_FUNNEL_WINDOWED_ORACLE)
 def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed funnel (ClickHouse windowFunnel semantics): EVERY view
     event opens a 24-hour window; within it, count whether a click
@@ -333,6 +338,173 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vcp = (
         vc.join(p, ["user_id"], "left")
+        .groupBy("user_id", "v_id", "v_us", "first_c")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("first_c").isNotNull()
+                    & (F.col("p_us") > F.col("first_c"))
+                    & (F.col("p_us") <= F.col("v_us") + win_us),
+                    F.col("p_us"),
+                )
+            ).alias("first_p")
+        )
+    )
+    return vcp.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(F.when(F.col("first_c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached_click"),
+        F.sum(F.when(F.col("first_p").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached_purchase"),
+    )
+
+
+SESSION_BUCKET = "day"  # fragment boundary; any unit >= the session gap works
+
+
+@query("ts_sessionize_fragments", oracle=_SESSIONIZE_ORACLE)
+def ts_sessionize_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state sessionization — EXACTLY ts_sessionize's result via a
+    two-phase plan whose per-task state is capped by (user, day), not by a
+    user's full history. This is the promised hot-user treatment from
+    ts_sessionize's docstring made concrete: a bot emitting events for
+    months puts its whole timeline in ONE window partition under the
+    single-pass plan; here phase 1 sessionizes WITHIN (user_id, day)
+    buckets (state = one user-day, bounded by definition), emitting
+    session FRAGMENTS (start/end/count/decimal-sum/type-set), and phase 2
+    runs the same gaps-and-islands pass over fragments — a frame that is
+    orders of magnitude smaller than events (≤ sessions + one boundary
+    fragment per user-day), so its per-user window is trivially cheap.
+
+    Correctness of the stitch: ties in ts share a bucket (bucketing is by
+    ts), so the (ts, event_id) total order never straddles a boundary
+    mid-tie; a bucket's first event starts a fragment, and phase 2 merges
+    fragments whose start follows the previous fragment's end within the
+    gap — precisely the lag() test the single-pass plan applies to that
+    event pair. Aggregates combine losslessly: counts add, decimal sums
+    add exactly (associative — the reason exprs.py mandates them),
+    distinct event types union via flattened fragment sets (bounded: a
+    handful of types × fragments per session), and the double cast
+    happens once at the edge.
+
+    Scale shape: one event-level exchange on (user_id, bucket) — finer
+    than user_id alone, so hot users spread across tasks — then one
+    fragment-level exchange on user_id. Both later aggregates reuse their
+    window's partitioning (no extra shuffle, plan-snapshot-pinned).
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc(SESSION_BUCKET, F.col("ts"))
+    )
+    wb = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wb))
+    is_new_frag = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    frags = (
+        ev.withColumn(
+            "frag_seq",
+            F.sum(is_new_frag).over(
+                wb.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "bucket", "frag_seq")
+        .agg(
+            F.min("ts").alias("frag_start"),
+            F.max("ts").alias("frag_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.collect_set("event_type").alias("etypes"),
+            F.expr("SUM(CAST(value AS DECIMAL(38,4)))").alias("value_dec"),
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("frag_start")
+    stitch_gap = F.unix_micros(F.col("frag_start")) - F.unix_micros(
+        F.lag("frag_end").over(wu)
+    )
+    is_new_session = F.when(
+        stitch_gap.isNull() | (stitch_gap > SESSION_GAP_SECONDS * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessions = frags.withColumn(
+        "session_seq",
+        F.sum(is_new_session)
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("frag_start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("frag_end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("etypes")))).cast(
+            "long"
+        ).alias("n_event_types"),
+        F.expr("CAST(SUM(value_dec) AS DOUBLE)").alias("total_value"),
+    )
+
+
+FUNNEL_SALTS = 8
+
+
+@query("funnel_windowed_salted", oracle=_FUNNEL_WINDOWED_ORACLE)
+def funnel_windowed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted windowed funnel — EXACTLY funnel_windowed's result with
+    the hot-user mitigation its docstring promises made concrete (the
+    join_salted_skew pattern applied to a chained per-user join). A bot
+    user with 10^6 views puts every candidate pair on one task under the
+    plain user_id equi-join; here the VIEW side carries a deterministic
+    salt in [0, S) from xxhash64 of its entry event id, the much smaller
+    click/purchase sides replicate S times, and both chain joins key on
+    (user_id, salt) — splitting a hot user's entries across S tasks while
+    every view still meets every one of that user's clicks exactly once.
+
+    The per-entry argmin groupBys key on (user_id, v_id, ...), which the
+    (user_id, salt) partitioning already satisfies (salt is a pure
+    function of v_id), so no extra exchange appears between join and
+    aggregate. Salt is derived, never random: re-runs are identical.
+    The final per-user rollup is the only step that re-keys on bare
+    user_id — counts, not events, cross that exchange.
+    """
+    win_us = FUNNEL_WINDOW_SECONDS * 1_000_000
+    salts = F.array(*[F.lit(s) for s in range(FUNNEL_SALTS)])
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.unix_micros("ts").alias("v_us"),
+        F.pmod(F.xxhash64("event_id"), F.lit(FUNNEL_SALTS))
+        .cast("int")
+        .alias("salt"),
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("c_us"))
+        .withColumn("salt", F.explode(salts))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .withColumn("salt", F.explode(salts))
+    )
+    vc = (
+        v.join(c, ["user_id", "salt"], "left")
+        .groupBy("user_id", "salt", "v_id", "v_us")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("c_us") > F.col("v_us"))
+                    & (F.col("c_us") <= F.col("v_us") + win_us),
+                    F.col("c_us"),
+                )
+            ).alias("first_c")
+        )
+    )
+    vcp = (
+        vc.join(p, ["user_id", "salt"], "left")
         .groupBy("user_id", "v_id", "v_us", "first_c")
         .agg(
             F.min(

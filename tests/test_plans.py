@@ -428,3 +428,41 @@ def test_observe_metrics_surface(spark):
     assert got["sum_qty"] == direct.s
     assert got["n_null_qty"] == 0
     assert 0 < kept < direct.n  # the filter actually ran on the same scan
+
+
+def test_funnel_salted_joins_key_on_salt(spark):
+    """The skew-salted funnel's chain joins must key on (user_id, salt)
+    with the salt derived via xxhash64 — a hot user splits across
+    FUNNEL_SALTS tasks. The per-entry argmin aggregate must NOT add an
+    exchange between join and groupBy (salt is a function of v_id, so the
+    join partitioning satisfies the grouping)."""
+    plan = plan_of(q(spark, "funnel_windowed_salted"))
+    assert "xxhash64" in plan, "salt derivation missing from plan"
+    assert "pmod" in plan, "salt range reduction missing from plan"
+    key_lines = [
+        l for l in plan.splitlines()
+        if ("Left keys" in l or "Right keys" in l) and "salt" in l
+    ]
+    assert len(key_lines) >= 4, (
+        "both chain joins must key on the salt column:\n" + plan
+    )
+
+
+def test_sessionize_fragments_buckets_event_window(spark):
+    """The bounded-state sessionize must partition its event-level window
+    by (user_id, bucket) — the per-task state cap — and run exactly two
+    exchanges: events on (user_id, bucket), fragments on user_id. A
+    drift to a bare user_id event window silently restores the unbounded
+    hot-user state this twin exists to avoid."""
+    plan = plan_of(q(spark, "ts_sessionize_fragments"))
+    ex_lines = [
+        l for l in plan.splitlines() if l.strip().startswith("(")
+        and ") Exchange" in l
+    ]
+    win_parts = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    # event-level window partitions by both user_id and bucket
+    assert any(
+        "user_id" in l and "bucket" in l for l in win_parts
+    ), "event window lost its bucket partition key:\n" + "\n".join(win_parts)
