@@ -576,3 +576,65 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("schema_of_variant(parse_json(props))").alias("vschema"),
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    WITH built AS (
+        SELECT l_orderkey, l_linenumber,
+               concat('<item code="', l_returnflag, '"><qty>',
+                      CAST(CAST(l_quantity AS DECIMAL(18,1)) AS VARCHAR),
+                      '</qty><status>', l_linestatus,
+                      '</status></item>') AS xml
+        FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(regexp_extract(xml, '<qty>(.*)</qty>', 1) AS DOUBLE)
+               AS qty_parsed,
+           regexp_extract(xml, '<status>(.*)</status>', 1) AS status_parsed,
+           regexp_extract(xml, 'code="(.*?)"', 1) AS code_attr,
+           CAST(length(xml) AS BIGINT) AS xml_len
+    FROM built
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 native XML): rows are serialized to
+    XML text deterministically, then parsed back with from_xml into a
+    typed struct — element values, an attribute (via the _code field
+    convention), and the raw length. The engine's answer to feed formats
+    that still arrive as XML (finance/market data commonly does); the
+    reference's JSON path (R5) with the other markup family.
+
+    The oracle deliberately parses the SAME xml text with regexes —
+    proving the from_xml struct extraction against an independent
+    mechanism, not XML-vs-XML. Zero-shuffle projection; from_xml is a
+    JVM-side expression (no Python round-trip), so the parse stays inside
+    whole-stage codegen like any other scalar.
+
+    Parity: the XML text is built from DECIMAL-formatted numerics
+    (scale-pinned strings, not double repr) and VARCHAR columns — both
+    engines produce byte-identical xml, so parsed values can't diverge.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    xml = F.concat(
+        F.lit('<item code="'),
+        F.col("l_returnflag"),
+        F.lit('"><qty>'),
+        F.col("l_quantity").cast("decimal(18,1)").cast("string"),
+        F.lit("</qty><status>"),
+        F.col("l_linestatus"),
+        F.lit("</status></item>"),
+    )
+    built = li.select("l_orderkey", "l_linenumber", xml.alias("xml"))
+    parsed = F.from_xml(
+        F.col("xml"), "STRUCT<_code: STRING, qty: DOUBLE, status: STRING>"
+    )
+    return built.select(
+        "l_orderkey",
+        "l_linenumber",
+        parsed.getField("qty").alias("qty_parsed"),
+        parsed.getField("status").alias("status_parsed"),
+        parsed.getField("_code").alias("code_attr"),
+        F.length("xml").cast("long").alias("xml_len"),
+    )

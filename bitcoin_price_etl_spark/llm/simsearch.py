@@ -810,3 +810,127 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.cid").alias("code"),
         F.col("best.dist2").alias("dist2"),
     )
+
+
+SEMDEDUP_TAU = 0.30  # within-cell cosine above this = semantic duplicate
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (s, x) -> s + x) AS dist2
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid AS cell,
+               sqrt(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x)) AS norm
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell,
+           NOT EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                 AND list_reduce(list_transform(
+                         list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                         (s, x) -> s + x) / (a.norm * b.norm)
+                     > {SEMDEDUP_TAU}
+           ) AS kept
+    FROM assigned a
+    """,
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication through a
+    coarse quantizer — assign every embedding to its nearest of K seed
+    centroids, then WITHIN each cell drop any vector whose cosine to a
+    lower-id cell-mate exceeds tau (the lower id is the kept
+    representative; one deterministic pass, not a transitive closure —
+    the paper's keep-one-per-near-duplicate-group semantics with an
+    explicit, re-runnable tie-break).
+
+    Scale shape: the SemDeDup trick IS the cell blocking — pairwise
+    cosine runs only inside a cell (Σ cell², like llm_dedup_embed's label
+    blocks, but the blocking key is LEARNED from the geometry, so it
+    works on unlabeled corpora). Centroids broadcast (K rows); the
+    assignment argmin combines map-side; the within-cell pair probe is a
+    cell-keyed self-equi-join feeding a LEFT SEMI (exists) — the corpus
+    embedding payload shuffles once, on the cell key. At 100 TB, K grows
+    to keep max-cell bounded and the same plan holds.
+
+    Parity: assignment + cosine reuse the bit-exact sequential-fold
+    discipline of llm_kmeans_assign / llm_dedup_embed; the kept flag is a
+    boolean EXISTS over exact comparisons, so no float ever reaches the
+    output.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    diff2 = F.expr(
+        "aggregate(zip_with(embedding, cvec,"
+        " (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
+        " 0.0D, (s, x) -> s + x)"
+    )
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (s, v) -> s + v))"
+    )
+    best = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", diff2.alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cell"))
+    )
+    # Materialize the assigned frame once: three consumers fan out from it
+    # (both pair-join aliases + the kept-flag base), and Spark re-evaluates
+    # unshared subtrees — without this the corpus scan and the K-way argmin
+    # run 3× (9-scan plan). Same move as dedup._posting_with_df; at cluster
+    # scale this is persist(DISK_ONLY) or a staging table.
+    assigned = (
+        e.join(best, "vec_id")
+        .select("vec_id", "cell", "embedding", norm.alias("norm"))
+        .localCheckpoint()
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0D, (s, v) -> s + v)"
+    )
+    dup_of_smaller = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(dot / (F.col("a.norm") * F.col("b.norm")) > SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_of_smaller.withColumn("dup", F.lit(True)),
+                      "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
+        )
+    )

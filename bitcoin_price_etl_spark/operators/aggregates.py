@@ -1000,3 +1000,193 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / n AS DECIMAL(14,6)) AS DOUBLE)"
         ).alias("intercept"),
     )
+
+
+# Correlation-matrix plumbing: the four lineitem measures at their natural
+# decimal scales (exprs.py rule: convert each INPUT to decimal first, then
+# multiply in decimal — squaring doubles first loses the half-quantum race).
+_CM_COLS = (
+    ("l_quantity", "DECIMAL(18,1)"),
+    ("l_extendedprice", "DECIMAL(18,2)"),
+    ("l_discount", "DECIMAL(18,2)"),
+    ("l_tax", "DECIMAL(18,2)"),
+)
+_CM_PAIRS = tuple(
+    (_CM_COLS[i][0], _CM_COLS[j][0])
+    for i in range(len(_CM_COLS))
+    for j in range(i + 1, len(_CM_COLS))
+)
+
+
+def _cm_moment_sql() -> str:
+    """The shared one-scan moment list (identical text both engines)."""
+    parts = ["COUNT(*) AS n"]
+    for c, d in _CM_COLS:
+        parts.append(f"CAST(SUM(CAST({c} AS {d})) AS DOUBLE) AS s_{c}")
+        parts.append(
+            f"CAST(SUM(CAST({c} AS {d}) * CAST({c} AS {d})) AS DOUBLE)"
+            f" AS ss_{c}"
+        )
+    for (x, dx), (y, dy) in (
+        (_CM_COLS[i], _CM_COLS[j])
+        for i in range(len(_CM_COLS))
+        for j in range(i + 1, len(_CM_COLS))
+    ):
+        parts.append(
+            f"CAST(SUM(CAST({x} AS {dx}) * CAST({y} AS {dy})) AS DOUBLE)"
+            f" AS sp_{x}_{y}"
+        )
+    return ",\n               ".join(parts)
+
+
+def _cm_corr_sql(x: str, y: str) -> str:
+    """Pearson r from the named moments, quantized per the agg_corr rule."""
+    return (
+        f"CAST(CAST((n * sp_{x}_{y} - s_{x} * s_{y})"
+        f" / (sqrt(n * ss_{x} - s_{x} * s_{x})"
+        f" * sqrt(n * ss_{y} - s_{y} * s_{y})) AS DECIMAL(10,6)) AS DOUBLE)"
+    )
+
+
+_CM_UNION = "\n    UNION ALL\n".join(
+    f"    SELECT l_returnflag, '{x}' AS col_x, '{y}' AS col_y,"
+    f" {_cm_corr_sql(x, y)} AS corr FROM m"
+    for x, y in _CM_PAIRS
+)
+
+
+@query(
+    "agg_corr_matrix",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               {_cm_moment_sql()}
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+{_CM_UNION}
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures, per return flag, in ONE table scan — the feature-screening
+    primitive (drop collinear features before training) generalizing
+    agg_corr from one pair to all C(4,2)=6, long-format output
+    (group, col_x, col_y, corr).
+
+    Scale shape: one partial-aggregated groupBy computes all 15 moments
+    (count, 4 sums, 4 square sums, 6 cross sums) in a single pass — the
+    scan cost is identical to agg_corr's single pair because moments are
+    just more agg buffers, not more data movement; the pair fan-out is a
+    zero-shuffle Expand (stack) AFTER aggregation, on 3 group rows. The
+    100 TB story: for k columns the matrix needs k(k+1)/2 moment buffers
+    and still ONE scan — versus k² separate corr() jobs.
+
+    Parity: the exact-decimal moment discipline and the DECIMAL(10,6)
+    quantize-then-double edge are inherited verbatim from agg_corr (see
+    its docstring for the saturated-moment rationale); the oracle builds
+    the same moments and the same quantized formula per pair.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    moment_aggs = [F.count(F.lit(1)).alias("n")]
+    for c, d in _CM_COLS:
+        moment_aggs.append(
+            F.expr(f"CAST(SUM(CAST({c} AS {d})) AS DOUBLE)").alias(f"s_{c}")
+        )
+        moment_aggs.append(
+            F.expr(
+                f"CAST(SUM(CAST({c} AS {d}) * CAST({c} AS {d})) AS DOUBLE)"
+            ).alias(f"ss_{c}")
+        )
+    for i in range(len(_CM_COLS)):
+        for j in range(i + 1, len(_CM_COLS)):
+            (x, dx), (y, dy) = _CM_COLS[i], _CM_COLS[j]
+            moment_aggs.append(
+                F.expr(
+                    f"CAST(SUM(CAST({x} AS {dx}) * CAST({y} AS {dy}))"
+                    " AS DOUBLE)"
+                ).alias(f"sp_{x}_{y}")
+            )
+    m = li.groupBy("l_returnflag").agg(*moment_aggs)
+    stack_args = ", ".join(
+        f"'{x}', '{y}', {_cm_corr_sql(x, y)}" for x, y in _CM_PAIRS
+    )
+    return m.select(
+        "l_returnflag",
+        F.expr(
+            f"stack({len(_CM_PAIRS)}, {stack_args}) AS (col_x, col_y, corr)"
+        ),
+    ).select("l_returnflag", "col_x", "col_y", "corr")
+
+
+# The portable per-row digest: every field rendered through an
+# engine-agnostic string form (ints, VARCHARs, DECIMAL-pinned numerics,
+# explicitly formatted timestamps — never raw double repr, which is
+# shortest-round-trip in Spark and can differ elsewhere), joined with a
+# separator that cannot appear in the data.
+_CHECKSUM_CANON_DUCK = (
+    "concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+    " CAST(l_linenumber AS VARCHAR),"
+    " CAST(CAST(l_quantity AS DECIMAL(18,1)) AS VARCHAR), l_returnflag,"
+    " l_linestatus, strftime(l_shipdate, '%Y-%m-%d'))"
+)
+_CHECKSUM_CANON_SPARK = (
+    "concat_ws('|', CAST(l_orderkey AS STRING),"
+    " CAST(l_linenumber AS STRING),"
+    " CAST(CAST(l_quantity AS DECIMAL(18,1)) AS STRING), l_returnflag,"
+    " l_linestatus, date_format(l_shipdate, 'yyyy-MM-dd'))"
+)
+
+
+@query(
+    "table_checksum",
+    oracle=f"""
+    WITH digests AS (
+        SELECT l_returnflag,
+               md5({_CHECKSUM_CANON_DUCK}) AS h
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           bit_xor(CAST(concat('0x', substring(h, 1, 12)) AS BIGINT))
+               AS xor_lo,
+           bit_xor(CAST(concat('0x', substring(h, 13, 12)) AS BIGINT))
+               AS xor_hi
+    FROM digests GROUP BY l_returnflag
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum: md5 each row's canonical string
+    form, XOR-fold two 48-bit digest slices per group — the migration /
+    replication validation primitive (prove a 100 TB copy is identical
+    without sorting or moving the data; any flipped cell, lost row, or
+    duplicated row changes the XOR). This engine vs DuckDB over the same
+    parquet IS such a cross-system audit, which makes the key
+    self-demonstrating.
+
+    Scale shape: embarrassingly map-side — digest and slice-parse are
+    per-row projections; bit_xor is commutative/associative so the
+    aggregate partial-combines and the exchange carries ONE 3-column row
+    per (group × map partition). No sort anywhere (checksum-by-sort is
+    the naive O(n log n) answer; XOR-fold is O(n) and order-free).
+
+    Parity: the digest input renders every field through a pinned string
+    form (DECIMAL-scaled numerics, explicit date format — raw double
+    repr is banned, Spark/DuckDB shortest-repr rules differ); hex→int is
+    conv() in Spark and an 0x-literal cast in DuckDB over identical md5
+    hex; 48-bit slices keep every intermediate far inside BIGINT.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    digests = li.select(
+        "l_returnflag",
+        F.expr(f"md5({_CHECKSUM_CANON_SPARK})").alias("h"),
+    )
+    return digests.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT))"
+        ).alias("xor_lo"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(h, 13, 12), 16, 10) AS BIGINT))"
+        ).alias("xor_hi"),
+    )

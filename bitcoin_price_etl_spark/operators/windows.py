@@ -943,3 +943,90 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+M4_BUCKET_SECONDS = 21600  # 6-hour pixel buckets
+
+
+@query(
+    "ts_downsample_m4",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, value, ts, event_id,
+               CAST(floor(epoch_us(ts) / ({M4_BUCKET_SECONDS} * 1000000.0))
+                    AS BIGINT) AS bucket
+        FROM events
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY value, ts, event_id) AS rn_min,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY value DESC, ts DESC, event_id DESC)
+                   AS rn_max
+        FROM base
+    )
+    SELECT event_type, bucket,
+           count(*) AS n_points,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS v_first,
+           MAX(CASE WHEN rn_min = 1
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END) AS t_min,
+           MIN(value) AS v_min,
+           MAX(CASE WHEN rn_max = 1
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END) AS t_max,
+           MAX(value) AS v_max,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS v_last
+    FROM ranked GROUP BY event_type, bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series and fixed
+    time bucket keep exactly the first/last/min/max points — the four
+    values a pixel column of a line chart can ever show, so a billion-row
+    series renders from bucket-count rows with zero visual error. The
+    time-series sibling of ts_resample_ohlc (OHLC keeps the same four
+    picks for candlesticks; M4 additionally surfaces WHEN the extremes
+    happened, which drives drill-down).
+
+    Scale shape: ONE partial-aggregated groupBy, O(1) state per (series,
+    bucket) — min/max are plain aggregates, the positional picks ride
+    min_by/max_by with a unique struct pick key, so a hot bucket costs
+    nothing extra and the exchange carries one candidate per map
+    partition. The oracle uses the window-rank formulation instead (four
+    rank passes) — independently shaped, same picks.
+
+    Parity: all emitted values are RAW input doubles or formatted
+    timestamps picked by total order — no arithmetic at all; bucket ids
+    are exact integer floor-division of microseconds.
+    """
+    ev = load(spark, sf_dir, "events")
+    pick = F.struct("ts", "event_id")
+    vpick = F.struct("value", "ts", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+            F.floor(
+                F.unix_micros("ts") / (M4_BUCKET_SECONDS * 1_000_000.0)
+            ).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min_by("value", pick).alias("v_first"),
+            F.date_format(
+                F.min_by("ts", vpick), "yyyy-MM-dd HH:mm:ss"
+            ).alias("t_min"),
+            F.min("value").alias("v_min"),
+            F.date_format(
+                F.max_by("ts", vpick), "yyyy-MM-dd HH:mm:ss"
+            ).alias("t_max"),
+            F.max("value").alias("v_max"),
+            F.max_by("value", pick).alias("v_last"),
+        )
+    )

@@ -598,3 +598,85 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH ch AS (
+        SELECT o_custkey AS c_custkey,
+               CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice, o_orderdate, o_orderkey
+        FROM orders
+    ), latest AS (
+        SELECT c_custkey, op, o_totalprice, o_orderdate, n_changes
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+                   count(*) OVER (PARTITION BY c_custkey) AS n_changes
+            FROM ch
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN l.c_custkey IS NULL THEN 'carried'
+                ELSE 'updated' END AS row_state,
+           l.o_totalprice AS last_totalprice,
+           strftime(l.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_change_ts,
+           coalesce(l.n_changes, 0) AS n_changes
+    FROM customer c LEFT JOIN latest l USING (c_custkey)
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply: collapse an ordered change stream (upserts +
+    deletes) onto a base snapshot — the Debezium/Delta `APPLY CHANGES`
+    semantics, and the multi-change generalization of sink_merge_upsert
+    (which merges ONE change per key). Orders play the change log: each
+    order is a change to its customer keyed by (o_orderdate, o_orderkey),
+    status 'P' meaning delete; the last change wins, a winning delete
+    drops the row, untouched base rows carry through.
+
+    Scale shape: the change stream NEVER window-sorts — the last-writer
+    pick is a partial-aggregated max_by over a unique (ts, key) struct
+    plus a count, O(1) reducer state per key regardless of how many
+    changes a hot key accumulates (the oracle uses the row_number
+    formulation — independently shaped, same pick). One exchange for the
+    per-key collapse, one key-equi-join against the base; at 100 TB the
+    collapsed change frame is |keys|, not |changes|, before it ever meets
+    the snapshot.
+
+    Parity: picked values are raw inputs (no arithmetic); the pick key
+    (o_orderdate, o_orderkey) is unique so ties cannot flap; counts are
+    exact integers.
+    """
+    o = load(spark, sf_dir, "orders")
+    ch = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderkey",
+    )
+    pick = F.struct("o_orderdate", "o_orderkey")
+    latest = ch.groupBy("c_custkey").agg(
+        F.max_by("op", pick).alias("op"),
+        F.max_by("o_totalprice", pick).alias("last_totalprice"),
+        F.date_format(F.max_by("o_orderdate", pick), "yyyy-MM-dd HH:mm:ss")
+        .alias("last_change_ts"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    c = load(spark, sf_dir, "customer")
+    joined = c.join(latest, "c_custkey", "left")
+    return joined.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("op").isNull(), "carried")
+        .otherwise("updated")
+        .alias("row_state"),
+        "last_totalprice",
+        "last_change_ts",
+        F.coalesce(F.col("n_changes"), F.lit(0)).cast("long").alias("n_changes"),
+    )
