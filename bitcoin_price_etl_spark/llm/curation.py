@@ -985,3 +985,110 @@ def llm_mask_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("masked_text"),
         n_masked.alias("n_masked"),
     )
+
+
+FEATURE_LOOKBACK_SECONDS = 7 * 86400  # point-in-time feature horizon
+
+
+@query(
+    "llm_training_examples",
+    oracle=f"""
+    WITH labels AS (
+        SELECT user_id, event_id AS label_id, ts AS label_ts
+        FROM events WHERE event_type = 'purchase'
+    ), hist AS (
+        SELECT l.label_id, l.user_id, l.label_ts,
+               e.event_type, e.value, e.ts, e.event_id
+        FROM labels l JOIN events e
+          ON e.user_id = l.user_id
+         AND e.ts < l.label_ts
+         AND e.ts >= l.label_ts - INTERVAL {FEATURE_LOOKBACK_SECONDS} SECOND
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY label_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM hist
+    )
+    SELECT label_id, user_id,
+           strftime(label_ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_views_7d,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks_7d,
+           CAST(count(*) AS BIGINT) AS n_events_7d,
+           MAX(CASE WHEN rn = 1 THEN value END) AS last_value_before
+    FROM ranked
+    GROUP BY label_id, user_id, label_ts
+    """,
+)
+def llm_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-example assembly: every purchase is
+    a label row, and its features (7-day view/click counts, last observed
+    value) are computed ONLY from events strictly before the label
+    timestamp — the feature-store discipline that prevents label leakage,
+    the #1 silent killer of trained models (a feature computed "as of
+    now" instead of "as of label time" trains on the future and dies in
+    production).
+
+    Scale shape: one user-keyed equi-join with the lookback band as
+    residual (never a cross join; per-label fanout is bounded by one
+    user's 7-day activity), then ONE grouped aggregate per label — the
+    last-value feature rides max_by with a unique (ts, event_id) pick
+    struct, O(1) state, so no per-label window sort exists in the Spark
+    plan (the oracle uses the rank formulation — independently shaped).
+    At 100 TB both sides are user-partitioned by the join exchange and a
+    hot user takes the funnel_windowed_salted treatment.
+
+    Parity: counts are exact integers over exact timestamp comparisons
+    (microsecond integers under the hood); the picked feature value is a
+    raw input double — no arithmetic, no quantization needed.
+    """
+    ev = load(spark, sf_dir, "events")
+    labels = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("label_id"),
+            F.col("ts").alias("label_ts"),
+        )
+        .alias("l")
+    )
+    feats = ev.select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    ).alias("e")
+    hist = labels.join(
+        feats,
+        (F.col("l.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") < F.col("l.label_ts"))
+        & (
+            F.col("e.ts")
+            >= F.col("l.label_ts")
+            - F.expr(f"INTERVAL {FEATURE_LOOKBACK_SECONDS} SECOND")
+        ),
+    ).select(
+        "l.label_id",
+        F.col("l.user_id").alias("user_id"),
+        "l.label_ts",
+        "e.event_type",
+        "e.value",
+        F.col("e.ts").alias("ts"),
+        F.col("e.event_id").alias("event_id"),
+    )
+    pick = F.struct("ts", "event_id")
+    return hist.groupBy("label_id", "user_id", "label_ts").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views_7d"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicks_7d"),
+        F.count(F.lit(1)).alias("n_events_7d"),
+        F.max_by("value", pick).alias("last_value_before"),
+    ).select(
+        "label_id",
+        "user_id",
+        F.date_format("label_ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+        "n_views_7d",
+        "n_clicks_7d",
+        "n_events_7d",
+        "last_value_before",
+    )

@@ -1030,3 +1030,76 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", pick).alias("v_last"),
         )
     )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH runmax AS (
+        SELECT event_type, ts, event_id, value,
+               max(value) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS peak
+        FROM events
+    ), dd AS (
+        SELECT event_type, ts, event_id, value, peak,
+               value / peak - 1.0 AS drawdown
+        FROM runmax
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY drawdown, ts, event_id) AS rn
+        FROM dd
+    )
+    SELECT event_type,
+           count(*) AS n_points,
+           MIN(drawdown) AS max_drawdown,
+           MAX(CASE WHEN rn = 1 THEN peak END) AS peak_value,
+           MAX(CASE WHEN rn = 1 THEN value END) AS trough_value,
+           MAX(CASE WHEN rn = 1
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END) AS trough_ts
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the canonical risk metric of exactly
+    the reference's price-feed domain (worst peak-to-trough loss an
+    investor holding through the series could suffer), plus WHERE it
+    happened (peak value, trough value, trough timestamp).
+
+    Scale shape: one running-max window (the same single exchange +
+    in-partition sort every per-series window here pays) and one grouped
+    aggregate that reuses the window's partitioning — the argmin pick
+    rides min_by with a (drawdown, ts, event_id) struct, O(1) state, so
+    the trough identification adds no second pass (the oracle uses the
+    rank formulation — independently shaped, same pick).
+
+    Parity: drawdown = value/peak - 1 is two IEEE ops on bit-identical
+    operands (value raw, peak a MAX pick of raw doubles), so every
+    drawdown is bit-identical across engines; MIN/comparisons over
+    identical doubles cannot diverge, and the tie-break key (ts,
+    event_id) is unique.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.max("value").over(w).alias("peak"),
+    ).withColumn("drawdown", F.col("value") / F.col("peak") - 1.0)
+    pick = F.struct("drawdown", "ts", "event_id")
+    return dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("drawdown").alias("max_drawdown"),
+        F.min_by("peak", pick).alias("peak_value"),
+        F.min_by("value", pick).alias("trough_value"),
+        F.date_format(F.min_by("ts", pick), "yyyy-MM-dd HH:mm:ss").alias(
+            "trough_ts"
+        ),
+    )
