@@ -114,6 +114,20 @@ HEADLINE = [
     "sink_training_shards",
     "llm_embed_pq",
     "llm_quality_ensemble",
+    # round-4 additions: bounded-state/salted scale twins, viz
+    # downsampling, one-scan correlation matrix, CDC apply, semantic
+    # dedup, table checksum, drawdown, point-in-time features, PageRank
+    "ts_sessionize_fragments",
+    "funnel_windowed_salted",
+    "ts_downsample_m4",
+    "agg_corr_matrix",
+    "cdc_apply_changes",
+    "llm_semdedup",
+    "table_checksum",
+    "ts_max_drawdown",
+    "llm_training_examples",
+    "graph_pagerank",
+    "fn_xml",
 ]
 
 

@@ -66,6 +66,9 @@ EMB_KEYS = [
     "llm_sim_search_lsh",
     "llm_kmeans_assign",
     "llm_embed_pq",
+    # round-4: cells grow mult× denser (vec_ids shift, vectors repeat),
+    # so the within-cell pair probe — the Σ cell² term — is the stress
+    "llm_semdedup",
 ]
 
 
@@ -170,6 +173,10 @@ TPCH_KEYS = [
     "tpch_q21",
     "tpch_q2",
     "tpch_q11",
+    # orderkey-consistent orders+lineitem scaling: the purchase-graph
+    # edge list grows mult× with custkeys/suppkeys fixed, so per-node
+    # degree — the hot-destination stress on the rank sums — grows mult×
+    "graph_pagerank",
 ]
 
 _TPCH_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
@@ -240,6 +247,20 @@ FACT_KEYS = {
         # copy-local so candidates grow linearly with the corpus
         {"p_size": lambda col, i: col + 100 * i},
     ),
+    # round-4: the scale twins get the exact hot-key stress they exist
+    # for — event_id-shifted copies pile mult× rows onto every user and
+    # every time bucket
+    "ts_sessionize_fragments": ("events", "event_id", None),
+    "funnel_windowed_salted": ("events", "event_id", None),
+    "ts_downsample_m4": ("events", "event_id", None),
+    "ts_max_drawdown": ("events", "event_id", None),
+    "llm_training_examples": ("events", "event_id", None),
+    "agg_corr_matrix": ("lineitem", "l_orderkey", None),
+    "table_checksum": ("lineitem", "l_orderkey", None),
+    "fn_xml": ("lineitem", "l_orderkey", None),
+    # orders scale while customer stays fixed: every customer's change
+    # list grows mult× — the hot-key stress on the max_by collapse
+    "cdc_apply_changes": ("orders", "o_orderkey", None),
 }
 
 
