@@ -1092,3 +1092,106 @@ def llm_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events_7d",
         "last_value_before",
     )
+
+
+# Preference-pair construction: shard fanout bounds every rank window.
+PREF_SHARDS = 8
+
+
+@query(
+    "llm_preference_pairs",
+    oracle=f"""
+    WITH sharded AS (
+        SELECT doc_id, source, n_chars,
+               CAST((strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    % {PREF_SHARDS} AS INTEGER) AS shard
+        FROM documents
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY source, shard
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM sharded
+    ), paired AS (
+        SELECT source, shard, CAST((rn - 1) // 2 AS BIGINT) AS pair_id,
+               doc_id, n_chars, rn
+        FROM ranked
+    )
+    SELECT source, shard, pair_id,
+           MAX(CASE WHEN rn % 2 = 1 THEN doc_id END) AS chosen_doc_id,
+           MAX(CASE WHEN rn % 2 = 0 THEN doc_id END) AS rejected_doc_id,
+           MAX(CASE WHEN rn % 2 = 1 THEN n_chars END) AS chosen_chars,
+           MAX(CASE WHEN rn % 2 = 0 THEN n_chars END) AS rejected_chars,
+           MAX(CASE WHEN rn % 2 = 1 THEN n_chars END)
+               - MAX(CASE WHEN rn % 2 = 0 THEN n_chars END) AS margin
+    FROM paired
+    GROUP BY source, shard, pair_id
+    HAVING count(*) = 2
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-pair assembly: within each (source, shard)
+    stratum, rank documents by a quality signal and pair adjacent ranks —
+    chosen = the higher-scored of each pair, rejected = its neighbor,
+    margin = the score gap. Adjacent-rank pairing is the standard
+    hard-pair recipe (maximally confusable negatives teach the reward
+    model more than random ones); the quality signal here is the n_chars
+    column (swap in llm_quality_ensemble's score in production — the
+    pairing mechanics are identical).
+
+    Scale shape: the rank window partitions by (source, shard) where
+    shard is an md5 draw on doc_id — PREF_SHARDS is the fanout dial that
+    bounds every window partition regardless of corpus size (the same
+    bounded-window stance as llm_pack_sequences' shards); pairing then
+    collapses via ONE grouped aggregate on the same keys (no self-join,
+    no second shuffle — the group key extends the window key, so AQE
+    reuses the partitioning). Incomplete tail pairs drop via HAVING.
+
+    Parity: ranking is tie-pinned by doc_id, shard is an exact md5-hex
+    digit mod, and every output is an integer or string — no floats
+    anywhere."""
+    d = load(spark, sf_dir, "documents")
+    sharded = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            % PREF_SHARDS
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("source", "shard").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    ranked = sharded.withColumn("rn", F.row_number().over(w))
+    paired = ranked.withColumn(
+        "pair_id", ((F.col("rn") - 1) / 2).cast("long")
+    )
+    odd = F.col("rn") % 2 == 1
+    return (
+        paired.groupBy("source", "shard", "pair_id")
+        .agg(
+            F.max(F.when(odd, F.col("doc_id"))).alias("chosen_doc_id"),
+            F.max(F.when(~odd, F.col("doc_id"))).alias("rejected_doc_id"),
+            F.max(F.when(odd, F.col("n_chars"))).alias("chosen_chars"),
+            F.max(F.when(~odd, F.col("n_chars"))).alias("rejected_chars"),
+            F.count(F.lit(1)).alias("n_in_pair"),
+        )
+        .filter(F.col("n_in_pair") == 2)
+        .select(
+            "source",
+            "shard",
+            "pair_id",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_chars",
+            "rejected_chars",
+            (F.col("chosen_chars") - F.col("rejected_chars")).alias(
+                "margin"
+            ),
+        )
+    )

@@ -658,3 +658,73 @@ def llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# One BPE trainer iteration surfaces the top merge candidates; real
+# trainers run this to ~50k merges with the word-count frame cached.
+BPE_TOP_MERGES = 50
+
+
+@query(
+    "llm_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+        SELECT t.w FROM documents d,
+             unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+    ), wc AS (
+        SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair, w, c
+        FROM wc, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS freq,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_word_forms
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT {BPE_TOP_MERGES}
+    """,
+)
+def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer merge iteration: corpus-weighted adjacent
+    symbol-pair frequencies, top candidates by frequency — the step a
+    tokenizer trainer repeats (count pairs, merge the winner, recount)
+    to learn its merge table. Complements llm_vocab_build (base-unit
+    counts) and llm_token_bpe (applying a learned tokenizer).
+
+    Scale shape: THE trick that makes BPE training feasible at corpus
+    scale — aggregate the corpus to the word-count frame FIRST (one
+    word-keyed shuffle with map-side partial aggregation; the frame is
+    vocabulary-sized, ~10^5-10^6 rows no matter how many PB of text),
+    then explode pairs over the tiny frame only, weighted by word count.
+    The pair explosion never touches the corpus; successive trainer
+    iterations re-scan only the cached word frame. Top-K is
+    TakeOrderedAndProject — no global sort.
+
+    Parity: identical [a-z]+ tokenization (ASCII class, both regex
+    engines agree), exact integer weighted counts, ordering tie-pinned
+    by pair string."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+"), 0
+            )
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "w",
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("c").alias("freq"),
+            F.countDistinct("w").alias("n_word_forms"),
+        )
+        .orderBy(F.desc("freq"), "pair")
+        .limit(BPE_TOP_MERGES)
+    )

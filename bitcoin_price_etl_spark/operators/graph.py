@@ -137,3 +137,142 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it < PR_ITERS - 1:
             r = r.localCheckpoint()
     return r
+
+
+# Minimum co-occurrence count for a co-purchase edge: support
+# thresholding is the standard market-basket sparsifier — it keeps the
+# graph density roughly flat as the corpus grows (incidental one-off
+# pairings wash out; recurring pairings survive at every SF).
+TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT u, v FROM pairs GROUP BY u, v
+        HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), tri AS (
+        SELECT count(*) AS t
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CAST(CAST(3.0 * t / nullif(
+                (SELECT sum(d * (d - 1) / 2) FROM deg), 0)
+                AS DECIMAL(14,8)) AS DOUBLE) FROM tri)
+               AS global_clustering
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts ordered
+    together in the same order, kept only above TRI_MIN_SUPPORT
+    co-occurrences) — triangle count and global clustering coefficient
+    are the standard cohesion diagnostics for any co-occurrence graph a
+    pipeline derives (co-cited docs, co-clicked items, co-mentioned
+    entities).
+
+    Scale shape: the Spark plan is the degree-ordered orientation
+    algorithm (Cohen's MapReduce formulation) — each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher, so
+    every wedge is generated at its lowest-degree vertex and wedge
+    fan-out is bounded by O(sqrt(m)) per node instead of the hub's full
+    degree; the closure check is one equi-join of wedges against
+    oriented edges on the (lo, hi) pair key. The oracle deliberately
+    uses the independent id-ordered three-way-join formulation — both
+    count each triangle exactly once. Pair generation self-joins
+    lineitem on orderkey (fan-out bounded by order size, never n²), and
+    support thresholding keeps |E| roughly flat as SF grows (measured:
+    2.4k/3.6k/3.9k edges at sf0.001/0.01/0.1). The degree frame is |V|
+    rows — broadcast here; at a 100 TB edge list the deg attach becomes
+    a plain shuffle equi-join and nothing else changes.
+
+    Parity: all counts are exact integers; the clustering ratio is the
+    only division and quantizes through DECIMAL(14,8) on both sides."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient every edge from its lower (degree, id) endpoint to the
+    # higher; carry the dst endpoint's order key for wedge normalization
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    keyed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).localCheckpoint()
+    w1 = oriented.select(
+        "src", F.col("dst").alias("x"), F.col("ddst").alias("dx")
+    )
+    w2 = oriented.select(
+        "src", F.col("dst").alias("y"), F.col("ddst").alias("dy")
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("x") != F.col("y"))
+        .filter(x_first)
+        .select(F.col("x").alias("lo"), F.col("y").alias("hi"))
+    )
+    closure = oriented.select(
+        F.col("src").alias("lo"), F.col("dst").alias("hi")
+    )
+    tri = wedges.join(closure, ["lo", "hi"]).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.expr(
+                "CAST(CAST(3.0 * t / nullif(n_wedges, 0)"
+                " AS DECIMAL(14,8)) AS DOUBLE)"
+            ).alias("global_clustering"),
+        )
+    )

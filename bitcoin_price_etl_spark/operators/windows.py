@@ -1103,3 +1103,102 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trough_ts"
         ),
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_type, value AS y,
+               lag(value, 1) OVER w AS x1,
+               lag(value, 2) OVER w AS x2,
+               lag(value, 3) OVER w AS x3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), long AS (
+        SELECT event_type, CAST(t.k AS INTEGER) AS lag,
+               CASE t.k WHEN 1 THEN x1 WHEN 2 THEN x2 ELSE x3 END AS x, y
+        FROM lagged, unnest([1, 2, 3]) AS t(k)
+        WHERE CASE t.k WHEN 1 THEN x1 WHEN 2 THEN x2 ELSE x3 END
+              IS NOT NULL
+    ), m AS (
+        SELECT event_type, lag, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,2))
+                        * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))
+                        * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(18,2))
+                        * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM long GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n AS n_pairs,
+           CAST(CAST((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     AS DECIMAL(10,6)) AS DOUBLE) AS autocorr
+    FROM m
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3) per event series — the
+    mean-reversion / momentum diagnostic for any metric stream (an ACF
+    near zero says the series is noise; sustained positive lags say
+    trend-following features are worth building). Pearson correlation of
+    the series against its own lag, per (series, lag), long format.
+
+    Scale shape: ONE window sort per series produces all three lag
+    columns (lag k is the same frame walked at different offsets — no
+    extra exchange per lag), the lag fan-out is a zero-shuffle stack
+    Expand, and the correlation collapses via one partial-aggregated
+    groupBy carrying six O(1) moment buffers per (series, lag). At
+    100 TB the per-series sort is the cost: pre-aggregate to the hourly
+    series first (the ts_ewma stance) or range-partition time so each
+    partition sorts its slice and only boundary rows cross — the moment
+    algebra is unchanged either way.
+
+    Parity: inputs are exact 2-decimal doubles; moments follow the
+    agg_corr discipline verbatim (decimal-cast each input BEFORE
+    multiplying, exact associative decimal sums, quantize the final
+    ratio through DECIMAL(10,6) then back to double)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.lag("value", 1).over(w).alias("x1"),
+        F.lag("value", 2).over(w).alias("x2"),
+        F.lag("value", 3).over(w).alias("x3"),
+    )
+    long = lagged.select(
+        "event_type",
+        "y",
+        F.expr("stack(3, 1, x1, 2, x2, 3, x3) AS (lag, x)"),
+    ).filter(F.col("x").isNotNull())
+    m = long.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x", "sx", scale=2),
+        dsum("y", "sy", scale=2),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(18,2))"
+            " * CAST(x AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(y AS DECIMAL(18,2))"
+            " * CAST(y AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(18,2))"
+            " * CAST(y AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        corr.cast("decimal(10,6)").cast("double").alias("autocorr"),
+    )
