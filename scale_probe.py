@@ -55,6 +55,12 @@ DOC_KEYS = [
     "sink_training_shards",
     "llm_mask_tokens",
     "llm_sample_weighted",
+    # round-4b: copy-tagged docs keep the word frame vocabulary-sized
+    # while word counts grow mult* -- the pair explosion must stay
+    # vocab-bound; preference windows pile mult* docs into each fixed
+    # (source, shard) rank window -- the fanout-dial stress
+    "llm_bpe_merge_step",
+    "llm_preference_pairs",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -261,6 +267,19 @@ FACT_KEYS = {
     # orders scale while customer stays fixed: every customer's change
     # list grows mult× — the hot-key stress on the max_by collapse
     "cdc_apply_changes": ("orders", "o_orderkey", None),
+    # every series gets mult× rows: the per-series window sort and the
+    # six moment buffers absorb the growth; lag pairs grow linearly
+    "ts_autocorr": ("events", "event_id", None),
+    # partkey joins the copy shift so each copy carries its own
+    # co-purchase graph: edges and wedges grow linearly, the real shape
+    # of corpus growth. (Orderkey-only shifts duplicate every pair
+    # mult x, so the support threshold stops sparsifying at mult>=2 and
+    # the probe measures a degenerate all-pairs-kept graph instead.)
+    "graph_triangle_count": (
+        "lineitem",
+        "l_orderkey",
+        {"l_partkey": lambda col, i: col + 10_000_000 * i},
+    ),
 }
 
 
