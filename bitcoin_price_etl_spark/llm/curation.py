@@ -1195,3 +1195,86 @@ def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_dataset_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, source, n_chars, md5(text) AS h
+        FROM documents WHERE doc_id % 10 <> 0
+    ), v2 AS (
+        SELECT doc_id, source, n_chars,
+               md5(CASE WHEN doc_id % 7 = 0
+                        THEN text || ' [rev2]' ELSE text END) AS h
+        FROM documents WHERE doc_id % 10 <> 5
+    ), j AS (
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               coalesce(v1.source, v2.source) AS source,
+               coalesce(v2.n_chars, v1.n_chars) AS n_chars,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM j GROUP BY status, source
+    """,
+)
+def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: compare two corpus snapshots and report
+    added / removed / changed / unchanged volumes per source — the audit
+    every training-data release needs before retraining ("what actually
+    changed since the last snapshot, and where?"). Snapshots are derived
+    deterministically from documents (v1 drops doc_id%10==0, v2 drops
+    %10==5 and revises the text of %7==0) so all four statuses appear at
+    any SF.
+
+    Scale shape: ONE co-partitioned full-outer join on the primary key
+    comparing CONTENT HASHES — the text itself never shuffles (md5
+    computes map-side in each snapshot's projection; only (doc_id, 16
+    bytes, source, n_chars) cross the exchange), then a tiny
+    status×source rollup. At 100 TB this is the cheapest possible diff:
+    two scans, one key-partitioned exchange each, and partition-level
+    stats could skip wholly-identical files before the join.
+
+    Parity: md5 agrees across engines byte-for-byte; statuses are exact
+    string picks; all measures are integer counts/sums/extrema."""
+    d = load(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    ).alias("v1")
+    v2 = d.filter(F.col("doc_id") % 10 != 5).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    ).alias("v2")
+    j = v1.join(v2, F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("v1.doc_id").isNull(), F.lit("added"))
+        .when(F.col("v2.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("v1.h") != F.col("v2.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    rows = j.select(
+        F.coalesce("v1.doc_id", "v2.doc_id").alias("doc_id"),
+        F.coalesce("v1.source", "v2.source").alias("source"),
+        F.coalesce("v2.n_chars", "v1.n_chars").alias("n_chars"),
+        status.alias("status"),
+    )
+    return rows.groupBy("status", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -526,3 +526,130 @@ def funnel_windowed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_reached_purchase"),
     )
+
+
+# Attribution lookback: touches within 3 days before a purchase share
+# the conversion credit.
+ATTRIB_WINDOW_SECONDS = 3 * 86400
+_ATTRIB_CHANNELS = ("view", "click", "signup")
+
+
+@query(
+    "attribution_channels",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS label_id, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_type AS channel, ts AS tts,
+               event_id AS touch_id
+        FROM events WHERE event_type IN {_ATTRIB_CHANNELS!r}
+    ), pairs AS (
+        SELECT p.label_id, t.channel, t.tts, t.touch_id
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL {ATTRIB_WINDOW_SECONDS} SECOND
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY label_id
+                                  ORDER BY tts DESC, touch_id DESC)
+                   AS rn_last,
+               row_number() OVER (PARTITION BY label_id
+                                  ORDER BY tts, touch_id) AS rn_first
+        FROM pairs
+    ), per_purchase AS (
+        SELECT label_id,
+               MAX(CASE WHEN rn_last = 1 THEN channel END) AS last_channel,
+               MAX(CASE WHEN rn_first = 1 THEN channel END) AS first_channel
+        FROM ranked GROUP BY label_id
+    ), per_chan AS (
+        SELECT label_id, channel, count(*) AS n_ch
+        FROM pairs GROUP BY label_id, channel
+    )
+    SELECT c.channel,
+           CAST(sum(c.n_ch) AS BIGINT) AS total_touches,
+           CAST(count(*) AS BIGINT) AS touched_conversions,
+           CAST(sum(CASE WHEN c.channel = pp.last_channel
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch_conversions,
+           CAST(sum(CASE WHEN c.channel = pp.first_channel
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch_conversions,
+           CAST(sum(CASE WHEN c.channel <> pp.last_channel
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS assisted_conversions
+    FROM per_chan c JOIN per_purchase pp ON c.label_id = pp.label_id
+    GROUP BY c.channel
+    """,
+)
+def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution channel report: every purchase's preceding
+    touches (view/click/signup within a 3-day lookback) share the
+    conversion — per channel, total touches, conversions touched,
+    last-touch wins, first-touch wins, and assists (touched but not
+    last). The first/last-touch models are the two poles every
+    attribution debate runs between; assists quantify what last-touch
+    alone hides.
+
+    Scale shape: one user-keyed equi-join with the lookback band as
+    residual (the llm_training_examples join shape — per-purchase
+    fan-out bounded by one user's 3-day activity), then TWO label-keyed
+    aggregates — per-(purchase, channel) touch counts and per-purchase
+    first/last picks via O(1)-state min_by/max_by (no window sort in
+    the Spark plan; the oracle's rank formulation is independently
+    shaped) — joined back on the SAME label key (co-partitioned, AQE
+    reuses the exchange), and a final channel rollup over channel-count
+    rows. Hot users take the funnel_windowed_salted treatment at scale.
+
+    Parity: every output is an exact integer; first/last picks are
+    tie-pinned by the unique (ts, event_id)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    ).alias("p")
+    t = ev.filter(F.col("event_type").isin(*_ATTRIB_CHANNELS)).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("touch_id"),
+    ).alias("t")
+    pairs = p.join(
+        t,
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.col("t.tts") < F.col("p.pts"))
+        & (
+            F.col("t.tts")
+            >= F.col("p.pts")
+            - F.expr(f"INTERVAL {ATTRIB_WINDOW_SECONDS} SECOND")
+        ),
+    ).select("p.label_id", "t.channel", "t.tts", "t.touch_id")
+    # the touch-pair frame feeds BOTH label-keyed aggregates below —
+    # checkpoint it once (the llm_dedup_ngram shared-frame stance) so
+    # the band join and its four event scans don't run twice
+    pairs = pairs.localCheckpoint()
+    pick = F.struct("tts", "touch_id")
+    per_purchase = pairs.groupBy("label_id").agg(
+        F.max_by("channel", pick).alias("last_channel"),
+        F.min_by("channel", pick).alias("first_channel"),
+    )
+    per_chan = pairs.groupBy("label_id", "channel").agg(
+        F.count(F.lit(1)).alias("n_ch")
+    )
+    joined = per_chan.join(per_purchase, "label_id")
+    return joined.groupBy("channel").agg(
+        F.sum("n_ch").alias("total_touches"),
+        F.count(F.lit(1)).alias("touched_conversions"),
+        F.sum(
+            F.when(F.col("channel") == F.col("last_channel"), 1).otherwise(0)
+        ).cast("long").alias("last_touch_conversions"),
+        F.sum(
+            F.when(F.col("channel") == F.col("first_channel"), 1).otherwise(
+                0
+            )
+        ).cast("long").alias("first_touch_conversions"),
+        F.sum(
+            F.when(F.col("channel") != F.col("last_channel"), 1).otherwise(0)
+        ).cast("long").alias("assisted_conversions"),
+    )

@@ -554,3 +554,125 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_ts_str"
         ),
     )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal AS bal, 1 AS version_no,
+               TIMESTAMP '1990-01-01' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN TIMESTAMP '1997-01-01' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal + 50.0, 2,
+               TIMESTAMP '1997-01-01',
+               CASE WHEN c_custkey % 6 = 0 THEN TIMESTAMP '1999-01-01' END
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal + 100.0, 3,
+               TIMESTAMP '1999-01-01', CAST(NULL AS TIMESTAMP)
+        FROM customer WHERE c_custkey % 6 = 0
+    ), f AS (
+        SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        WHERE o_orderkey % 100 < 5
+    )
+    SELECT f.o_orderkey, f.o_custkey,
+           strftime(f.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+           d.version_no,
+           d.c_mktsegment AS segment_at_order,
+           d.bal AS acctbal_at_order
+    FROM f JOIN dim d ON f.o_custkey = d.c_custkey
+      AND f.o_orderdate >= d.valid_from
+      AND (d.valid_to IS NULL OR f.o_orderdate < d.valid_to)
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: join each fact to THE version of
+    an SCD2 dimension that was valid at the fact's timestamp — the read
+    side of sink_scd2's versioned history (reporting "the customer's
+    segment AS OF the order date", the query that makes keeping history
+    worth it, and the same no-leakage discipline as
+    llm_training_examples applied to dimensions). The versioned dim is
+    derived deterministically from customer (every key has version 1;
+    key%3==0 re-versions in 1997; key%6==0 again in 1999) so all three
+    interval shapes — open-ended, closed, chained — are exercised at
+    any SF.
+
+    Scale shape: an EQUI-join on the dimension key with the validity
+    interval as residual predicates — never a theta/interval join: a
+    key's version chain is short (here ≤3; real dims ~tens), so the
+    residual scans a handful of versions per fact row inside the
+    matched key group. Both sides shuffle once on custkey; at 100 TB
+    the fact side dominates and a small hot dim broadcasts instead.
+    The version explosion is an inline array fan-out (zero-shuffle
+    Expand) — the oracle builds the same dim via a three-way UNION,
+    an independent formulation.
+
+    Parity: interval predicates compare exact timestamps; balance
+    shifts are exact double adds (+50.0/+100.0); the matched version is
+    picked, not computed."""
+    c = load(spark, sf_dir, "customer")
+    ver = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.explode(
+            F.expr(
+                """
+                filter(array(
+                  named_struct(
+                    'version_no', 1,
+                    'valid_from', TIMESTAMP '1990-01-01',
+                    'valid_to', CASE WHEN c_custkey % 3 = 0
+                                     THEN TIMESTAMP '1997-01-01' END,
+                    'bal_shift', 0.0D),
+                  CASE WHEN c_custkey % 3 = 0 THEN named_struct(
+                    'version_no', 2,
+                    'valid_from', TIMESTAMP '1997-01-01',
+                    'valid_to', CASE WHEN c_custkey % 6 = 0
+                                     THEN TIMESTAMP '1999-01-01' END,
+                    'bal_shift', 50.0D) END,
+                  CASE WHEN c_custkey % 6 = 0 THEN named_struct(
+                    'version_no', 3,
+                    'valid_from', TIMESTAMP '1999-01-01',
+                    'valid_to', CAST(NULL AS TIMESTAMP),
+                    'bal_shift', 100.0D) END
+                ), x -> x IS NOT NULL)
+                """
+            )
+        ).alias("v"),
+    )
+    dim = ver.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.col("v.bal_shift")).alias("bal"),
+        F.col("v.version_no").alias("version_no"),
+        F.col("v.valid_from").alias("valid_from"),
+        F.col("v.valid_to").alias("valid_to"),
+    ).alias("d")
+    f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 < 5)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .alias("f")
+    )
+    return f.join(
+        dim,
+        (F.col("f.o_custkey") == F.col("d.c_custkey"))
+        & (F.col("f.o_orderdate") >= F.col("d.valid_from"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col("f.o_orderdate") < F.col("d.valid_to"))
+        ),
+    ).select(
+        "f.o_orderkey",
+        "f.o_custkey",
+        F.date_format("f.o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "order_ts"
+        ),
+        "d.version_no",
+        F.col("d.c_mktsegment").alias("segment_at_order"),
+        F.col("d.bal").alias("acctbal_at_order"),
+    )
