@@ -61,6 +61,9 @@ DOC_KEYS = [
     # (source, shard) rank window -- the fanout-dial stress
     "llm_bpe_merge_step",
     "llm_preference_pairs",
+    # snapshot diff: both derived versions ride the scaled corpus, so
+    # the PK full-outer join and its hash compare grow linearly
+    "llm_dataset_diff",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -280,6 +283,19 @@ FACT_KEYS = {
         "l_orderkey",
         {"l_partkey": lambda col, i: col + 10_000_000 * i},
     ),
+    # facts multiply while the versioned dim stays fixed: every version
+    # chain is probed by mult x more orders — the residual-scan stress
+    "join_scd2_pointintime": ("orders", "o_orderkey", None),
+    # event_id-shifted copies pile mult x touches and purchases onto
+    # every user: the band-join fan-out and label-agg stress
+    "attribution_channels": ("events", "event_id", None),
+}
+
+# keys that ALSO read an unscaled dimension: copied through verbatim so
+# the probe measures fact growth against a fixed dim (the realistic
+# shape — dims grow orders of magnitude slower than facts)
+DIM_COPY = {
+    "join_scd2_pointintime": ("customer",),
 }
 
 
@@ -316,6 +332,11 @@ def main() -> None:
                 build_scaled_embeddings(spark, args.sf_dir, mult, out)
             for table, pk, extra in fact_tables:
                 build_scaled_fact(spark, args.sf_dir, mult, out, table, pk, extra)
+            for k in selected:
+                for dim in DIM_COPY.get(k, ()):
+                    dst = out / f"{dim}.parquet"
+                    if not dst.exists():
+                        shutil.copy(f"{args.sf_dir}/{dim}.parquet", dst)
             if need_tpch:
                 build_scaled_tpch(spark, args.sf_dir, mult, out)
         # warm shared paths once
