@@ -728,3 +728,71 @@ def llm_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(BPE_TOP_MERGES)
     )
+
+
+@query(
+    "llm_lang_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS cnt
+        FROM documents GROUP BY source, lang
+    ), g AS (
+        SELECT source, SUM(cnt) AS n, COUNT(*) AS n_langs,
+               SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s
+        FROM c GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(CAST(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)
+                     AS DECIMAL(14,8)) AS DOUBLE) AS lang_entropy_nats,
+           CAST(CAST(CASE WHEN n_langs > 1
+                          THEN (ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE))
+                               / ln(CAST(n_langs AS DOUBLE))
+                          ELSE 0.0 END
+                     AS DECIMAL(14,8)) AS DOUBLE) AS lang_entropy_norm
+    FROM g
+    """,
+)
+def llm_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity audit per source: Shannon entropy (nats) and
+    normalized entropy of each source's language distribution — the
+    corpus-composition diagnostic next to llm_data_card's volume counts
+    (a source whose entropy collapses release-over-release is silently
+    becoming monolingual; normalized entropy compares sources with
+    different language counts on one [0,1] scale).
+
+    Scale shape: two stacked partial aggregates — (source, lang) counts,
+    then per-source entropy from those ≤|langs| rows; the corpus
+    shuffles once on (source, lang) partials and the entropy math runs
+    on a frame the size of the source×lang grid. H = ln(n) − Σc·ln(c)/n
+    avoids forming tiny p quotients per term.
+
+    Parity: counts are exact; ln() is libm-dependent so both entropy
+    outputs quantize through DECIMAL(14,8) then back to double (the
+    llm_unigram_logprob rule; noise ~1e-13 vs quantum 1e-8)."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    g = c.groupBy("source").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(
+            F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))
+        ).alias("s"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("s") / F.col("n").cast(
+        "double"
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        h.cast("decimal(14,8)").cast("double").alias("lang_entropy_nats"),
+        F.when(
+            F.col("n_langs") > 1,
+            h / F.log(F.col("n_langs").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(14,8)")
+        .cast("double")
+        .alias("lang_entropy_norm"),
+    )

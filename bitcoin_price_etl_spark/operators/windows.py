@@ -1202,3 +1202,91 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         corr.cast("decimal(10,6)").cast("double").alias("autocorr"),
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), q AS (
+        SELECT event_type, h, CAST(v AS DECIMAL(18,6)) AS vq FROM hourly
+    ), m AS (
+        SELECT event_type,
+               CAST(CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
+                   AS mq,
+               COUNT(*) AS n_hours
+        FROM q GROUP BY event_type
+    ), c AS (
+        SELECT q.event_type, q.h, m.n_hours,
+               SUM(q.vq - m.mq) OVER (PARTITION BY q.event_type
+                                      ORDER BY q.h) AS cusum
+        FROM q JOIN m ON q.event_type = m.event_type
+    ), ranked AS (
+        SELECT event_type, h, n_hours, CAST(cusum AS DOUBLE) AS cusum_d,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, h) AS rn
+        FROM c
+    )
+    SELECT event_type, n_hours,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS changepoint_hour,
+           cusum_d AS max_abs_cusum
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per series: the hour where the
+    running cumulative deviation from the series mean peaks in absolute
+    value — the classic level-shift locator (a mean shift makes the
+    CUSUM path a tent whose apex IS the change point; a flat series
+    random-walks near zero).
+
+    Scale shape: the corpus collapses to the hourly series first (one
+    partial-aggregated groupBy — the window never sees raw events), the
+    per-series mean attaches via a tiny broadcastable join, and ONE
+    running-sum window per series walks the hourly frame (~9k rows/year
+    per series). The apex pick is an O(1)-state argmax. Same
+    aggregate-then-window stance as ts_interpolate_linear.
+
+    Parity: hourly means are bit-identical davg doubles; both they and
+    the series mean QUANTIZE to DECIMAL(18,6) before differencing, so
+    the running sum adds exact decimals — associative, immune to the
+    engines' different window-sum accumulation orders (a double running
+    sum would drift); the apex is tie-pinned by hour."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value", "v"))
+    q = hourly.select(
+        "event_type", "h", F.col("v").cast("decimal(18,6)").alias("vq")
+    )
+    m = q.groupBy("event_type").agg(
+        F.expr(
+            "CAST(CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))"
+        ).alias("mq"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = q.join(m, "event_type").select(
+        "event_type",
+        "h",
+        "n_hours",
+        F.sum(F.col("vq") - F.col("mq")).over(w).alias("cusum"),
+    )
+    # max_by on (abs, h) would tie-break toward the LATER hour; the
+    # oracle pins the EARLIER one, so rank explicitly
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), "h"
+    )
+    ranked = c.withColumn("rn", F.row_number().over(wr))
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        "n_hours",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("changepoint_hour"),
+        F.col("cusum").cast("double").alias("max_abs_cusum"),
+    )

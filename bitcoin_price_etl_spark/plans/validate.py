@@ -63,3 +63,182 @@ def validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference *raises*; the engine preserves evidence)."""
     d = load(spark, sf_dir, "documents")
     return d.filter(~_pred()).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "validate_expectations",
+    oracle="""
+    WITH li AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 30
+                        THEN 1 ELSE 0 END) AS v_range,
+               sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 1 ELSE 0 END) AS v_accept,
+               sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_pos
+        FROM lineitem
+    ), uq AS (
+        SELECT count(*) AS n_groups,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS v_dup
+        FROM (SELECT l_orderkey, l_linenumber, count(*) AS c
+              FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    ), fk AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS v_orphan
+        FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+    ), ords AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1 ELSE 0 END) AS v_regex,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_tp
+        FROM orders
+    )
+    SELECT rule_name, table_name,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+        SELECT 'not_null_orderkey' AS rule_name, 'lineitem' AS table_name,
+               n AS n_checked, v_null AS n_violations FROM li
+        UNION ALL
+        SELECT 'quantity_range_1_30', 'lineitem', n, v_range FROM li
+        UNION ALL
+        SELECT 'returnflag_accepted_values', 'lineitem', n, v_accept FROM li
+        UNION ALL
+        SELECT 'extendedprice_positive', 'lineitem', n, v_pos FROM li
+        UNION ALL
+        SELECT 'unique_order_line', 'lineitem', n_groups, v_dup FROM uq
+        UNION ALL
+        SELECT 'fk_lineitem_orders', 'lineitem', n, v_orphan FROM fk
+        UNION ALL
+        SELECT 'priority_format', 'orders', n, v_regex FROM ords
+        UNION ALL
+        SELECT 'totalprice_positive', 'orders', n, v_tp FROM ords
+    )
+    """,
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the dbt-test / Great
+    Expectations surface): a rule suite — not-null, range, accepted
+    values, positivity, compound-key uniqueness, referential integrity,
+    regex format — evaluated in bulk, one report row per rule with
+    checked/violation counts and a pass verdict. Complements
+    validate_quarantine (row-level routing) with the suite-level audit a
+    warehouse gate actually alerts on; on this corpus the range and
+    uniqueness rules genuinely fail (~4% oversized quantities, duplicate
+    (orderkey, linenumber) pairs), so both verdict branches are
+    exercised at every SF.
+
+    Scale shape: all four row-level lineitem rules ride ONE scan and ONE
+    partial aggregate (a rule is just another CASE-sum buffer — the
+    llm_quality_ensemble stance), the uniqueness rule is one
+    key-partitioned groupBy collapsed to two counters, referential
+    integrity is one key equi-join counted, and the orders rules share
+    one more scan. The report union is 8 one-row frames — control-plane
+    sized. Adding a rule at 100 TB costs one more agg buffer, not one
+    more scan.
+
+    Parity: every measure is an exact integer count; the regex ASCII
+    class behaves identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "v_null"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 30), 1
+            ).otherwise(0)
+        ).alias("v_range"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(
+                0
+            )
+        ).alias("v_accept"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias(
+            "v_pos"
+        ),
+    )
+    li_rules = li_agg.select(
+        F.expr(
+            "stack(4,"
+            " 'not_null_orderkey', n, v_null,"
+            " 'quantity_range_1_30', n, v_range,"
+            " 'returnflag_accepted_values', n, v_accept,"
+            " 'extendedprice_positive', n, v_pos"
+            ") AS (rule_name, n_checked, n_violations)"
+        ),
+        F.lit("lineitem").alias("table_name"),
+    )
+    uq = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            F.lit("unique_order_line").alias("rule_name"),
+            "n_checked",
+            "n_violations",
+            F.lit("lineitem").alias("table_name"),
+        )
+    )
+    fk = (
+        li.join(
+            o.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_violations"),
+        )
+        .select(
+            F.lit("fk_lineitem_orders").alias("rule_name"),
+            "n_checked",
+            "n_violations",
+            F.lit("lineitem").alias("table_name"),
+        )
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").rlike("^[1-5]-"), 1
+            ).otherwise(0)
+        ).alias("v_regex"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "v_tp"
+        ),
+    )
+    o_rules = o_agg.select(
+        F.expr(
+            "stack(2,"
+            " 'priority_format', n, v_regex,"
+            " 'totalprice_positive', n, v_tp"
+            ") AS (rule_name, n_checked, n_violations)"
+        ),
+        F.lit("orders").alias("table_name"),
+    )
+    cols = ["rule_name", "table_name", "n_checked", "n_violations"]
+    report = (
+        li_rules.select(*cols)
+        .unionAll(uq.select(*cols))
+        .unionAll(fk.select(*cols))
+        .unionAll(o_rules.select(*cols))
+    )
+    return report.select(
+        "rule_name",
+        "table_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
