@@ -64,6 +64,8 @@ DOC_KEYS = [
     # snapshot diff: both derived versions ride the scaled corpus, so
     # the PK full-outer join and its hash compare grow linearly
     "llm_dataset_diff",
+    # entropy: the (source, lang) grid is fixed, only partials grow
+    "llm_lang_entropy",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -186,6 +188,9 @@ TPCH_KEYS = [
     # edge list grows mult× with custkeys/suppkeys fixed, so per-node
     # degree — the hot-destination stress on the rank sums — grows mult×
     "graph_pagerank",
+    # orderkey-consistent scaling keeps the FK rule honest (every copy's
+    # lineitems still find their orders); rule counters grow linearly
+    "validate_expectations",
 ]
 
 _TPCH_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
@@ -273,6 +278,8 @@ FACT_KEYS = {
     # every series gets mult× rows: the per-series window sort and the
     # six moment buffers absorb the growth; lag pairs grow linearly
     "ts_autocorr": ("events", "event_id", None),
+    # the hourly pre-aggregate absorbs the growth before the window
+    "ts_cusum_changepoint": ("events", "event_id", None),
     # partkey joins the copy shift so each copy carries its own
     # co-purchase graph: edges and wedges grow linearly, the real shape
     # of corpus growth. (Orderkey-only shifts duplicate every pair
