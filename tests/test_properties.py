@@ -669,3 +669,158 @@ def test_temperature_sample_matches_replay(spark):
         if u < thr[r.source]:
             expected.add(r.doc_id)
     assert got == expected
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """graph_triangle_count's degree-ordered orientation must produce
+    exactly the census a driver-side brute force computes from the same
+    support-thresholded edge set — orientation can neither drop a
+    triangle (every triangle has exactly one vertex out-joined to the
+    other two) nor double-count one."""
+    from collections import Counter
+
+    from bitcoin_price_etl_spark.operators.graph import (
+        TRI_MIN_SUPPORT,
+        graph_triangle_count,
+    )
+
+    got = graph_triangle_count(spark, SF_SMOKE).collect()[0]
+    li = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    supp = Counter()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                if ps[i] < ps[j]:
+                    supp[(ps[i], ps[j])] += 1
+    edges = {e for e, c in supp.items() if c >= TRI_MIN_SUPPORT}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    n_tri = sum(
+        1
+        for (u, v) in edges
+        for w in adj[u] & adj[v]
+        if v < w  # u < v < w: count each triangle once
+    )
+    assert got.n_nodes == len(adj)
+    assert got.n_edges == len(edges)
+    assert got.n_wedges == n_wedges
+    assert got.n_triangles == n_tri
+
+
+def test_attribution_matches_brute_force(spark):
+    """attribution_channels must equal a driver-side replay: per
+    purchase, collect the user's in-window touches, pick first/last by
+    (ts, event_id), and roll up per channel."""
+    from bitcoin_price_etl_spark.operators.eventflow import (
+        ATTRIB_WINDOW_SECONDS,
+        _ATTRIB_CHANNELS,
+        attribution_channels,
+    )
+
+    got = {
+        r.channel: (
+            r.total_touches,
+            r.touched_conversions,
+            r.last_touch_conversions,
+            r.first_touch_conversions,
+            r.assisted_conversions,
+        )
+        for r in attribution_channels(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+    touches = {}
+    for r in ev:
+        if r.event_type in _ATTRIB_CHANNELS:
+            touches.setdefault(r.user_id, []).append(
+                (r.ts, r.event_id, r.event_type)
+            )
+    stats = {}  # channel -> [touches, touched, last, first, assisted]
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        window = [
+            t
+            for t in touches.get(r.user_id, ())
+            if t[0] < r.ts
+            and (r.ts - t[0]).total_seconds() <= ATTRIB_WINDOW_SECONDS
+        ]
+        if not window:
+            continue
+        window.sort()
+        first_ch, last_ch = window[0][2], window[-1][2]
+        per_ch = {}
+        for _, _, ch in window:
+            per_ch[ch] = per_ch.get(ch, 0) + 1
+        for ch, n in per_ch.items():
+            s = stats.setdefault(ch, [0, 0, 0, 0, 0])
+            s[0] += n
+            s[1] += 1
+            s[2] += ch == last_ch
+            s[3] += ch == first_ch
+            s[4] += ch != last_ch
+    assert got == {ch: tuple(s) for ch, s in stats.items()}
+
+
+def test_preference_pairs_invariants(spark):
+    """Structural invariants of llm_preference_pairs: chosen outranks
+    rejected (margin ≥ 0, and doc_id breaks exact ties), no document
+    appears in two pairs, and pairing is source-local."""
+    from bitcoin_price_etl_spark.llm.curation import llm_preference_pairs
+
+    rows = llm_preference_pairs(spark, SF_SMOKE).collect()
+    assert rows, "no pairs at smoke SF"
+    seen = set()
+    for r in rows:
+        assert r.margin == r.chosen_chars - r.rejected_chars
+        assert r.margin >= 0
+        if r.margin == 0:
+            assert r.chosen_doc_id < r.rejected_doc_id
+        for d in (r.chosen_doc_id, r.rejected_doc_id):
+            assert d not in seen, f"doc {d} in two pairs"
+            seen.add(d)
+
+
+def test_bpe_merge_matches_counter_replay(spark):
+    """llm_bpe_merge_step must equal a collections.Counter replay of the
+    weighted adjacent-pair count over the same [a-z]+ tokenization."""
+    import re
+    from collections import Counter
+
+    from bitcoin_price_etl_spark.llm.textstats import (
+        BPE_TOP_MERGES,
+        llm_bpe_merge_step,
+    )
+
+    got = [
+        (r.pair, r.freq, r.n_word_forms)
+        for r in llm_bpe_merge_step(spark, SF_SMOKE).collect()
+    ]
+    docs = load(spark, SF_SMOKE, "documents").select("text").collect()
+    wc = Counter()
+    for r in docs:
+        for w in re.findall(r"[a-z]+", r.text.lower()):
+            if len(w) >= 2:
+                wc[w] += 1
+    freq = Counter()
+    forms = {}
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            freq[p] += c
+            forms.setdefault(p, set()).add(w)
+    expected = sorted(
+        ((p, c, len(forms[p])) for p, c in freq.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:BPE_TOP_MERGES]
+    assert got == expected
