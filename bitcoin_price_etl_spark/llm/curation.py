@@ -1278,3 +1278,127 @@ def llm_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# Span corruption: block-grid span starts keep spans disjoint by
+# construction. 8-token blocks, 25% corrupted, span length 1-3 tokens.
+SPAN_BLOCK = 8
+SPAN_RATE_HEX = "40"  # 0x40/0x100 = 25% of blocks
+
+
+def _span_corrupt_duck(b: str) -> str:
+    return (
+        f"substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST({b} AS VARCHAR))"
+        f", 1, 2) < '{SPAN_RATE_HEX}'"
+    )
+
+
+def _span_len_duck(b: str) -> str:
+    return (
+        "1 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)"
+        f" || '#' || CAST({b} AS VARCHAR)), 3, 1)) - 1) % 3"
+    )
+
+
+@query(
+    "llm_span_corruption",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               (len(toks) + {SPAN_BLOCK} - 1) // {SPAN_BLOCK} AS nblocks
+        FROM t
+    )
+    SELECT doc_id,
+      coalesce(array_to_string(list_filter(list_transform(range(1, n + 1),
+        i -> CASE WHEN {_span_corrupt_duck('(i - 1) // %d' % SPAN_BLOCK)}
+             THEN CASE
+               WHEN (i - 1) % {SPAN_BLOCK} = 0 THEN '<extra_id_' || CAST(
+                 len(list_filter(range(0, (i - 1) // {SPAN_BLOCK}), b ->
+                   {_span_corrupt_duck('b')})) AS VARCHAR) || '>'
+               WHEN (i - 1) % {SPAN_BLOCK}
+                    < {_span_len_duck('(i - 1) // %d' % SPAN_BLOCK)}
+                 THEN NULL
+               ELSE toks[i] END
+             ELSE toks[i] END), x -> x IS NOT NULL), ' '), '')
+          AS corrupted_text,
+      coalesce(array_to_string(list_filter(list_transform(range(0, nblocks),
+        b -> CASE WHEN {_span_corrupt_duck('b')}
+             THEN '<extra_id_' || CAST(
+                 len(list_filter(range(0, b), bb ->
+                   {_span_corrupt_duck('bb')})) AS VARCHAR)
+                 || '> ' || array_to_string(
+                   toks[b * {SPAN_BLOCK} + 1 :
+                        b * {SPAN_BLOCK} + {_span_len_duck('b')}], ' ')
+             END), x -> x IS NOT NULL), ' '), '') AS target_text,
+      CAST(len(list_filter(range(0, nblocks), b ->
+        {_span_corrupt_duck('b')})) AS BIGINT) AS n_spans
+    FROM s
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption: contiguous 1-3-token spans are
+    replaced by numbered sentinels in the input and emitted (sentinel +
+    original tokens) as the denoising target — the seq2seq pre-training
+    recipe next to llm_mask_tokens' BERT-style single-token masking.
+    Span starts live on an {SPAN_BLOCK}-token block grid (the md5 draw
+    corrupts 25% of blocks; a second hex digit draws the length), so
+    spans are disjoint BY CONSTRUCTION — no rejection sampling, and the
+    draw is reproducible on any cluster layout (doc_id + block index is
+    the whole seed).
+
+    Scale shape: a zero-shuffle projection — token surgery, sentinel
+    numbering (a prefix count over the ≤n/{SPAN_BLOCK} block ids), and
+    target assembly all run inside whole-stage codegen over one scan;
+    no token ever leaves its row.
+
+    Parity: pure string/array surgery over an identical hash draw;
+    Spark's transform exposes 0-based indices while the oracle zips an
+    explicit 1-based range — same arithmetic after the shift."""
+    corrupt = (
+        "substring(md5(CAST(doc_id AS STRING) || '#' ||"
+        " CAST({b} AS STRING)), 1, 2) < '" + SPAN_RATE_HEX + "'"
+    )
+    slen = (
+        "1 + CAST(conv(substring(md5(CAST(doc_id AS STRING) || '#' ||"
+        " CAST({b} AS STRING)), 3, 1), 16, 10) AS INT) % 3"
+    )
+    bk = f"(i DIV {SPAN_BLOCK})"
+    sid = (
+        f"size(filter(sequence(0, {bk}),"
+        f" b -> b < {bk} AND " + corrupt.format(b="b") + "))"
+    )
+    masked = F.expr(
+        "array_join(filter(transform(split(text, ' '), (x, i) ->"
+        " CASE WHEN " + corrupt.format(b=bk) + " THEN CASE"
+        f" WHEN i % {SPAN_BLOCK} = 0"
+        f" THEN concat('<extra_id_', CAST({sid} AS STRING), '>')"
+        f" WHEN i % {SPAN_BLOCK} < " + slen.format(b=bk) + " THEN NULL"
+        " ELSE x END ELSE x END), x -> x IS NOT NULL), ' ')"
+    )
+    target = F.expr(
+        "array_join(filter(transform("
+        f" sequence(0, (size(split(text, ' ')) + {SPAN_BLOCK} - 1)"
+        f" DIV {SPAN_BLOCK} - 1), b ->"
+        " CASE WHEN " + corrupt.format(b="b") + " THEN concat("
+        " '<extra_id_',"
+        " CAST(size(filter(sequence(0, b), bb -> bb < b AND "
+        + corrupt.format(b="bb")
+        + ")) AS STRING), '> ',"
+        f" array_join(slice(split(text, ' '), b * {SPAN_BLOCK} + 1,"
+        " " + slen.format(b="b") + "), ' ')) END),"
+        " x -> x IS NOT NULL), ' ')"
+    )
+    n_spans = F.expr(
+        f"CAST(size(filter(sequence(0, (size(split(text, ' '))"
+        f" + {SPAN_BLOCK} - 1) DIV {SPAN_BLOCK} - 1),"
+        " b -> " + corrupt.format(b="b") + ")) AS BIGINT)"
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        masked.alias("corrupted_text"),
+        target.alias("target_text"),
+        n_spans.alias("n_spans"),
+    )

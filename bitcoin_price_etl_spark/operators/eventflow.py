@@ -653,3 +653,129 @@ def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("channel") != F.col("last_channel"), 1).otherwise(0)
         ).cast("long").alias("assisted_conversions"),
     )
+
+
+# Path analysis keeps the first K steps of each session — the bounded
+# prefix that makes per-session state O(1) for arbitrarily long sessions.
+PATH_MAX_STEPS = 5
+
+
+@query(
+    "path_analysis_sessions",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_seq
+        FROM marked
+    ), stepped AS (
+        SELECT user_id, session_seq, event_type,
+               row_number() OVER (PARTITION BY user_id, session_seq
+                                  ORDER BY ts, event_id) AS step,
+               count(*) OVER (PARTITION BY user_id, session_seq) AS sess_len
+        FROM sessioned
+    ), paths AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY step) AS path,
+               MAX(sess_len) AS sess_len
+        FROM stepped WHERE step <= {PATH_MAX_STEPS}
+        GROUP BY user_id, session_seq
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN sess_len > {PATH_MAX_STEPS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def path_analysis_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: the top session paths (ordered
+    event-type prefixes like 'view>click>purchase') with session/user
+    counts — the Sankey-diagram feed of product analytics, built on the
+    same 30-min gap sessions as ts_sessionize.
+
+    Scale shape: the gap-mark, session-number, and step-rank windows all
+    share ONE user_id partitioning (a single exchange); the path then
+    assembles from the first {PATH_MAX_STEPS} steps ONLY — rows beyond
+    the prefix are filtered BEFORE any aggregation, so per-session state
+    is a ≤{PATH_MAX_STEPS}-element string no matter how long a hot
+    user's session runs (the bounded-prefix discipline; sess_len rides
+    along as a pre-computed count, not a carried list). The final path
+    rollup is a tiny distinct-paths frame; top-25 is
+    TakeOrderedAndProject.
+
+    Parity: paths are exact ordered string concatenations tie-pinned by
+    (ts, event_id); all measures are integer counts."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sessioned = marked.withColumn(
+        "session_seq",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    stepped = sessioned.select(
+        "user_id",
+        "session_seq",
+        "event_type",
+        F.row_number().over(ws).alias("step"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("user_id", "session_seq").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("sess_len"),
+    )
+    prefix = stepped.filter(F.col("step") <= PATH_MAX_STEPS)
+    paths = prefix.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct("step", "event_type"))
+            ).getField("event_type"),
+            ">",
+        ).alias("path"),
+        F.max("sess_len").alias("sess_len"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.when(F.col("sess_len") > PATH_MAX_STEPS, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_truncated"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )
