@@ -66,6 +66,8 @@ DOC_KEYS = [
     "llm_dataset_diff",
     # entropy: the (source, lang) grid is fixed, only partials grow
     "llm_lang_entropy",
+    # zero-shuffle token surgery: per-row constant cost
+    "llm_span_corruption",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -280,6 +282,9 @@ FACT_KEYS = {
     "ts_autocorr": ("events", "event_id", None),
     # the hourly pre-aggregate absorbs the growth before the window
     "ts_cusum_changepoint": ("events", "event_id", None),
+    # hot-user stress on the shared user_id window partitioning; the
+    # first-K prefix filter bounds per-session state as sessions densify
+    "path_analysis_sessions": ("events", "event_id", None),
     # partkey joins the copy shift so each copy carries its own
     # co-purchase graph: edges and wedges grow linearly, the real shape
     # of corpus growth. (Orderkey-only shifts duplicate every pair
