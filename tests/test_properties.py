@@ -824,3 +824,47 @@ def test_bpe_merge_matches_counter_replay(spark):
         key=lambda t: (-t[1], t[0]),
     )[:BPE_TOP_MERGES]
     assert got == expected
+
+
+def test_span_corruption_matches_replay(spark):
+    """llm_span_corruption must equal a hashlib replay of the block-grid
+    draw: same corrupted blocks, same span lengths, same sentinel
+    numbering, and corrupted+target must jointly conserve every token."""
+    import hashlib
+
+    from bitcoin_price_etl_spark.llm.curation import (
+        SPAN_BLOCK,
+        SPAN_RATE_HEX,
+        llm_span_corruption,
+    )
+
+    def h(doc_id, b):
+        return hashlib.md5(f"{doc_id}#{b}".encode()).hexdigest()
+
+    got = {
+        r.doc_id: (r.corrupted_text, r.target_text, r.n_spans)
+        for r in llm_span_corruption(spark, SF_SMOKE).collect()
+    }
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        toks = r.text.split(" ")
+        nblocks = (len(toks) + SPAN_BLOCK - 1) // SPAN_BLOCK
+        out, tgt, sid = [], [], 0
+        for b in range(nblocks):
+            block = toks[b * SPAN_BLOCK : (b + 1) * SPAN_BLOCK]
+            hx = h(r.doc_id, b)
+            if hx[:2] < SPAN_RATE_HEX:
+                span_len = 1 + int(hx[2], 16) % 3
+                out.append(f"<extra_id_{sid}>")
+                out.extend(block[span_len:])
+                tgt.append(
+                    f"<extra_id_{sid}> " + " ".join(block[:span_len])
+                )
+                sid += 1
+            else:
+                out.extend(block)
+        expected = (" ".join(out), " ".join(tgt), sid)
+        assert got[r.doc_id] == expected, (r.doc_id, got[r.doc_id], expected)
