@@ -128,6 +128,21 @@ HEADLINE = [
     "llm_training_examples",
     "graph_pagerank",
     "fn_xml",
+    # round-4 second wave: graph census, tokenizer training, preference
+    # pairs, ACF, SCD2 read side, attribution, snapshot diff, CUSUM,
+    # expectations suite, entropy, journey paths, span corruption
+    "graph_triangle_count",
+    "llm_bpe_merge_step",
+    "llm_preference_pairs",
+    "ts_autocorr",
+    "join_scd2_pointintime",
+    "attribution_channels",
+    "llm_dataset_diff",
+    "ts_cusum_changepoint",
+    "validate_expectations",
+    "llm_lang_entropy",
+    "path_analysis_sessions",
+    "llm_span_corruption",
 ]
 
 

@@ -779,3 +779,141 @@ def path_analysis_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
     )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "win_interval_concurrency",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS session_seq
+        FROM gaps
+    ), sess AS (
+        SELECT user_id, session_seq,
+               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        FROM numbered GROUP BY user_id, session_seq
+    ), d AS (
+        SELECT start_us AS ts, 1 AS delta FROM sess
+        UNION ALL
+        SELECT end_us + 1, -1 FROM sess
+    ), r AS (
+        SELECT ts, delta,
+               SUM(delta) OVER (ORDER BY ts, delta
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM d
+    ), dd AS (
+        SELECT ts // {_US_PER_DAY} AS day_idx, ts, delta, conc FROM r
+    ), mx AS (
+        SELECT day_idx, MAX(conc) AS peak FROM dd GROUP BY day_idx
+    )
+    SELECT strftime(DATE '1970-01-01'
+                    + CAST(dd.day_idx AS INTEGER), '%Y-%m-%d') AS day,
+           CAST(mx.peak AS BIGINT) AS peak_concurrency,
+           strftime(make_timestamp(MIN(CASE WHEN dd.conc = mx.peak
+                                            THEN dd.ts END)),
+                    '%Y-%m-%d %H:%M:%S') AS peak_at,
+           CAST(SUM(CASE WHEN dd.delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts
+    FROM dd JOIN mx ON dd.day_idx = mx.day_idx
+    GROUP BY dd.day_idx, mx.peak
+    """,
+)
+def win_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity gauge every
+    serving/licensing/staffing question reduces to ("how many sessions
+    were open AT ONCE, and when?"). Sessions come from the same 30-min
+    gap rule as ts_sessionize; concurrency is the classic sweep line:
+    +1 at session start, −1 one microsecond after session end, peak =
+    max running sum.
+
+    Scale shape: the DISTRIBUTED sweep line — a global running sum looks
+    inherently serial, but it two-levels exactly like any prefix scan:
+    each day partition sweeps its own deltas independently (one
+    day-partitioned window), day TOTALS aggregate to a frame with one
+    row per day whose exclusive prefix sum (a window over ~365 rows —
+    control-plane) is each day's carry-in offset, and per-event
+    concurrency = carry-in + local prefix. No single-partition pass ever
+    touches event-scale data; the oracle runs the single-level global
+    sweep as the independent formulation. Days with no session boundary
+    report nothing (their gauge is flat at the carry-in).
+
+    Parity: all integer microsecond arithmetic; within equal (ts, delta)
+    sort keys every delta is identical, so the SET of achieved prefix
+    values — hence each day's peak and earliest peak instant — is
+    invariant to engine tie order."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w)
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "session_seq",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        # the session frame feeds both delta branches AND the day-total /
+        # local-sweep consumers — checkpoint it once so the event-scale
+        # sessionize window never re-runs (llm_dedup_ngram stance)
+        .localCheckpoint()
+    )
+    deltas = sess.select(
+        F.col("start_us").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            (F.col("end_us") + 1).alias("ts"), F.lit(-1).alias("delta")
+        )
+    ).withColumn("day_idx", (F.col("ts") / _US_PER_DAY).cast("long"))
+    w_day = Window.partitionBy("day_idx").orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = deltas.withColumn("run", F.sum("delta").over(w_day))
+    day_totals = deltas.groupBy("day_idx").agg(
+        F.sum("delta").alias("day_total")
+    )
+    w_carry = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_totals.withColumn(
+        "carry_in", F.coalesce(F.sum("day_total").over(w_carry), F.lit(0))
+    ).select("day_idx", "carry_in")
+    conc = local.join(F.broadcast(carry), "day_idx").withColumn(
+        "conc", F.col("carry_in") + F.col("run")
+    )
+    w_max = Window.partitionBy("day_idx")
+    peaked = conc.withColumn("peak", F.max("conc").over(w_max))
+    return peaked.groupBy("day_idx", "peak").agg(
+        F.min(
+            F.when(F.col("conc") == F.col("peak"), F.col("ts"))
+        ).alias("peak_us"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_starts"),
+    ).select(
+        F.date_format(
+            F.timestamp_micros(F.col("day_idx") * _US_PER_DAY), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("peak").cast("long").alias("peak_concurrency"),
+        F.date_format(
+            F.timestamp_micros(F.col("peak_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("peak_at"),
+        "n_starts",
+    )

@@ -676,3 +676,119 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.c_mktsegment").alias("segment_at_order"),
         F.col("d.bal").alias("acctbal_at_order"),
     )
+
+
+# Synthetic planar coordinates (no geo column in the driver schema):
+# two co-prime multipliers scatter custkeys uniformly over a 20k x 20k
+# integer grid. Cell size == radius, so true neighbors are never more
+# than one cell apart in either axis.
+SPATIAL_MOD = 20_000
+SPATIAL_RADIUS = 1_000
+SPATIAL_CELL = 1_000
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 7919) % {SPATIAL_MOD} AS x,
+               (c_custkey * 104729) % {SPATIAL_MOD} AS y
+        FROM customer
+    ), cand AS (
+        SELECT (a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y) AS d2
+        FROM pts a JOIN pts b ON a.id < b.id
+          AND abs(a.x // {SPATIAL_CELL} - b.x // {SPATIAL_CELL}) <= 1
+          AND abs(a.y // {SPATIAL_CELL} - b.y // {SPATIAL_CELL}) <= 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pts) AS n_points,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN d2 <= {SPATIAL_RADIUS * SPATIAL_RADIUS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN d2 <= {SPATIAL_RADIUS * SPATIAL_RADIUS}
+                         THEN d2 END) AS BIGINT) AS min_d2,
+           CAST(max(CASE WHEN d2 <= {SPATIAL_RADIUS * SPATIAL_RADIUS}
+                         THEN d2 END) AS BIGINT) AS max_d2
+    FROM cand
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial self-join: all point pairs within a fixed
+    radius, found by hashing points into radius-sized grid cells and
+    probing only the 3×3 cell neighborhood — the standard
+    distance-join shape (geohash/S2/H3 pipelines are this exact plan
+    with spherical cells). Coordinates are synthesized deterministically
+    from custkey (the driver schema has no geo column); distances are
+    exact integer squared-Euclidean, so no libm enters the predicate.
+
+    Scale shape: the probe side EXPLODES each point to its 9 neighbor
+    cells (bounded fan-out) and equi-joins on the cell id against the
+    build side's single cell — candidates are Σ cell-pair products,
+    never n² (measured here: the cell filter admits ~2% of the n²
+    pairs); cell size == radius guarantees no true pair is missed. The
+    oracle states the same candidate set declaratively on an id-ordered
+    n² join — an independent formulation. Per-cell density is the skew
+    dial: a hot cell takes the salting treatment, and the final rollup
+    is one partial aggregate. (The probe's pair growth is quadratic in
+    density by definition — fixed space, more points; real corpora grow
+    AREA with volume.)
+
+    Parity: every output is an exact integer; the id order halves pairs
+    identically in both engines."""
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % SPATIAL_MOD).alias("x"),
+        ((F.col("c_custkey") * 104729) % SPATIAL_MOD).alias("y"),
+    ).localCheckpoint()
+    build = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (F.col("x") / SPATIAL_CELL).cast("long").alias("cell_x"),
+        (F.col("y") / SPATIAL_CELL).cast("long").alias("cell_y"),
+    )
+    probe = (
+        pts.select(
+            F.col("id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+        )
+        .select(
+            "*", F.explode(F.expr("sequence(-1, 1)")).alias("dy")
+        )
+        .select(
+            "a_id",
+            "ax",
+            "ay",
+            ((F.col("ax") / SPATIAL_CELL).cast("long") + F.col("dx")).alias(
+                "cell_x"
+            ),
+            ((F.col("ay") / SPATIAL_CELL).cast("long") + F.col("dy")).alias(
+                "cell_y"
+            ),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    r2 = SPATIAL_RADIUS * SPATIAL_RADIUS
+    cand = (
+        probe.join(build, ["cell_x", "cell_y"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(d2.alias("d2"))
+    )
+    stats = cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("d2") <= r2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.min(F.when(F.col("d2") <= r2, F.col("d2"))).alias("min_d2"),
+        F.max(F.when(F.col("d2") <= r2, F.col("d2"))).alias("max_d2"),
+    )
+    npts = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    return F.broadcast(npts).crossJoin(stats).select(
+        "n_points", "n_candidates", "n_pairs", "min_d2", "max_d2"
+    )
