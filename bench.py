@@ -143,6 +143,8 @@ HEADLINE = [
     "llm_lang_entropy",
     "path_analysis_sessions",
     "llm_span_corruption",
+    "join_spatial_grid",
+    "win_interval_concurrency",
 ]
 
 
