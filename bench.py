@@ -145,6 +145,9 @@ HEADLINE = [
     "llm_span_corruption",
     "join_spatial_grid",
     "win_interval_concurrency",
+    "ab_srm_check",
+    "ab_ttest_welch",
+    "ab_cuped_adjust",
 ]
 
 

@@ -1,0 +1,337 @@
+"""Experimentation analytics: the A/B-test readout pipeline — sample-ratio
+sanity, Welch's t-test, and CUPED variance reduction.
+
+No reference precedent (the reference is a single-feed ETL; SURVEY.md
+§2.1): these are the rollups any event-producing product runs the moment
+it ships its first experiment. Everything is expressed as closed-form
+moment algebra so the corpus is touched once per operator: an experiment
+readout at 100 TB is a per-user aggregate (the unit of analysis — user-
+level aggregation first prevents pseudo-replication, the classic A/B
+mistake of treating events as independent samples) followed by per-variant
+moment buffers, never a per-event statistical pass.
+
+Variant assignment is user_id % 2 — deterministic, layout-independent,
+and the same bucketing discipline as llm_sample_hash's md5 draws (a real
+assignment service hashes (user, experiment) the same way).
+
+Parity: counts and decimal-summed moments are exact; final test
+statistics divide exact operands and quantize through coarse DECIMAL on
+both sides (the agg_corr rule) because sqrt/division noise is
+libm-adjacent at the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.registry import query
+
+# Pre/post boundary for CUPED's covariate window (events span Jan 2024).
+CUPED_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "ab_srm_check",
+    oracle="""
+    WITH units AS (
+        SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ), counts AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_control,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_treatment
+        FROM units
+    )
+    SELECT n_control, n_treatment,
+           CAST((n_control - n_treatment) * (n_control - n_treatment)
+                AS DOUBLE) / (n_control + n_treatment) AS chi2_stat,
+           CAST((n_control - n_treatment) * (n_control - n_treatment)
+                AS DOUBLE) / (n_control + n_treatment) > 3.841 AS srm_flag
+    FROM counts
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check: does the observed control/treatment
+    unit split match the designed 50/50? A significant chi-square here
+    invalidates the experiment BEFORE any metric is read — the first
+    gate of every A/B readout. For a 2-cell 50/50 design the chi-square
+    collapses to (n0-n1)²/(n0+n1), one exact integer expression.
+
+    Scale shape: one distinct-user aggregate (partial-agg'd) collapsed
+    to two counters; the statistic is control-plane arithmetic.
+
+    Parity: the statistic is a single IEEE division of exact integers —
+    bit-identical, no quantization needed."""
+    ev = load(spark, sf_dir, "events")
+    units = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    counts = units.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treatment"),
+    )
+    diff = F.col("n_control") - F.col("n_treatment")
+    chi2 = (diff * diff).cast("double") / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    return counts.select(
+        "n_control",
+        "n_treatment",
+        chi2.alias("chi2_stat"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )
+
+
+_USER_METRIC_DUCK = """
+    SELECT user_id, user_id % 2 AS variant,
+           CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)
+               AS y
+    FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "ab_ttest_welch",
+    oracle=f"""
+    WITH m AS ({_USER_METRIC_DUCK}),
+    v AS (
+        SELECT variant, COUNT(*) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))
+                        * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        FROM m GROUP BY variant
+    ), w AS (
+        SELECT
+          MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+          MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+          MAX(CASE WHEN variant = 0 THEN s / n END) AS m0,
+          MAX(CASE WHEN variant = 1 THEN s / n END) AS m1,
+          MAX(CASE WHEN variant = 0 THEN (ss - s * s / n) / (n - 1) END)
+              AS v0,
+          MAX(CASE WHEN variant = 1 THEN (ss - s * s / n) / (n - 1) END)
+              AS v1
+        FROM v
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+           CAST(CAST(m0 AS DECIMAL(18,6)) AS DOUBLE) AS mean_control,
+           CAST(CAST(m1 AS DECIMAL(18,6)) AS DOUBLE) AS mean_treatment,
+           CAST(CAST((m1 - m0) / sqrt(v0 / n0 + v1 / n1)
+                     AS DECIMAL(12,6)) AS DOUBLE) AS t_stat,
+           CAST(CAST((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+                     / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                        + (v1 / n1) * (v1 / n1) / (n1 - 1))
+                     AS DECIMAL(12,4)) AS DOUBLE) AS welch_df
+    FROM w
+    """,
+)
+def ab_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user purchase revenue,
+    control (user_id%2=0) vs treatment — THE A/B significance readout.
+    The metric aggregates to the USER first (unit of analysis;
+    event-level testing pseudo-replicates and overstates significance),
+    users without purchases count as zeros.
+
+    Scale shape: one user-keyed aggregate builds the unit metrics, one
+    variant-keyed aggregate carries three O(1) moment buffers each, and
+    the t statistic + Welch–Satterthwaite df are closed-form control-
+    plane arithmetic on six numbers. Nothing statistical ever walks the
+    event stream.
+
+    Parity: metrics and moments are exact decimal sums; the t-stat and
+    df quantize through DECIMAL(12,6)/DECIMAL(12,4) (sqrt + chained
+    division noise, the agg_corr rule)."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'"
+            " THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"
+        ).alias("y")
+    ).withColumn("variant", F.col("user_id") % 2)
+    v = m.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE)").alias("s"),
+        F.expr(
+            "CAST(SUM(CAST(y AS DECIMAL(18,2))"
+            " * CAST(y AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("ss"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(
+            F.when(F.col("variant") == 0, F.col("s") / F.col("n"))
+        ).alias("m0"),
+        F.max(
+            F.when(F.col("variant") == 1, F.col("s") / F.col("n"))
+        ).alias("m1"),
+        F.max(
+            F.when(
+                F.col("variant") == 0,
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+            )
+        ).alias("v0"),
+        F.max(
+            F.when(
+                F.col("variant") == 1,
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+            )
+        ).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    df = (se2 * se2) / (
+        (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0"))
+        / (F.col("n0") - 1)
+        + (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+        / (F.col("n1") - 1)
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("m0").cast("decimal(18,6)").cast("double").alias(
+            "mean_control"
+        ),
+        F.col("m1").cast("decimal(18,6)").cast("double").alias(
+            "mean_treatment"
+        ),
+        ((F.col("m1") - F.col("m0")) / F.sqrt(se2))
+        .cast("decimal(12,6)")
+        .cast("double")
+        .alias("t_stat"),
+        df.cast("decimal(12,4)").cast("double").alias("welch_df"),
+    )
+
+
+@query(
+    "ab_cuped_adjust",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(coalesce(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                     THEN CAST(value AS DECIMAL(38,2)) END), 0.0)
+                    AS DOUBLE) AS x,
+               CAST(coalesce(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                     THEN CAST(value AS DECIMAL(38,2)) END), 0.0)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,2))
+                        * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))
+                        * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(18,2))
+                        * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM m
+    ), v AS (
+        SELECT variant, COUNT(*) AS nv,
+               CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS svx,
+               CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS svy
+        FROM m GROUP BY variant
+    )
+    SELECT variant, CAST(nv AS BIGINT) AS n_users,
+           CAST(CAST(svy / nv AS DECIMAL(18,6)) AS DOUBLE) AS mean_post,
+           CAST(CAST(svy / nv
+                     - ((g.n * g.sxy - g.sx * g.sy)
+                        / (g.n * g.sxx - g.sx * g.sx))
+                       * (svx / nv - g.sx / g.n)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS mean_cuped,
+           CAST(CAST((g.n * g.sxy - g.sx * g.sy)
+                     * (g.n * g.sxy - g.sx * g.sy)
+                     / ((g.n * g.sxx - g.sx * g.sx)
+                        * (g.n * g.syy - g.sy * g.sy))
+                     AS DECIMAL(12,8)) AS DOUBLE) AS var_reduction
+    FROM v, g
+    """,
+)
+def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: adjust each variant's post-period mean
+    with the pre-period covariate (theta = cov(pre, post)/var(pre),
+    pooled), and report the variance fraction removed (= corr²) — the
+    industry-standard move that shrinks A/B confidence intervals without
+    more traffic. Pre/post split at {CUPED_SPLIT}; units are users, both
+    windows decimal-summed per user.
+
+    Scale shape: ONE user-keyed aggregate builds (x, y) per unit, then
+    two tiny moment aggregates (global theta, per-variant means) —
+    closed-form: mean_cuped = ȳ_v − θ(x̄_v − x̄) needs no second pass
+    over units, so the event stream is scanned once.
+
+    Parity: moments are exact decimal sums (agg_corr discipline);
+    adjusted means and the reduction ratio quantize through coarse
+    DECIMAL before the double edge."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(coalesce(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'"
+            " THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(coalesce(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'"
+            " THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"
+        ).alias("y"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    m = m.localCheckpoint()  # feeds the global AND per-variant aggregates
+    g = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(18,2))"
+            " * CAST(x AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(SUM(CAST(y AS DECIMAL(18,2))"
+            " * CAST(y AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("syy"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(18,2))"
+            " * CAST(y AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    v = m.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE)").alias(
+            "svx"
+        ),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE)").alias(
+            "svy"
+        ),
+    )
+    j = v.crossJoin(F.broadcast(g))
+    theta_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = theta_num / theta_den
+    return j.select(
+        "variant",
+        F.col("nv").cast("long").alias("n_users"),
+        (F.col("svy") / F.col("nv"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_post"),
+        (
+            F.col("svy") / F.col("nv")
+            - theta * (F.col("svx") / F.col("nv") - F.col("sx") / F.col("n"))
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("mean_cuped"),
+        (
+            theta_num
+            * theta_num
+            / (theta_den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+        )
+        .cast("decimal(12,8)")
+        .cast("double")
+        .alias("var_reduction"),
+    )

@@ -161,6 +161,7 @@ def load_all() -> dict[str, QuerySpec]:
     from bitcoin_price_etl_spark.operators import (  # noqa: F401
         aggregates,
         eventflow,
+        experiments,
         graph,
         joins,
         projections,

@@ -285,6 +285,16 @@ FACT_KEYS = {
     # hot-user stress on the shared user_id window partitioning; the
     # first-K prefix filter bounds per-session state as sessions densify
     "path_analysis_sessions": ("events", "event_id", None),
+    # densified timelines merge sessions; the sweep still two-levels
+    "win_interval_concurrency": ("events", "event_id", None),
+    # fixed space, more points: candidate growth is quadratic in density
+    # by definition — the probe checks the grid plan holds, not that
+    # output volume stays flat
+    "join_spatial_grid": ("customer", "c_custkey", None),
+    # every user gets mult x events: the unit aggregate absorbs the
+    # growth before any statistic runs
+    "ab_ttest_welch": ("events", "event_id", None),
+    "ab_cuped_adjust": ("events", "event_id", None),
     # partkey joins the copy shift so each copy carries its own
     # co-purchase graph: edges and wedges grow linearly, the real shape
     # of corpus growth. (Orderkey-only shifts duplicate every pair
