@@ -148,6 +148,8 @@ HEADLINE = [
     "ab_srm_check",
     "ab_ttest_welch",
     "ab_cuped_adjust",
+    "graph_khop_reach",
+    "ts_forecast_backtest",
 ]
 
 

@@ -276,3 +276,124 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# BFS seeds: a deterministic ~1% of parts; 3 unrolled frontier hops.
+KHOP_SEED_MOD = 97
+KHOP_HOPS = 3
+
+
+def _khop_edges_sql() -> str:
+    return f"""edges AS (
+        SELECT u, v FROM (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ) GROUP BY u, v HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ), adj AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v, u FROM edges
+    )"""
+
+
+@query(
+    "graph_khop_reach",
+    oracle=f"""
+    WITH {_khop_edges_sql()},
+    nodes AS (SELECT DISTINCT src AS node FROM adj),
+    d0 AS (
+        SELECT node FROM nodes WHERE node % {KHOP_SEED_MOD} = 0
+    ), d1 AS (
+        SELECT DISTINCT a.dst AS node FROM adj a JOIN d0 ON a.src = d0.node
+        WHERE a.dst NOT IN (SELECT node FROM d0)
+    ), d2 AS (
+        SELECT DISTINCT a.dst AS node FROM adj a JOIN d1 ON a.src = d1.node
+        WHERE a.dst NOT IN (SELECT node FROM d0)
+          AND a.dst NOT IN (SELECT node FROM d1)
+    ), d3 AS (
+        SELECT DISTINCT a.dst AS node FROM adj a JOIN d2 ON a.src = d2.node
+        WHERE a.dst NOT IN (SELECT node FROM d0)
+          AND a.dst NOT IN (SELECT node FROM d1)
+          AND a.dst NOT IN (SELECT node FROM d2)
+    )
+    SELECT hop, CAST(n_reached AS BIGINT) AS n_reached,
+           CAST(min_node AS BIGINT) AS min_node,
+           CAST(max_node AS BIGINT) AS max_node
+    FROM (
+        SELECT 0 AS hop, count(*) AS n_reached, min(node) AS min_node,
+               max(node) AS max_node FROM d0
+        UNION ALL SELECT 1, count(*), min(node), max(node) FROM d1
+        UNION ALL SELECT 2, count(*), min(node), max(node) FROM d2
+        UNION ALL SELECT 3, count(*), min(node), max(node) FROM d3
+    )
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reach (BFS frontier sizes) from a seed set over the
+    co-purchase graph — the impact-radius query ("what does a recall of
+    these parts touch within 3 degrees?"), per-hop reach counts with id
+    bounds. Same support-thresholded edge set as graph_triangle_count;
+    seeds are parts ≡0 mod {KHOP_SEED_MOD}.
+
+    Scale shape: textbook frontier BFS on joins — each hop is ONE
+    equi-join of the (tiny) frontier against the src-keyed adjacency
+    list plus an anti-join against the visited set, localCheckpointed
+    between hops (the graph_pagerank plan-growth stance). Frontier and
+    visited frames are |V|-bounded — orders smaller than edges — so
+    every hop broadcasts them against the one big adjacency exchange. A
+    fixed hop count unrolls declaratively; the oracle unrolls the same
+    hops as NOT-IN CTEs.
+
+    Parity: exact integer node ids and counts throughout."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= TRI_MIN_SUPPORT)
+    )
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    frontier = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % KHOP_SEED_MOD == 0)
+        .localCheckpoint()
+    )
+    visited = frontier
+    layers = [frontier]
+    for _ in range(KHOP_HOPS):
+        nxt = (
+            adj.join(F.broadcast(frontier), adj.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited), "node", "left_anti")
+            .localCheckpoint()
+        )
+        layers.append(nxt)
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    out = None
+    for hop, layer in enumerate(layers):
+        s = layer.agg(
+            F.lit(hop).alias("hop"),
+            F.count(F.lit(1)).alias("n_reached"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        ).select("hop", "n_reached", "min_node", "max_node")
+        out = s if out is None else out.unionAll(s)
+    return out

@@ -1290,3 +1290,84 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("changepoint_hour"),
         F.col("cusum").cast("double").alias("max_abs_cusum"),
     )
+
+
+# Seasonal-naive horizon: predict each hour by the same hour one week
+# earlier (168 hourly lags).
+FC_SEASON_HOURS = 168
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), pred AS (
+        SELECT event_type, h, v,
+               lag(v, {FC_SEASON_HOURS}) OVER (PARTITION BY event_type
+                                               ORDER BY h) AS yhat
+        FROM hourly
+    ), err AS (
+        SELECT event_type, v, yhat, v - yhat AS e
+        FROM pred WHERE yhat IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(CAST(SUM(abs(e)) / count(*) AS DECIMAL(14,6)) AS DOUBLE)
+               AS mae,
+           CAST(CAST(SUM(e) / count(*) AS DECIMAL(14,6)) AS DOUBLE)
+               AS bias,
+           CAST(CAST(sqrt(SUM(e * e) / count(*)) AS DECIMAL(14,6))
+                AS DOUBLE) AS rmse,
+           CAST(CAST(SUM(abs(e) / abs(v)) / count(*)
+                     AS DECIMAL(14,6)) AS DOUBLE) AS mape
+    FROM err GROUP BY event_type
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour of every
+    series with the value 168 hours (one week) earlier and report
+    MAE / bias / RMSE / MAPE per series — the baseline every real
+    forecasting model must beat, and the shape of any backtest harness
+    (prediction column = some lag/model, error rollup identical).
+
+    Scale shape: the corpus collapses to the hourly series first (one
+    partial aggregate), ONE lag window per series produces the
+    prediction, and the error report is one more partial aggregate —
+    the window walks ~9k hourly rows per series-year, never raw events
+    (the ts_cusum_changepoint stance).
+
+    Parity: hourly means are bit-identical davg doubles and the error
+    e = v − ŷ subtracts identical doubles (exact IEEE); error SUMS are
+    partial-agg order-sensitive at the last ulp, so every reported
+    metric quantizes through DECIMAL(14,6) then back to double (noise
+    ~1e-12, quantum 1e-6)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value", "v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pred = hourly.withColumn(
+        "yhat", F.lag("v", FC_SEASON_HOURS).over(w)
+    ).filter(F.col("yhat").isNotNull())
+    e = F.col("v") - F.col("yhat")
+    n = F.count(F.lit(1))
+    return pred.groupBy("event_type").agg(
+        n.alias("n_forecasts"),
+        (F.sum(F.abs(e)) / n)
+        .cast("decimal(14,6)")
+        .cast("double")
+        .alias("mae"),
+        (F.sum(e) / n).cast("decimal(14,6)").cast("double").alias("bias"),
+        F.sqrt(F.sum(e * e) / n)
+        .cast("decimal(14,6)")
+        .cast("double")
+        .alias("rmse"),
+        (F.sum(F.abs(e) / F.abs(F.col("v"))) / n)
+        .cast("decimal(14,6)")
+        .cast("double")
+        .alias("mape"),
+    )

@@ -193,6 +193,10 @@ TPCH_KEYS = [
     # orderkey-consistent scaling keeps the FK rule honest (every copy's
     # lineitems still find their orders); rule counters grow linearly
     "validate_expectations",
+    # copy-local co-purchase graphs would need the partkey shift; BFS
+    # instead rides the orderkey-consistent scaling where degree growth
+    # (denser adjacency per node) is exactly the frontier-join stress
+    "graph_khop_reach",
 ]
 
 _TPCH_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
@@ -295,6 +299,8 @@ FACT_KEYS = {
     # growth before any statistic runs
     "ab_ttest_welch": ("events", "event_id", None),
     "ab_cuped_adjust": ("events", "event_id", None),
+    # the hourly pre-aggregate absorbs growth before the lag window
+    "ts_forecast_backtest": ("events", "event_id", None),
     # partkey joins the copy shift so each copy carries its own
     # co-purchase graph: edges and wedges grow linearly, the real shape
     # of corpus growth. (Orderkey-only shifts duplicate every pair
