@@ -644,3 +644,104 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_common_shingles").alias("max_overlap"),
         F.sum("n_common_shingles").cast("long").alias("total_overlap"),
     )
+
+
+# Containment gate: |A∩B| / min(|A|,|B|) — the asymmetric overlap that
+# Jaccard misses. A 50-shingle doc pasted into a 5000-shingle doc has
+# Jaccard ≈ 0.01 (invisible to llm_ngram_jaccard) but containment 1.0.
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@query(
+    "llm_containment",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - {SHINGLE_WORDS - 1}, 1) + 1),
+            i -> array_to_string(t[i:i + {SHINGLE_WORDS - 1}], ' ')
+        ))) AS shingle
+        FROM tok
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    capped AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+    ),
+    posting AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM posting a JOIN posting b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(contained AS BIGINT) AS contained_doc, containment
+    FROM (
+        SELECT c.doc_a, c.doc_b,
+               CASE WHEN sa.n_sh <= sb.n_sh THEN c.doc_a
+                    ELSE c.doc_b END AS contained,
+               CAST(CAST(CAST(c.n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)
+                    AS DECIMAL(10,6)) AS DOUBLE) AS containment
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    ) WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dedup (the Lee et al. dedup gap Jaccard
+    can't see): containment(A,B) = |A∩B| / min(|A|,|B|) over word-5-gram
+    shingle sets — flags a short document (near-)embedded inside a long
+    one, where symmetric Jaccard stays tiny because the union is dominated
+    by the long doc. Emits the pair, WHICH doc is the contained one (the
+    smaller shingle set — the dedup-keep candidate to drop), and the
+    ratio.
+
+    Scale shape: identical candidate machinery to llm_ngram_jaccard —
+    one checkpointed shingle pass (_posting_with_df) feeding sizes and
+    both self-join sides; candidate generation is the df-capped posting
+    equi-join (Σ cap² per shingle, never corpus²); the doc-level sizes
+    frame attaches AFTER pair aggregation shrinks the stream. Same
+    under-count-never-fabricate property: a hot shingle over the DF cap
+    can only lower containment. At 100 TB this is the llm_dedup_ngram
+    plan plus two tiny doc-keyed joins.
+
+    Parity: min-size denominator is exact integer arithmetic in both
+    engines; the ratio quantizes through DECIMAL(10,6) then casts back to
+    double (division is IEEE-identical on identical integer operands, the
+    quantize guards the hash edge per exprs.py)."""
+    withdf = _posting_with_df(spark, sf_dir)
+    sizes = withdf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = withdf.filter(F.col("df") <= DF_CAP)
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            cont.cast("decimal(10,6)").cast("double").alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
