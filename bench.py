@@ -150,6 +150,19 @@ HEADLINE = [
     "ab_cuped_adjust",
     "graph_khop_reach",
     "ts_forecast_backtest",
+    # round-4 third wave: containment dedup, held-out perplexity gate,
+    # bigram LM, embedding drift, SFT rendering, weighted median, heavy
+    # hitters, seasonal decomposition, IP toolkit, bipartite projection
+    "llm_containment",
+    "llm_perplexity_filter",
+    "llm_bigram_lm",
+    "llm_embed_drift",
+    "llm_sft_format",
+    "agg_weighted_median",
+    "agg_heavy_hitters",
+    "ts_seasonal_decompose",
+    "fn_ip",
+    "graph_bipartite_projection",
 ]
 
 

@@ -638,3 +638,92 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("_code").alias("code_attr"),
         F.length("xml").cast("long").alias("xml_len"),
     )
+
+
+# Knuth multiplicative hash spreads order keys over the full IPv4 space;
+# exact BIGINT arithmetic in both engines (max key ~1.5e7 × 2654435761
+# ≈ 4e16, far inside int64).
+IP_HASH_MULT = 2654435761
+
+
+@query(
+    "fn_ip",
+    oracle=f"""
+    WITH ips AS (
+        SELECT o_orderkey,
+               (o_orderkey * {IP_HASH_MULT}) % 4294967296 AS ip_num
+        FROM orders
+    ),
+    oct AS (
+        SELECT o_orderkey, ip_num,
+               ip_num // 16777216 AS o1,
+               (ip_num // 65536) % 256 AS o2,
+               (ip_num // 256) % 256 AS o3,
+               ip_num % 256 AS o4
+        FROM ips
+    )
+    SELECT o_orderkey, CAST(ip_num AS BIGINT) AS ip_num,
+           o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+           (o1 = 10) OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
+               OR (o1 = 192 AND o2 = 168) AS is_private,
+           o1 || '.' || o2 || '.' || o3 || '.0/24' AS net24,
+           ip_num // 65536 = 43520 AS in_cidr_170_0
+    FROM oct
+    """,
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 toolkit over a synthesized address column (Knuth-hash of the
+    order key — the fixtures carry no IPs, so the engine derives a
+    deterministic one per row): dotted-quad rendering, RFC-1918
+    private-range classification, the /24 network prefix (the standard
+    coarse geo/abuse aggregation key), and containment in a literal CIDR
+    (170.0.0.0/16) — the log-pipeline scalar family (parse, classify,
+    bucket) Spark lacks as builtins.
+
+    Scale shape: stateless integer projections — zero exchanges, full
+    whole-stage codegen; CIDR containment by arbitrary prefix length is
+    the same shift-and-compare on ip_num >> (32-prefix), so a CIDR-table
+    join would broadcast the table and run one range predicate per rule.
+
+    Parity: everything is exact int64 div/mod arithmetic and string
+    concatenation of exact integers — bit-identical by construction, no
+    quantization anywhere."""
+    o = load(spark, sf_dir, "orders")
+    ip_num = (F.col("o_orderkey") * IP_HASH_MULT) % F.lit(4294967296)
+    ips = o.select("o_orderkey", ip_num.alias("ip_num"))
+    o1 = (F.col("ip_num") / 16777216).cast("long")
+    o2 = ((F.col("ip_num") / 65536) % 256).cast("long")
+    o3 = ((F.col("ip_num") / 256) % 256).cast("long")
+    o4 = (F.col("ip_num") % 256).cast("long")
+    oct_df = ips.select(
+        "o_orderkey",
+        "ip_num",
+        o1.alias("o1"),
+        o2.alias("o2"),
+        o3.alias("o3"),
+        o4.alias("o4"),
+    )
+    dot = F.lit(".")
+    return oct_df.select(
+        "o_orderkey",
+        F.col("ip_num").cast("long").alias("ip_num"),
+        F.concat(
+            F.col("o1").cast("string"), dot,
+            F.col("o2").cast("string"), dot,
+            F.col("o3").cast("string"), dot,
+            F.col("o4").cast("string"),
+        ).alias("ip"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+        F.concat(
+            F.col("o1").cast("string"), dot,
+            F.col("o2").cast("string"), dot,
+            F.col("o3").cast("string"), F.lit(".0/24"),
+        ).alias("net24"),
+        ((F.col("ip_num") / 65536).cast("long") == 43520).alias(
+            "in_cidr_170_0"
+        ),
+    )

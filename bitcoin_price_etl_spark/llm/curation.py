@@ -1402,3 +1402,88 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.alias("target_text"),
         n_spans.alias("n_spans"),
     )
+
+
+# SFT chat-template rendering: instruction/response pairs are adjacent
+# doc_ids (2k prompts 2k+1) from the same source — a deterministic
+# stand-in for a real (prompt, completion) pairing key.
+SFT_SYSTEM = "You are a helpful assistant."
+
+
+@query(
+    "llm_sft_format",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 2 = 0
+    ), r AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ), paired AS (
+        SELECT p.doc_id AS prompt_doc_id, r.doc_id AS response_doc_id,
+               p.source,
+               '<|system|>' || chr(10) || '{SFT_SYSTEM}' || chr(10) ||
+               '<|user|>' || chr(10) || p.text || chr(10) ||
+               '<|assistant|>' || chr(10) || r.text AS rendered,
+               p.text AS ptext, r.text AS rtext
+        FROM p JOIN r ON r.doc_id = p.doc_id + 1
+    )
+    SELECT CAST(prompt_doc_id // 2 AS BIGINT) AS example_id,
+           prompt_doc_id, response_doc_id, source,
+           CAST(length(ptext) AS BIGINT) AS n_chars_prompt,
+           CAST(length(rtext) AS BIGINT) AS n_chars_response,
+           CAST(length(rendered) AS BIGINT) AS n_chars_rendered,
+           md5(rendered) AS rendered_md5
+    FROM paired
+    """,
+)
+def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering: pair adjacent documents as
+    (instruction, response), render the training string under a fixed
+    chat template (system / user / assistant markers), and emit per-
+    example audit columns — lengths and the md5 of the EXACT rendered
+    bytes. The md5 is the point: template rendering is where SFT corpora
+    silently fork (whitespace, marker spelling, separator placement), and
+    a content hash both engines must reproduce pins every byte.
+
+    Scale shape: one self-equi-join on the derived pairing key
+    (response_id = prompt_id + 1) — both sides are id-partitioned scans
+    of the same table and AQE plans a plain shuffle join; rendering and
+    hashing are stateless projections inside the join's output stage.
+    With a real pairing column the join key changes, the plan does not.
+
+    Parity: pure string concatenation and md5 on identical bytes —
+    chr(10) newlines spelled explicitly so no engine-side escape
+    processing is involved; integer lengths exact."""
+    d = load(spark, sf_dir, "documents")
+    p = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("prompt_doc_id"),
+        F.col("text").alias("ptext"),
+        "source",
+    )
+    r = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("response_doc_id"),
+        F.col("text").alias("rtext"),
+    )
+    nl = "\n"
+    rendered = F.concat(
+        F.lit("<|system|>" + nl + SFT_SYSTEM + nl + "<|user|>" + nl),
+        F.col("ptext"),
+        F.lit(nl + "<|assistant|>" + nl),
+        F.col("rtext"),
+    )
+    return (
+        p.join(
+            r,
+            r.response_doc_id == p.prompt_doc_id + 1,
+        )
+        .withColumn("rendered", rendered)
+        .select(
+            (F.col("prompt_doc_id") / 2).cast("long").alias("example_id"),
+            "prompt_doc_id",
+            "response_doc_id",
+            "source",
+            F.length("ptext").cast("long").alias("n_chars_prompt"),
+            F.length("rtext").cast("long").alias("n_chars_response"),
+            F.length("rendered").cast("long").alias("n_chars_rendered"),
+            F.md5("rendered").alias("rendered_md5"),
+        )
+    )

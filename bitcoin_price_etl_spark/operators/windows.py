@@ -1371,3 +1371,134 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mape"),
     )
+
+
+# Seasonal decomposition: centered moving-average window (hours) and the
+# hour-of-day season length. 11-preceding/12-following ≈ a centered 24h
+# frame (even season length needs the off-by-one split).
+SEAS_PRE = 11
+SEAS_POST = 12
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS y
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    trended AS (
+        SELECT event_type, hr, y,
+               list_reduce(list(y) OVER w, (s, x) -> s + x)
+                   / COUNT(y) OVER w AS trend
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN {SEAS_PRE} PRECEDING
+                     AND {SEAS_POST} FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT event_type, CAST(extract(hour FROM hr) AS BIGINT) AS hod,
+               list_reduce(list(y - trend ORDER BY hr), (s, x) -> s + x)
+                   / COUNT(*) AS s_idx
+        FROM trended GROUP BY event_type, extract(hour FROM hr)
+    )
+    SELECT t.event_type, strftime(t.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+           t.y, t.trend, s.s_idx AS seasonal,
+           t.y - t.trend - s.s_idx AS remainder
+    FROM trended t
+    JOIN seasonal s ON s.event_type = t.event_type
+                   AND s.hod = extract(hour FROM t.hr)
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average STL
+    ancestor): per-series hourly values split into trend (centered 24h
+    moving average), hour-of-day seasonal index (mean detrended value per
+    hod), and remainder — the anomaly-vs-seasonality disentangler behind
+    every "is this spike real or just 9am" question, on exactly the
+    reference's hourly-price domain.
+
+    Scale shape: resample is one partial-combined aggregate; the trend
+    is ONE window over the (series)-partitioned hourly frame (already
+    thousands× smaller than the event stream); the seasonal index is a
+    24-row-per-series aggregate that broadcast-joins back. Partition =
+    series key throughout — one exchange for the window, one tiny
+    broadcast back; an all-hours-one-series skew sorts one partition
+    (same posture as ts_ewma, bounded by hours-per-series, not events).
+
+    Parity: the raw resample is the davg discipline (exact scale-4
+    DECIMAL sum, ONE double divide), but the derived stages NEVER
+    re-enter decimal: y and y−trend are quotient doubles whose shortest
+    decimal reprs systematically terminate ON a rounding boundary, and
+    Spark casts double→decimal by rounding that repr HALF_UP while
+    DuckDB rounds the binary value — measured at sf0.01, ~0.3% of
+    detrended values flipped the last DECIMAL(28,12) digit (and the
+    first draft's quantized avg() flipped DECIMAL(18,6) the same way).
+    Instead, trend and seasonal are SEQUENTIAL IEEE folds in a pinned
+    order (frame order for the 24-tap trend, hr order for the seasonal
+    index — Spark aggregate() over a collected frame ≡ DuckDB
+    list_reduce, the ts_ewma/llm_embed_normalize pattern), so both
+    engines add bit-identical operands in the identical sequence; one
+    divide by the count lands the mean. The frame list is 24 elements;
+    the hod list is bounded by the calendar (n_days per series), not
+    the corpus. Edge bars fold their partial frame in BOTH engines
+    (same ROWS-frame semantics); hr is unique per series so both fold
+    orders are total."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)"
+                " / COUNT(value)"
+            ).alias("y")
+        )
+    )
+    wtrend = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-SEAS_PRE, SEAS_POST)
+    )
+    # one resample+window pass, two consumers (seasonal agg + final join)
+    trended = (
+        hourly.withColumn("yl", F.collect_list("y").over(wtrend))
+        .withColumn(
+            "trend",
+            F.aggregate("yl", F.lit(0.0), lambda s, x: s + x)
+            / F.size("yl"),
+        )
+        .drop("yl")
+        .localCheckpoint()
+    )
+    seasonal = (
+        trended.withColumn("yd", F.col("y") - F.col("trend"))
+        .groupBy("event_type", F.hour("hr").alias("hod"))
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(hr, yd))), p -> p.yd),"
+                " CAST(0.0 AS DOUBLE), (s, x) -> s + x) / COUNT(*)"
+            ).alias("s_idx")
+        )
+    )
+    t = trended.alias("t")
+    s = seasonal.select(
+        F.col("event_type").alias("s_event_type"), "hod", "s_idx"
+    )
+    return (
+        t.join(
+            F.broadcast(s),
+            (F.col("t.event_type") == F.col("s_event_type"))
+            & (F.hour(F.col("t.hr")) == F.col("hod")),
+        )
+        .select(
+            F.col("t.event_type").alias("event_type"),
+            F.date_format("t.hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+            "y",
+            "trend",
+            F.col("s_idx").alias("seasonal"),
+            (F.col("y") - F.col("trend") - F.col("s_idx")).alias("remainder"),
+        )
+    )

@@ -68,6 +68,15 @@ DOC_KEYS = [
     "llm_lang_entropy",
     # zero-shuffle token surgery: per-row constant cost
     "llm_span_corruption",
+    # round-4c: copy-tagged docs keep pairs copy-local (no cross-copy
+    # dupes), so containment candidates grow linearly; the perplexity
+    # model vocabulary stays ~fixed while train/eval token mass grows;
+    # bigram count space is vocab-bound while pair mass grows; SFT
+    # pairing is adjacency-local so examples grow linearly
+    "llm_containment",
+    "llm_perplexity_filter",
+    "llm_bigram_lm",
+    "llm_sft_format",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -82,6 +91,9 @@ EMB_KEYS = [
     # round-4: cells grow mult× denser (vec_ids shift, vectors repeat),
     # so the within-cell pair probe — the Σ cell² term — is the stress
     "llm_semdedup",
+    # round-4c: labels fixed, per-label halves grow mult x -- the
+    # conditional-mean partial agg absorbs the hot-label growth
+    "llm_embed_drift",
 ]
 
 
@@ -197,6 +209,11 @@ TPCH_KEYS = [
     # instead rides the orderkey-consistent scaling where degree growth
     # (denser adjacency per node) is exactly the frontier-join stress
     "graph_khop_reach",
+    # custkey/partkey fixed while orders multiply: each part's DISTINCT
+    # customer posting is unchanged, so the distinct + capped self-join
+    # must absorb mult× input into a flat pair set — the dedup-shaped
+    # stress for the projection
+    "graph_bipartite_projection",
 ]
 
 _TPCH_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
@@ -317,6 +334,17 @@ FACT_KEYS = {
     # event_id-shifted copies pile mult x touches and purchases onto
     # every user: the band-join fan-out and label-agg stress
     "attribution_channels": ("events", "event_id", None),
+    # round-4c: 3 fixed groups absorb mult× rows — the documented
+    # hostile shape for the cumulative-weight window (one partition
+    # sorts each group); measures the honest worst case
+    "agg_weighted_median": ("lineitem", "l_orderkey", None),
+    # custkey fixed: every customer's order count grows mult× — the
+    # frequent set densifies, the map-side combiner absorbs the mass
+    "agg_heavy_hitters": ("orders", "o_orderkey", None),
+    # the hourly pre-aggregate absorbs growth before window + broadcast
+    "ts_seasonal_decompose": ("events", "event_id", None),
+    # stateless int projection: per-row constant cost
+    "fn_ip": ("orders", "o_orderkey", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

@@ -466,3 +466,56 @@ def test_sessionize_fragments_buckets_event_window(spark):
     assert any(
         "user_id" in l and "bucket" in l for l in win_parts
     ), "event window lost its bucket partition key:\n" + "\n".join(win_parts)
+
+
+def test_weighted_median_single_exchange_two_windows(spark):
+    """Both window passes (running cumsum + group total) must ride ONE
+    hash partitioning on the group key — a second Exchange would mean the
+    plan re-shuffles between passes."""
+    plan = plan_of(q(spark, "agg_weighted_median"))
+    body = plan.split("== Physical Plan ==")[1]
+    # detail section lists each node once as "(N) NodeName"
+    import re
+    exchanges = re.findall(r"\(\d+\) Exchange", body)
+    windows = re.findall(r"\(\d+\) Window\b", body)
+    assert len(exchanges) == 1, plan
+    assert len(windows) == 2, plan
+
+
+def test_fn_ip_is_zero_exchange_codegen(spark):
+    """The IP toolkit is a stateless projection: no Exchange at all and
+    the arithmetic must stay inside whole-stage codegen."""
+    plan = plan_of(q(spark, "fn_ip"))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_perplexity_filter_broadcasts_model(spark):
+    """The unigram model (vocabulary-sized) must broadcast into the eval
+    probe join — eval tokens never shuffle on the term key."""
+    plan = plan_of(q(spark, "llm_perplexity_filter"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bigram_lm_takeordered_no_global_sort(spark):
+    """Top-N bigrams must plan TakeOrderedAndProject, never a global
+    Sort over the full bigram count table."""
+    plan = plan_of(q(spark, "llm_bigram_lm"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_seasonal_decompose_broadcasts_seasonal_index(spark):
+    """The 24-rows-per-series seasonal index must broadcast back onto
+    the hourly frame, not shuffle it."""
+    plan = plan_of(q(spark, "ts_seasonal_decompose"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bipartite_projection_is_equi_join(spark):
+    """Pair generation must be an equi-join on the part key — a
+    BroadcastNestedLoopJoin/CartesianProduct would mean the a.cust <
+    b.cust predicate leaked into the join condition as the ONLY key."""
+    plan = plan_of(q(spark, "graph_bipartite_projection"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

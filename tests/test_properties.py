@@ -868,3 +868,185 @@ def test_span_corruption_matches_replay(spark):
                 out.extend(block)
         expected = (" ".join(out), " ".join(tgt), sid)
         assert got[r.doc_id] == expected, (r.doc_id, got[r.doc_id], expected)
+
+def test_weighted_median_matches_python_replay(spark):
+    """agg_weighted_median's window formulation must reproduce the
+    textbook driver-side replay: sort each group by (price, orderkey,
+    linenumber), accumulate weights, return the first price whose
+    cumulative weight reaches half the total."""
+    from bitcoin_price_etl_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+
+    got = {
+        r.l_returnflag: (r.weighted_median_price, r.total_weight)
+        for r in agg_weighted_median(spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            (float(r.l_extendedprice), float(r.l_quantity),
+             r.l_orderkey, r.l_linenumber)
+        )
+    assert set(got) == set(groups)
+    for flag, items in groups.items():
+        items.sort(key=lambda t: (t[0], t[2], t[3]))
+        total = sum(w for _, w, _, _ in items)
+        cw = 0.0
+        for price, w, _, _ in items:
+            cw += w
+            if cw >= total / 2:
+                assert got[flag] == (price, total), flag
+                break
+
+
+def test_heavy_hitters_matches_counter_replay(spark):
+    """agg_heavy_hitters must equal an exact driver-side Counter over the
+    orders table — the phi-frequent set is fully determined by counts."""
+    from collections import Counter
+
+    from bitcoin_price_etl_spark.operators.aggregates import (
+        HH_MIN_ORDERS,
+        agg_heavy_hitters,
+    )
+
+    got = {r.o_custkey: r.n_orders
+           for r in agg_heavy_hitters(spark, SF_SMOKE).collect()}
+    cnt = Counter(
+        r.o_custkey
+        for r in load(spark, SF_SMOKE, "orders").select("o_custkey").collect()
+    )
+    want = {k: c for k, c in cnt.items() if c >= HH_MIN_ORDERS}
+    assert got == want and len(got) > 0
+
+
+def test_containment_bounds_and_symmetry(spark):
+    """Containment must (a) upper-bound Jaccard on every co-surfaced
+    pair, (b) lie in (0, 1], and (c) name the smaller-set doc as the
+    contained one."""
+    from bitcoin_price_etl_spark.llm.dedup import (
+        llm_containment,
+        llm_ngram_jaccard,
+    )
+
+    cont = {(r.doc_a, r.doc_b): (r.containment, r.contained_doc)
+            for r in llm_containment(spark, SF_SMOKE).collect()}
+    assert cont, "containment must surface pairs at smoke scale"
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in llm_ngram_jaccard(spark, SF_SMOKE).collect()}
+    for pair, (c, contained) in cont.items():
+        assert 0.0 < c <= 1.0
+        assert contained in pair
+        if pair in jac:
+            assert c >= jac[pair] - 1e-9, (pair, c, jac[pair])
+
+
+def test_perplexity_filter_scores_train_terms_higher(spark):
+    """A doc built of common train-corpus terms must outscore the add-1
+    floor: sanity that the model join actually attaches counts (a broken
+    join would send every doc to the unseen-term floor and still pass
+    row-count checks)."""
+    from bitcoin_price_etl_spark.llm.textstats import (
+        llm_perplexity_filter,
+    )
+
+    rows = llm_perplexity_filter(spark, SF_SMOKE).collect()
+    assert rows
+    scores = [r.mean_logprob for r in rows]
+    # if ALL eval docs sat at the unseen floor, the spread would be 0
+    assert max(scores) > min(scores)
+    for r in rows:
+        assert r.keep == (r.mean_logprob >= -8.0)
+
+
+def test_sft_format_md5_matches_python_render(spark):
+    """The rendered-template md5 must equal a driver-side re-render from
+    the raw texts — pins every byte of the template."""
+    import hashlib
+
+    from bitcoin_price_etl_spark.llm.curation import (
+        SFT_SYSTEM,
+        llm_sft_format,
+    )
+
+    got = {r.example_id: r for r in llm_sft_format(spark, SF_SMOKE).collect()}
+    assert got
+    texts = {r.doc_id: r.text
+             for r in load(spark, SF_SMOKE, "documents").collect()}
+    n_checked = 0
+    for ex_id, r in got.items():
+        p, resp = texts[r.prompt_doc_id], texts[r.response_doc_id]
+        rendered = (
+            "<|system|>\n" + SFT_SYSTEM + "\n<|user|>\n" + p
+            + "\n<|assistant|>\n" + resp
+        )
+        assert r.rendered_md5 == hashlib.md5(
+            rendered.encode("utf-8")
+        ).hexdigest()
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_seasonal_decompose_identity(spark):
+    """y must equal trend + seasonal + remainder exactly (remainder is
+    defined as the difference of already-materialized doubles), and each
+    (series, hod)'s seasonal index must be constant."""
+    from bitcoin_price_etl_spark.operators.windows import (
+        ts_seasonal_decompose,
+    )
+
+    rows = ts_seasonal_decompose(spark, SF_SMOKE).collect()
+    assert rows
+    per_hod = {}
+    for r in rows:
+        assert r.y == r.trend + r.seasonal + r.remainder or abs(
+            r.y - (r.trend + r.seasonal + r.remainder)
+        ) < 1e-12
+        hod = int(r.hr[11:13])
+        per_hod.setdefault((r.event_type, hod), set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in per_hod.values())
+
+
+def test_bipartite_projection_matches_capped_replay(spark):
+    """The projection must equal a driver-side replay of its own
+    definition: per-part postings truncated to the CAP lowest custkeys,
+    pair counts over those postings, min-common gate — and every count
+    must lower-bound the TRUE (uncapped) co-purchase count (the cap may
+    undercount, never fabricate)."""
+    from collections import Counter
+
+    from bitcoin_price_etl_spark.operators.graph import (
+        BIPROJ_CAP,
+        BIPROJ_MIN_COMMON,
+        graph_bipartite_projection,
+    )
+
+    got = {(r.cust_a, r.cust_b): r.n_common_parts
+           for r in graph_bipartite_projection(spark, SF_SMOKE).collect()}
+    assert got
+    o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    bp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("l_partkey", "o_custkey")
+        .distinct()
+        .collect()
+    )
+    by_part, by_cust = {}, {}
+    for r in bp:
+        by_part.setdefault(r.l_partkey, set()).add(r.o_custkey)
+        by_cust.setdefault(r.o_custkey, set()).add(r.l_partkey)
+    cnt = Counter()
+    for custs in by_part.values():
+        capped = sorted(custs)[:BIPROJ_CAP]
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                cnt[(capped[i], capped[j])] += 1
+    want = {p: c for p, c in cnt.items() if c >= BIPROJ_MIN_COMMON}
+    assert got == want
+    for (a, b), c in got.items():
+        assert c <= len(by_cust[a] & by_cust[b])
