@@ -942,16 +942,21 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH long AS (
         SELECT label, vec_id % 2 = 0 AS is_ref,
                generate_subscripts(embedding, 1) AS pos,
-               CAST(unnest(embedding) AS DOUBLE) AS x
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                    + 0.5) AS BIGINT) AS qx
         FROM embeddings
     ),
     cent AS (
         SELECT label, pos,
-               CAST(CAST(avg(CASE WHEN is_ref THEN x END)
-                    AS DECIMAL(18,10)) AS DOUBLE) AS a,
-               CAST(CAST(avg(CASE WHEN NOT is_ref THEN x END)
-                    AS DECIMAL(18,10)) AS DOUBLE) AS b
+               CAST(SUM(CASE WHEN is_ref THEN qx END) AS DOUBLE)
+                   / (1000000.0
+                      * COUNT(CASE WHEN is_ref THEN 1 END)) AS a,
+               CAST(SUM(CASE WHEN NOT is_ref THEN qx END) AS DOUBLE)
+                   / (1000000.0
+                      * COUNT(CASE WHEN NOT is_ref THEN 1 END)) AS b
         FROM long GROUP BY label, pos
+        HAVING COUNT(CASE WHEN is_ref THEN 1 END) > 0
+           AND COUNT(CASE WHEN NOT is_ref THEN 1 END) > 0
     ),
     counts AS (
         SELECT label,
@@ -960,15 +965,25 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(CASE WHEN vec_id % 2 != 0 THEN 1 END) AS BIGINT)
                    AS n_cur
         FROM embeddings GROUP BY label
+    ),
+    folded AS (
+        SELECT label,
+               list_reduce(list((a - b) * (a - b) ORDER BY pos),
+                           (s, x) -> s + x) AS ss_diff,
+               list_reduce(list(a * b ORDER BY pos), (s, x) -> s + x)
+                   AS ss_ab,
+               list_reduce(list(a * a ORDER BY pos), (s, x) -> s + x)
+                   AS ss_aa,
+               list_reduce(list(b * b ORDER BY pos), (s, x) -> s + x)
+                   AS ss_bb
+        FROM cent GROUP BY label
     )
-    SELECT c.label, counts.n_ref, counts.n_cur,
-           CAST(CAST(sqrt(SUM((a - b) * (a - b))) AS DECIMAL(14,8))
-                AS DOUBLE) AS l2_shift,
-           CAST(CAST(SUM(a * b) / nullif(sqrt(SUM(a * a))
-                * sqrt(SUM(b * b)), 0) AS DECIMAL(14,8)) AS DOUBLE)
-               AS centroid_cos
-    FROM cent c JOIN counts ON c.label = counts.label
-    GROUP BY c.label, counts.n_ref, counts.n_cur
+    SELECT f.label, counts.n_ref, counts.n_cur,
+           CAST(CAST(sqrt(ss_diff) AS DECIMAL(14,8)) AS DOUBLE)
+               AS l2_shift,
+           CAST(CAST(ss_ab / nullif(sqrt(ss_aa) * sqrt(ss_bb), 0)
+                AS DECIMAL(14,8)) AS DOUBLE) AS centroid_cos
+    FROM folded f JOIN counts ON f.label = counts.label
     """,
 )
 def llm_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,10 +1004,22 @@ def llm_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses the exchange twice; per-label centroid frames are tiny at any
     corpus size.
 
-    Parity: per-component means are partial-agg order-sensitive →
-    quantized through DECIMAL(18,10) (quantum 1e-10 ≫ the ~1e-15 fold
-    noise) so both engines fold IDENTICAL doubles downstream; the final
-    shift/cosine quantize through DECIMAL(14,8)."""
+    Parity: NO decimal re-entry on derived doubles (the seasonal-
+    decompose lesson: double→decimal casts on quotient values diverge
+    between engines on boundary-terminating reprs, and an avg() operand
+    is partial-agg order-noisy to begin with). Instead, every element is
+    mapped to an exact int64 via floor(x·10⁶ + 0.5) — multiply/add/floor
+    are unambiguous IEEE ops on identical operands, so both engines get
+    the same integer (divergence would need x·10⁶ to land within one ulp
+    of a half-integer: P ≈ 1e-11 per element) — per-component sums are
+    exact integer arithmetic, the mean is ONE double divide, and the
+    32-component second stage is a pos-ordered sequential fold (Spark
+    aggregate over a sorted collected frame ≡ DuckDB list_reduce over
+    list(... ORDER BY pos)). The final shift/cosine quantize through
+    DECIMAL(14,8) on bit-identical sqrt outputs (irrational, so their
+    reprs never terminate on a boundary digit). Labels missing either
+    half at a component are dropped (nothing to compare) — identically
+    in both engines via the HAVING/filter gate."""
     e = load(spark, sf_dir, "embeddings")
     long = e.select(
         "label",
@@ -1002,32 +1029,57 @@ def llm_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "is_ref",
         (F.col("pos0") + 1).alias("pos"),
-        F.col("x").cast("double").alias("x"),
+        F.floor(F.col("x").cast("double") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("qx"),
     )
-    cent = long.groupBy("label", "pos").agg(
-        F.avg(F.when(F.col("is_ref"), F.col("x")))
-        .cast("decimal(18,10)")
-        .cast("double")
-        .alias("a"),
-        F.avg(F.when(~F.col("is_ref"), F.col("x")))
-        .cast("decimal(18,10)")
-        .cast("double")
-        .alias("b"),
+    cent = (
+        long.groupBy("label", "pos")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("qx"))).alias("sa"),
+            F.count(F.when(F.col("is_ref"), F.lit(1))).alias("ca"),
+            F.sum(F.when(~F.col("is_ref"), F.col("qx"))).alias("sb"),
+            F.count(F.when(~F.col("is_ref"), F.lit(1))).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .select(
+            "label",
+            "pos",
+            (F.col("sa").cast("double") / (1000000.0 * F.col("ca"))).alias(
+                "a"
+            ),
+            (F.col("sb").cast("double") / (1000000.0 * F.col("cb"))).alias(
+                "b"
+            ),
+        )
     )
     counts = e.groupBy("label").agg(
         F.count(F.when(F.col("vec_id") % 2 == 0, F.lit(1))).alias("n_ref"),
         F.count(F.when(F.col("vec_id") % 2 != 0, F.lit(1))).alias("n_cur"),
     )
-    per_label = cent.groupBy("label").agg(
-        F.sqrt(F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))))
-        .cast("decimal(14,8)")
-        .cast("double")
-        .alias("l2_shift"),
+
+    def fold(expr: str, alias: str):
+        return F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            f"struct(pos, {expr} AS v))), p -> p.v),"
+            " CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        ).alias(alias)
+
+    folded = cent.groupBy("label").agg(
+        fold("(a - b) * (a - b)", "ss_diff"),
+        fold("a * b", "ss_ab"),
+        fold("a * a", "ss_aa"),
+        fold("b * b", "ss_bb"),
+    )
+    per_label = folded.select(
+        "label",
+        F.sqrt("ss_diff").cast("decimal(14,8)").cast("double").alias(
+            "l2_shift"
+        ),
         (
-            F.sum(F.col("a") * F.col("b"))
+            F.col("ss_ab")
             / F.nullif(
-                F.sqrt(F.sum(F.col("a") * F.col("a")))
-                * F.sqrt(F.sum(F.col("b") * F.col("b"))),
+                F.sqrt("ss_aa") * F.sqrt("ss_bb"),
                 F.lit(0.0),
             )
         )
