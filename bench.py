@@ -163,6 +163,7 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "fn_ip",
     "graph_bipartite_projection",
+    "llm_multimodal_phash",
 ]
 
 

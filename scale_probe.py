@@ -77,6 +77,10 @@ DOC_KEYS = [
     "llm_perplexity_filter",
     "llm_bigram_lm",
     "llm_sft_format",
+    # copy-tagged docs shift the 48-byte thumbnail window by one token
+    # tag, so cross-copy images differ while within-copy prefix dupes
+    # survive: candidate mass grows linearly
+    "llm_multimodal_phash",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost

@@ -298,3 +298,55 @@ def test_multimodal_audio_quarantines_corrupt(spark):
     assert rows[1]["peak_abs"] == 1 and rows[1]["sum_abs"] == 2
     assert rows[2]["decode_status"].startswith("error:")
     assert rows[2]["n_samples"] == 0
+
+
+def test_phash_exact_dupes_collide_at_zero(spark):
+    """Identical texts produce identical content-addressed images, so
+    every exact-dup text pair must surface with hamming 0; and every
+    reported pair's hamming must match a driver-side aHash replay."""
+    from collections import defaultdict
+
+    from bitcoin_price_etl_spark.llm.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
+        PHASH_HAM_MAX,
+        decode_bmp24,
+        decode_ppm,
+        llm_multimodal_phash,
+        with_phash_payloads,
+    )
+    from bitcoin_price_etl_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    got = {(r.doc_a, r.doc_b): (r.hamming, r.n_band_collisions)
+           for r in llm_multimodal_phash(spark, SF_SMOKE).collect()}
+    assert got, "phash must surface pairs at smoke scale"
+    # replay: decode every payload, compute aHash
+    payloads = with_phash_payloads(
+        load(spark, SF_SMOKE, "documents")
+    ).collect()
+    hashes = {}
+    for r in payloads:
+        b = bytes(r.payload)
+        dec = decode_ppm if b[:2] == b"P6" else decode_bmp24
+        _, _, rgb = dec(b)
+        mean = sum(rgb) / len(rgb)
+        bits = 0
+        for i, px in enumerate(rgb[:PHASH_BITS]):
+            if px > mean:
+                bits |= 1 << i
+        hashes[r.doc_id] = bits
+    for (da, db), (ham, nb) in got.items():
+        true_ham = bin(hashes[da] ^ hashes[db]).count("1")
+        assert ham == true_ham <= PHASH_HAM_MAX
+        assert 1 <= nb <= PHASH_BANDS
+    # identical-hash doc pairs MUST all be present (bands are identical,
+    # so LSH recall at distance 0 is exactly 1)
+    by_hash = defaultdict(list)
+    for d, h in hashes.items():
+        by_hash[h].append(d)
+    for ids in by_hash.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert got[(ids[i], ids[j])][0] == 0
