@@ -164,6 +164,7 @@ HEADLINE = [
     "fn_ip",
     "graph_bipartite_projection",
     "llm_multimodal_phash",
+    "llm_kmeans_train",
 ]
 
 

@@ -1090,3 +1090,192 @@ def llm_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label.join(F.broadcast(counts), "label").select(
         "label", "n_ref", "n_cur", "l2_shift", "centroid_cos"
     )
+
+
+# Full k-means training: 3 unrolled Lloyd iterations in scaled-integer
+# space. floor(x*1e6+0.5) maps every float32 element to an exact int64;
+# distances are then exact integer arithmetic and centroid updates are
+# floor(mean+0.5) re-quantizations — every number in the loop is
+# bit-identical across engines BY CONSTRUCTION (both compute the same
+# IEEE doubles from the same ints; floor is unambiguous), which is what
+# makes an ITERATIVE algorithm hash-checkable at all.
+KMT_ITERS = 3
+KMT_SCALE = 1000000
+
+
+def _kmt_assign_sql(t: int) -> str:
+    """One assignment CTE: nearest centroid by exact integer L2."""
+    return f"""s{t} AS (
+        SELECT q.vec_id, c.cid,
+               list_reduce(list_transform(list_zip(q.q, c.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   (s, x) -> s + x) AS d2
+        FROM q CROSS JOIN c{t} c
+    ), a{t} AS (
+        SELECT vec_id, cid AS cluster_id, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM s{t}
+        ) WHERE rn = 1
+    )"""
+
+
+def _kmt_update_sql(t: int) -> str:
+    """Centroid re-quantization CTE: floor(mean+0.5) per dimension,
+    empty clusters carry the previous centroid."""
+    return f"""u{t} AS (
+        SELECT cluster_id, pos,
+               CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5)
+                    AS BIGINT) AS cq
+        FROM (
+            SELECT a.cluster_id, generate_subscripts(q.q, 1) AS pos,
+                   unnest(q.q) AS v
+            FROM a{t} a JOIN q ON a.vec_id = q.vec_id
+        ) GROUP BY cluster_id, pos
+    ), n{t} AS (
+        SELECT cluster_id AS cid, list(cq ORDER BY pos) AS c
+        FROM u{t} GROUP BY cluster_id
+    ), c{t + 1} AS (
+        SELECT p.cid, COALESCE(n.c, p.c) AS c
+        FROM c{t} p LEFT JOIN n{t} n ON p.cid = n.cid
+    )"""
+
+
+@query(
+    "llm_kmeans_train",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {KMT_SCALE}.0 + 0.5)
+                 AS BIGINT)) AS q
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cid, q AS c FROM q ORDER BY vec_id
+        LIMIT {KMEANS_K}
+    ), {', '.join(
+        _kmt_assign_sql(t) + ', ' + _kmt_update_sql(t)
+        for t in range(KMT_ITERS - 1)
+    )}, {_kmt_assign_sql(KMT_ITERS - 1)}
+    SELECT a.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(CAST(SUM(CAST(a.d2 AS DECIMAL(38,0))) AS DOUBLE)
+                / ({KMT_SCALE}.0 * {KMT_SCALE}.0) AS DOUBLE) AS inertia,
+           CAST(l1.v AS BIGINT) AS centroid_l1
+    FROM a{KMT_ITERS - 1} a
+    JOIN (
+        SELECT cid, list_reduce(list_transform(c, x -> abs(x)),
+                                (s, x) -> s + x) AS v
+        FROM c{KMT_ITERS - 1}
+    ) l1 ON l1.cid = a.cluster_id
+    GROUP BY a.cluster_id, l1.v
+    """,
+)
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means TRAINING ({KMT_ITERS} unrolled Lloyd rounds, K=8
+    fixed seeds), hash-checked end-to-end against an independently
+    unrolled SQL oracle — the full loop whose single verifiable step is
+    llm_kmeans_assign. Emits per-cluster size, inertia (unscaled back to
+    embedding units), and the final centroid's L1 norm, which pins every
+    centroid coordinate of every iteration into the value hash.
+
+    Bit-exact iterative ML across engines is normally impossible
+    (centroid means drift in the last ulp and the argmin amplifies the
+    difference into different PARTITIONS by round 3). The engine makes
+    it exact by running the whole loop in scaled-integer space:
+    elements map once to int64 via floor(x·10⁶+0.5) (the llm_embed_drift
+    discipline), distances are exact integer sums (|diff| ≤ 4e12·64 ≪
+    int64), and each centroid update re-quantizes floor(mean+0.5) where
+    both engines compute the identical IEEE double from identical
+    integer operands — floor is unambiguous, so every iteration's state
+    is bit-identical by construction, not by tolerance.
+
+    Scale shape: per iteration — ONE broadcast of the K-row centroid
+    array frame against the checkpointed quantized corpus (K candidate
+    rows per vector, argmin partial-combines K→1 map-side, embedding
+    arrays never shuffle), then ONE (cluster, pos)-keyed partial-agg
+    for the update (K·dim output rows). localCheckpoint between rounds
+    (the graph_pagerank plan-growth stance). Inertia sums exact
+    DECIMAL(38,0) integer distances (no double-order sensitivity), cast
+    to double once at the edge."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {KMT_SCALE}.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint()
+    cent = (
+        q.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
+        .localCheckpoint()
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    assign = None
+    for t in range(KMT_ITERS):
+        scored = q.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", d2.alias("d2")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cid")).alias("b")
+        )
+        assign = best.select(
+            "vec_id",
+            F.col("b.cid").alias("cluster_id"),
+            F.col("b.d2").alias("d2"),
+        ).localCheckpoint()
+        if t == KMT_ITERS - 1:
+            break
+        upd = (
+            q.join(assign.select("vec_id", "cluster_id"), "vec_id")
+            .select("cluster_id", F.posexplode("q").alias("pos0", "v"))
+            .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                .cast("long")
+                .alias("cq")
+            )
+        )
+        ncent = upd.groupBy("cluster_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cq))),"
+                " p -> p.cq)"
+            ).alias("nc")
+        )
+        cent = (
+            cent.join(
+                ncent.withColumnRenamed("cluster_id", "cid"), "cid", "left"
+            )
+            .select("cid", F.coalesce("nc", "c").alias("c"))
+            .localCheckpoint()
+        )
+    l1 = cent.select(
+        F.col("cid").alias("cluster_id"),
+        F.expr(
+            "aggregate(transform(c, x -> abs(x)), CAST(0 AS BIGINT),"
+            " (s, x) -> s + x)"
+        ).alias("centroid_l1"),
+    )
+    return (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("d2").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(KMT_SCALE) * KMT_SCALE)
+            )
+            .cast("double")
+            .alias("inertia"),
+        )
+        .join(F.broadcast(l1), "cluster_id")
+        .select(
+            "cluster_id", "n_vectors", "inertia", "centroid_l1"
+        )
+    )

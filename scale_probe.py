@@ -98,6 +98,9 @@ EMB_KEYS = [
     # round-4c: labels fixed, per-label halves grow mult x -- the
     # conditional-mean partial agg absorbs the hot-label growth
     "llm_embed_drift",
+    # labels irrelevant here: mult x vectors per centroid is the hot-
+    # cluster stress on the argmin combine and the (cluster, pos) agg
+    "llm_kmeans_train",
 ]
 
 

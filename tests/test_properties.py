@@ -1050,3 +1050,67 @@ def test_bipartite_projection_matches_capped_replay(spark):
     assert got == want
     for (a, b), c in got.items():
         assert c <= len(by_cust[a] & by_cust[b])
+
+
+def test_kmeans_train_matches_python_replay(spark):
+    """The 3-round scaled-integer Lloyd loop must reproduce a driver-side
+    pure-Python replay exactly — integers make 'exactly' meaningful for
+    an iterative algorithm (no tolerance anywhere)."""
+    from bitcoin_price_etl_spark.llm.simsearch import (
+        KMEANS_K,
+        KMT_ITERS,
+        KMT_SCALE,
+        llm_kmeans_train,
+    )
+
+    got = {r.cluster_id: (r.n_vectors, r.inertia, r.centroid_l1)
+           for r in llm_kmeans_train(spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    import math
+
+    q = {
+        r.vec_id: [
+            int(math.floor(float(x) * KMT_SCALE + 0.5)) for x in r.embedding
+        ]
+        for r in rows
+    }
+    seeds = sorted(q)[:KMEANS_K]
+    cent = {cid: list(q[cid]) for cid in seeds}
+    assign = {}
+    for t in range(KMT_ITERS):
+        assign = {}
+        for vid, vec in q.items():
+            best = None
+            for cid in sorted(cent):
+                d2 = sum((a - b) * (a - b) for a, b in zip(vec, cent[cid]))
+                if best is None or (d2, cid) < best[:2]:
+                    best = (d2, cid)
+            assign[vid] = best
+        if t == KMT_ITERS - 1:
+            break
+        sums = {}
+        for vid, (d2, cid) in assign.items():
+            acc = sums.setdefault(cid, [[0] * len(q[vid]), 0])
+            for i, v in enumerate(q[vid]):
+                acc[0][i] += v
+            acc[1] += 1
+        for cid, (svec, n) in sums.items():
+            cent[cid] = [int(math.floor(s / n + 0.5)) for s in svec]
+    want = {}
+    for cid in cent:
+        members = [(v, d2) for v, (d2, c) in assign.items() if c == cid]
+        if not members:
+            continue
+        inertia = sum(d2 for _, d2 in members) / (KMT_SCALE * KMT_SCALE)
+        want[cid] = (
+            len(members),
+            inertia,
+            sum(abs(x) for x in cent[cid]),
+        )
+    assert set(got) == set(want)
+    for cid in got:
+        assert got[cid][0] == want[cid][0], cid
+        assert got[cid][2] == want[cid][2], cid
+        assert abs(got[cid][1] - want[cid][1]) < 1e-9, cid
