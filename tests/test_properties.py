@@ -1114,3 +1114,27 @@ def test_kmeans_train_matches_python_replay(spark):
         assert got[cid][0] == want[cid][0], cid
         assert got[cid][2] == want[cid][2], cid
         assert abs(got[cid][1] - want[cid][1]) < 1e-9, cid
+
+
+@pytest.mark.parametrize("key", [
+    "agg_weighted_median",
+    "ts_seasonal_decompose",
+    "llm_embed_drift",
+    "llm_kmeans_train",
+    "llm_bigram_lm",
+])
+def test_round4c_keys_shuffle_partition_invariant(spark, key):
+    """The round's determinism disciplines (pinned-order folds, scaled-
+    integer arithmetic, total-order tie-breaks) must make results
+    bit-identical under a different shuffle partitioning — the property
+    raw double partial-aggs do NOT have."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()[key].fn
+    a = _multiset(fn(spark, SF_SMOKE))
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        b = _multiset(fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
