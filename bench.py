@@ -165,6 +165,7 @@ HEADLINE = [
     "graph_bipartite_projection",
     "llm_multimodal_phash",
     "llm_kmeans_train",
+    "sink_snapshot_publish",
 ]
 
 

@@ -680,3 +680,98 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_change_ts",
         F.coalesce(F.col("n_changes"), F.lit(0)).cast("long").alias("n_changes"),
     )
+
+
+@query(
+    "sink_snapshot_publish",
+    oracle="""
+    SELECT 'v1' AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+               AS acctbal_sum,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           true AS manifest_consistent
+    FROM customer
+    """,
+)
+def sink_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic snapshot publish with time travel — the poor-man's Iceberg
+    commit protocol on plain parquet + JSON, no table format required:
+    each publish writes IMMUTABLE data files under snapshots/v{N}/data,
+    then a v{N} manifest (row count + file list digest), and LAST a
+    one-record current-pointer overwrite. Readers resolve pointer →
+    manifest → files, so a reader never sees a half-written snapshot
+    (data and manifest are complete before the pointer moves), and old
+    snapshots stay readable forever — time travel is just naming v{N}
+    instead of following the pointer.
+
+    The op publishes v1 (the full customer dim) and v2 (a filtered
+    overwrite — the "bad deploy" a reader would want to travel back
+    past), then TIME-TRAVEL READS v1 via its manifest and returns v1's
+    stats with a manifest-consistency verdict (manifest row count ==
+    read-back count). The oracle computes the same stats straight from
+    the input — round-trip fidelity is the check.
+
+    Scale shape: publishes are plain parallel parquet writes; the
+    manifest is a 1-row aggregate; the pointer is a 1-row JSON
+    overwrite. On HDFS the pointer move is an atomic rename; on object
+    stores it is a conditional PUT — either way commit cost is O(1) and
+    data-file volume never touches the critical section (the Iceberg/
+    Delta commit argument). Read-back scans only v1's directory —
+    snapshot isolation via immutability, no locks.
+
+    Parity: counts exact; the balance sum is the dsum discipline."""
+    cust = load(spark, sf_dir, "customer")
+    base = sink_path("snapshot_publish")
+    for version, df in (
+        ("v1", cust),
+        ("v2", cust.filter(F.col("c_acctbal") >= 0)),
+    ):
+        data_dir = f"{base}/snapshots/{version}/data"
+        delete_path(spark, data_dir)
+        df.write.parquet(data_dir)
+        manifest = (
+            spark.read.parquet(data_dir)
+            .select(F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("file_rows"))
+            .agg(
+                F.lit(version).alias("version"),
+                F.sum("file_rows").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_files"),
+            )
+        )
+        mdir = f"{base}/snapshots/{version}/manifest"
+        delete_path(spark, mdir)
+        manifest.coalesce(1).write.json(mdir)
+        # pointer LAST: readers following it only ever see a complete
+        # snapshot (data + manifest already durable)
+        ptr = spark.range(1).select(F.lit(version).alias("current"))
+        pdir = f"{base}/pointer"
+        delete_path(spark, pdir)
+        ptr.coalesce(1).write.json(pdir)
+    # time travel: read v1 by NAME, ignoring the pointer (which now says
+    # v2); verify the read-back against v1's own manifest
+    m1 = spark.read.json(f"{base}/snapshots/v1/manifest")
+    back = spark.read.parquet(f"{base}/snapshots/v1/data")
+    stats = back.agg(
+        F.count(F.lit(1)).alias("rb_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("acctbal_sum"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(m1.select("version", F.col("n_rows").alias("m_rows")))
+        )
+        .select(
+            "version",
+            F.col("rb_rows").alias("n_rows"),
+            "acctbal_sum",
+            "n_segments",
+            (F.col("rb_rows") == F.col("m_rows")).alias(
+                "manifest_consistent"
+            ),
+        )
+    )

@@ -265,6 +265,8 @@ FACT_KEYS = {
     "ts_vwap": ("lineitem", "l_orderkey", None),
     "sink_zorder_layout": ("lineitem", "l_orderkey", None),
     "sink_scd2": ("customer", "c_custkey", None),
+    # write volume grows mult x; the commit critical section stays O(1)
+    "sink_snapshot_publish": ("customer", "c_custkey", None),
     # event_id-shifted copies keep user_id/ts, so every user's window and
     # every time bin get mult× rows — exactly the hot-partition stress
     # sessionize/cohort sorts and the binned join's per-bin candidate
