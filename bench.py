@@ -166,6 +166,8 @@ HEADLINE = [
     "llm_multimodal_phash",
     "llm_kmeans_train",
     "sink_snapshot_publish",
+    "sql_parameterized",
+    "sql_pipe_syntax",
 ]
 
 

@@ -106,3 +106,89 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (t.doc_id - 1) DIV 2 END AS BIGINT) AS parent_id",
         )
     )
+
+
+# Parameterized threshold: the "large order" floor the dashboard user
+# tweaks per run. Bound server-side via spark.sql named args — never
+# string interpolation.
+PARAM_MIN_TOTAL = 150000.0
+PARAM_STATUS = "O"
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS total_value
+    FROM orders
+    WHERE o_totalprice >= {PARAM_MIN_TOTAL} AND o_orderstatus = '{PARAM_STATUS}'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 4 `spark.sql(text, args={...})`): the
+    query text carries `:min_total` / `:status` placeholders and values
+    bind server-side — the injection-safe re-run surface a BI tool or a
+    scheduled report uses (the reference's consumers query BigQuery with
+    the same mechanism). The oracle inlines the same constants: binding
+    must be semantically invisible.
+
+    Scale shape: parameters bind BEFORE optimization, so Catalyst sees
+    literals — the o_totalprice predicate pushes down to the parquet
+    scan exactly as a hard-coded literal would (no plan-cache genericity
+    penalty; same aggregate plan as agg_hash)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+                   AS total_value
+        FROM orders
+        WHERE o_totalprice >= :min_total AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_total": PARAM_MIN_TOTAL, "status": PARAM_STATUS},
+    )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    LIMIT 10
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.x `|>` operators, the GoogleSQL
+    pipe-query form): the same scan → filter → aggregate → order chain a
+    DataFrame user writes, expressed as linear SQL stages. Proves the
+    engine's THIRD query surface (DataFrame, ANSI SQL, pipe SQL) plans
+    identically — the pipe text lowers to the same Catalyst logical plan,
+    so pushdown/partial-agg behavior is byte-for-byte the ANSI plan's.
+
+    The oracle is the equivalent ANSI text (DuckDB has no pipe syntax —
+    the point is exactly that surface syntax is not semantics)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                         AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, sum_qty
+        |> ORDER BY l_returnflag, l_linestatus
+        |> LIMIT 10
+        """
+    )

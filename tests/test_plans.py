@@ -519,3 +519,23 @@ def test_bipartite_projection_is_equi_join(spark):
     plan = plan_of(q(spark, "graph_bipartite_projection"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parameterized_sql_pushes_bound_literal(spark):
+    """Named-arg binding happens before optimization: the bound
+    o_totalprice threshold must reach the parquet scan as a pushed
+    filter, exactly like hard-coded text."""
+    plan = plan_of(q(spark, "sql_parameterized"))
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_pipe_syntax_plans_like_ansi(spark):
+    """The |> pipe form must lower to the same physical shape as ANSI:
+    pushed shipdate filter, partial+final hash aggregate, top-N via
+    TakeOrderedAndProject — surface syntax, not semantics."""
+    plan = plan_of(q(spark, "sql_pipe_syntax"))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan, plan
