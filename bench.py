@@ -168,6 +168,8 @@ HEADLINE = [
     "sink_snapshot_publish",
     "sql_parameterized",
     "sql_pipe_syntax",
+    "validate_observe_metrics",
+    "scan_text",
 ]
 
 

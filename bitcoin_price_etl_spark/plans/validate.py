@@ -242,3 +242,77 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+@query(
+    "validate_observe_metrics",
+    oracle="""
+    SELECT 'orders_ingest' AS pipeline,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS total_value,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpositive,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+           CAST(COUNT(*) FILTER (o_totalprice >= 100000) AS BIGINT)
+               AS n_large_kept
+    FROM orders
+    """,
+)
+def validate_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cost pipeline observability via DataFrame.observe: health
+    counters (row count, exact value total, nonpositive-amount and
+    bad-status violation counts) ride the SAME scan as the real work —
+    no second pass, no separate audit query. The op runs a
+    representative job (count the large orders) with an Observation
+    attached, then returns the observed metrics plus the job's own
+    result as one audit row — exactly what a production ingest emits to
+    its metrics sink per batch.
+
+    Scale shape: observe() compiles to CollectMetrics inside the same
+    physical plan — the counters partial-aggregate alongside the scan,
+    cost O(1) extra state per task, and the job's filter/count is
+    unchanged. This is the engine's answer to the reference's
+    row-count/validation logging (R3's gate) at 100 TB: observability
+    that never re-reads.
+
+    Parity: counts exact; the total is the dsum discipline. The
+    metrics row is assembled driver-side from the Observation result —
+    control-plane by definition (the numbers themselves were computed
+    distributed, inside the scan)."""
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("orders_ingest")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)"
+        ).alias("total_value"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("n_nonpositive"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(
+                0
+            )
+        ).alias("n_bad_status"),
+    )
+    n_large = observed.filter(F.col("o_totalprice") >= 100000).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                "orders_ingest",
+                m["n_rows"],
+                float(m["total_value"]),
+                m["n_nonpositive"],
+                m["n_bad_status"],
+                n_large,
+            )
+        ],
+        "pipeline string, n_rows long, total_value double,"
+        " n_nonpositive long, n_bad_status long, n_large_kept long",
+    )

@@ -577,3 +577,47 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_id_sum"
         ),
     )
+
+
+@query(
+    "scan_text",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS line_md5
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text round-trip (spark.read.text — the format every
+    raw log / one-JSON-per-line / one-doc-per-line corpus arrives in
+    before it earns a schema). Each document exports as one
+    tab-prefixed line (doc_id TAB text — documents contain no tabs or
+    newlines, asserted by the split), reads back as raw `value` lines,
+    and re-parses by splitting at the FIRST tab — the minimal
+    schema-on-read step. Parity: per-line md5 against the source table
+    proves byte-lossless round-trip.
+
+    Scale shape: text files split by line boundary, so the read
+    parallelizes like any splittable format; the parse is two zero-copy
+    substring projections (no regex, no UDF). At 100 TB this is the
+    ingest shape for raw crawl dumps — read.text → parse → write
+    parquet once, query columnar forever after."""
+    d = load(spark, sf_dir, "documents")
+    tmp = scratch_dir("scan_text")
+    path = os.path.join(tmp, "documents_txt")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    tab = F.instr("value", "\t")
+    return lines.select(
+        F.substring("value", 1, tab - 1).cast("long").alias("doc_id"),
+        F.substring("value", tab + 1, F.lit(2147483647)).alias("text"),
+    ).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("line_md5"),
+    )
