@@ -617,7 +617,57 @@ def with_phash_payloads(df: DataFrame) -> DataFrame:
     )
 
 
-@query("llm_multimodal_phash", oracle=None)
+@query(
+    "llm_multimodal_phash",
+    oracle=f"""
+    WITH padded AS (
+        SELECT doc_id, rpad(substring(text, 1, 48), 48, ' ') AS s
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN [ord(substring(s, 1, 1)), ord(substring(s, 2, 1)), ord(substring(s, 3, 1)), ord(substring(s, 4, 1)), ord(substring(s, 5, 1)), ord(substring(s, 6, 1)), ord(substring(s, 7, 1)), ord(substring(s, 8, 1)), ord(substring(s, 9, 1)), ord(substring(s, 10, 1)), ord(substring(s, 11, 1)), ord(substring(s, 12, 1)), ord(substring(s, 13, 1)), ord(substring(s, 14, 1)), ord(substring(s, 15, 1)), ord(substring(s, 16, 1)), ord(substring(s, 17, 1)), ord(substring(s, 18, 1)), ord(substring(s, 19, 1)), ord(substring(s, 20, 1)), ord(substring(s, 21, 1)), ord(substring(s, 22, 1)), ord(substring(s, 23, 1)), ord(substring(s, 24, 1)), ord(substring(s, 25, 1)), ord(substring(s, 26, 1)), ord(substring(s, 27, 1)), ord(substring(s, 28, 1)), ord(substring(s, 29, 1)), ord(substring(s, 30, 1)), ord(substring(s, 31, 1)), ord(substring(s, 32, 1)), ord(substring(s, 33, 1)), ord(substring(s, 34, 1)), ord(substring(s, 35, 1)), ord(substring(s, 36, 1)), ord(substring(s, 37, 1)), ord(substring(s, 38, 1)), ord(substring(s, 39, 1)), ord(substring(s, 40, 1)), ord(substring(s, 41, 1)), ord(substring(s, 42, 1)), ord(substring(s, 43, 1)), ord(substring(s, 44, 1)), ord(substring(s, 45, 1)), ord(substring(s, 46, 1)), ord(substring(s, 47, 1)), ord(substring(s, 48, 1))]
+                    ELSE [ord(substring(s, 39, 1)), ord(substring(s, 38, 1)), ord(substring(s, 37, 1)), ord(substring(s, 42, 1)), ord(substring(s, 41, 1)), ord(substring(s, 40, 1)), ord(substring(s, 45, 1)), ord(substring(s, 44, 1)), ord(substring(s, 43, 1)), ord(substring(s, 48, 1)), ord(substring(s, 47, 1)), ord(substring(s, 46, 1)), ord(substring(s, 27, 1)), ord(substring(s, 26, 1)), ord(substring(s, 25, 1)), ord(substring(s, 30, 1)), ord(substring(s, 29, 1)), ord(substring(s, 28, 1)), ord(substring(s, 33, 1)), ord(substring(s, 32, 1)), ord(substring(s, 31, 1)), ord(substring(s, 36, 1)), ord(substring(s, 35, 1)), ord(substring(s, 34, 1)), ord(substring(s, 15, 1)), ord(substring(s, 14, 1)), ord(substring(s, 13, 1)), ord(substring(s, 18, 1)), ord(substring(s, 17, 1)), ord(substring(s, 16, 1)), ord(substring(s, 21, 1)), ord(substring(s, 20, 1)), ord(substring(s, 19, 1)), ord(substring(s, 24, 1)), ord(substring(s, 23, 1)), ord(substring(s, 22, 1)), ord(substring(s, 3, 1)), ord(substring(s, 2, 1)), ord(substring(s, 1, 1)), ord(substring(s, 6, 1)), ord(substring(s, 5, 1)), ord(substring(s, 4, 1)), ord(substring(s, 9, 1)), ord(substring(s, 8, 1)), ord(substring(s, 7, 1)), ord(substring(s, 12, 1)), ord(substring(s, 11, 1)), ord(substring(s, 10, 1))]
+               END AS p
+        FROM padded
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(list_transform(range(1, 49),
+                   i -> CASE WHEN p[i] > list_reduce(p, (a, b) -> a + b)
+                                        / 48.0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END),
+                   (a, b) -> a + b) AS phash
+        FROM px
+    ),
+    bands AS (
+        SELECT doc_id, phash, b.band_id,
+               (phash >> (b.band_id * 12)) & 4095 AS band_val
+        FROM hashed, (SELECT unnest(range(4)) AS band_id) b
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val)
+                      AS bsz
+            FROM bands
+        ) WHERE bsz <= {PHASH_BUCKET_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_band_collisions,
+               MIN(a.phash) AS ha, MIN(b.phash) AS hb
+        FROM capped a JOIN capped b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_band_collisions,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM_MAX}
+    """,
+)
 def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate detection for the image modality — the
     multimodal counterpart of llm_dedup_simhash: a 48-bit average-hash
@@ -625,8 +675,7 @@ def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean), banded-LSH candidate generation (4 × 12-bit bands — only
     images agreeing on an ENTIRE band ever meet), and an exact
     Hamming-distance verify via xor+bit_count, keeping pairs ≤
-    {PHASH_HAM_MAX} bits apart. Rows-only: the pipeline hashes REAL
-    decoded PPM/BMP pixel bytes, which no SQL engine can mirror.
+    {PHASH_HAM_MAX} bits apart.
 
     Scale shape: candidate generation is a band-bucket equi-join —
     identical plan to llm_sim_search_lsh (each image posts 4 (band_id,
@@ -644,9 +693,14 @@ def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing their opening bytes render identical pixels and collide at
     distance 0, which the property test pins against a full replay.
 
-    Parity note (why rows-only): the aHash thresholding happens on
-    DECODED pixel bytes inside Python — the honest decode path, same
-    stance as llm_multimodal_decode."""
+    Parity: a FULL differential despite the Python decode stage — the
+    oracle reconstructs the decoded pixel bytes arithmetically from the
+    text (ord() of the padded prefix), including the BMP path's
+    bottom-up row un-flip and BGR→RGB swap as a literal 48-element
+    permutation — so a decoder bug (wrong stride, missed flip, channel
+    order) hash-mismatches, the llm_multimodal_audio differential
+    stance. The float mean compare (int > sum/48.0) is the identical
+    IEEE comparison in both engines; everything else is integer."""
     d = load(spark, sf_dir, "documents")
     mm = with_phash_payloads(d)
     hashed = (
