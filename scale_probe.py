@@ -81,6 +81,8 @@ DOC_KEYS = [
     # tag, so cross-copy images differ while within-copy prefix dupes
     # survive: candidate mass grows linearly
     "llm_multimodal_phash",
+    # one-line-per-doc text export: volume linear, line-splittable read
+    "scan_text",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -354,6 +356,11 @@ FACT_KEYS = {
     "ts_seasonal_decompose": ("events", "event_id", None),
     # stateless int projection: per-row constant cost
     "fn_ip": ("orders", "o_orderkey", None),
+    # observe counters are O(1) agg buffers riding the scan
+    "validate_observe_metrics": ("orders", "o_orderkey", None),
+    # bound literals push down like constants at any volume
+    "sql_parameterized": ("orders", "o_orderkey", None),
+    "sql_pipe_syntax": ("lineitem", "l_orderkey", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so
