@@ -170,6 +170,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "validate_observe_metrics",
     "scan_text",
+    "fn_geohash",
 ]
 
 

@@ -727,3 +727,120 @@ def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_cidr_170_0"
         ),
     )
+
+
+# Geohash-style spatial index key: 15-bit quantized lat/lng cells,
+# bit-interleaved into a 30-bit Z-order (Morton) integer and rendered as
+# 6 base32 chars — shared prefixes == shared ancestor cells, which is
+# what makes the string a geo join/partition key.
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_GH_INTERLEAVE = (
+    """(((lng_q >> 0) & 1) << 1)
+        + (((lat_q >> 0) & 1) << 0)
+        + (((lng_q >> 1) & 1) << 3)
+        + (((lat_q >> 1) & 1) << 2)
+        + (((lng_q >> 2) & 1) << 5)
+        + (((lat_q >> 2) & 1) << 4)
+        + (((lng_q >> 3) & 1) << 7)
+        + (((lat_q >> 3) & 1) << 6)
+        + (((lng_q >> 4) & 1) << 9)
+        + (((lat_q >> 4) & 1) << 8)
+        + (((lng_q >> 5) & 1) << 11)
+        + (((lat_q >> 5) & 1) << 10)
+        + (((lng_q >> 6) & 1) << 13)
+        + (((lat_q >> 6) & 1) << 12)
+        + (((lng_q >> 7) & 1) << 15)
+        + (((lat_q >> 7) & 1) << 14)
+        + (((lng_q >> 8) & 1) << 17)
+        + (((lat_q >> 8) & 1) << 16)
+        + (((lng_q >> 9) & 1) << 19)
+        + (((lat_q >> 9) & 1) << 18)
+        + (((lng_q >> 10) & 1) << 21)
+        + (((lat_q >> 10) & 1) << 20)
+        + (((lng_q >> 11) & 1) << 23)
+        + (((lat_q >> 11) & 1) << 22)
+        + (((lng_q >> 12) & 1) << 25)
+        + (((lat_q >> 12) & 1) << 24)
+        + (((lng_q >> 13) & 1) << 27)
+        + (((lat_q >> 13) & 1) << 26)
+        + (((lng_q >> 14) & 1) << 29)
+        + (((lat_q >> 14) & 1) << 28)"""
+)
+
+
+@query(
+    "fn_geohash",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey * 7919) % 32768 AS lat_q,
+               (c_custkey * 104729) % 32768 AS lng_q
+        FROM customer
+    ),
+    z AS (
+        SELECT c_custkey, lat_q, lng_q,
+               {_GH_INTERLEAVE} AS gh
+        FROM pts
+    ),
+    s AS (
+        SELECT c_custkey, lat_q, lng_q, gh,
+               substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 25) & 31 AS INT) + 1, 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 20) & 31 AS INT) + 1, 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 15) & 31 AS INT) + 1, 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 10) & 31 AS INT) + 1, 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 5) & 31 AS INT) + 1, 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 0) & 31 AS INT) + 1, 1) AS geohash6
+        FROM z
+    )
+    SELECT c_custkey, CAST(lat_q AS BIGINT) AS lat_q,
+           CAST(lng_q AS BIGINT) AS lng_q,
+           CAST(gh AS BIGINT) AS geohash_int,
+           geohash6,
+           substring(geohash6, 1, 4) AS prefix4
+    FROM s
+    """,
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-style Z-order encoding (the spatial indexing scalar Spark
+    lacks as a builtin): quantized lat/lng cells bit-interleave into a
+    30-bit Morton integer, rendered as a 6-char base32 geohash whose
+    PREFIXES nest — two points share a k-char prefix iff they share the
+    depth-k ancestor cell, which is what makes the string a groupBy /
+    join / partitionBy key for geographic data (the 4-char prefix column
+    is exactly that coarse key). Coordinates synthesize from the
+    customer key (the join_spatial_grid stance — the fixtures carry no
+    geo columns; a real table drops its lat/lng in after one
+    quantization step and the encoding is unchanged).
+
+    Scale shape: stateless int64 shift/mask/add plus a fixed-alphabet
+    substring per 5 bits — zero exchanges, whole-stage codegen;
+    Z-order interleaving is also the clustering key sink_zorder_layout
+    sorts by, so this function IS that sink's layout-key producer for
+    spatial columns.
+
+    Parity: exact integer bit arithmetic and literal-table lookups —
+    bit-identical by construction, no floats anywhere."""
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 32768).alias("lat_q"),
+        ((F.col("c_custkey") * 104729) % 32768).alias("lng_q"),
+    )
+    z = pts.withColumn("gh", F.expr(_GH_INTERLEAVE))
+    geohash6 = F.concat(
+        F.expr("substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 25) & 31 AS INT) + 1, 1)"),
+        F.expr("substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 20) & 31 AS INT) + 1, 1)"),
+        F.expr("substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 15) & 31 AS INT) + 1, 1)"),
+        F.expr("substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 10) & 31 AS INT) + 1, 1)"),
+        F.expr("substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 5) & 31 AS INT) + 1, 1)"),
+        F.expr("substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((gh >> 0) & 31 AS INT) + 1, 1)"),
+    )
+    return z.select(
+        "c_custkey",
+        F.col("lat_q").cast("long").alias("lat_q"),
+        F.col("lng_q").cast("long").alias("lng_q"),
+        F.col("gh").cast("long").alias("geohash_int"),
+        geohash6.alias("geohash6"),
+        F.substring(geohash6, 1, 4).alias("prefix4"),
+    )

@@ -361,6 +361,8 @@ FACT_KEYS = {
     # bound literals push down like constants at any volume
     "sql_parameterized": ("orders", "o_orderkey", None),
     "sql_pipe_syntax": ("lineitem", "l_orderkey", None),
+    # stateless bit arithmetic: per-row constant cost
+    "fn_geohash": ("customer", "c_custkey", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

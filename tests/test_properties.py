@@ -1138,3 +1138,29 @@ def test_round4c_keys_shuffle_partition_invariant(spark, key):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
+
+
+def test_geohash_prefix_nesting(spark):
+    """The defining geohash property: two points share the 4-char prefix
+    IFF they share the top 20 Morton bits (prefix containment == spatial
+    ancestor cell), and every char decodes back to its 5-bit group."""
+    from bitcoin_price_etl_spark.functions.scalars import (
+        GEOHASH_ALPHABET,
+        fn_geohash,
+    )
+
+    rows = fn_geohash(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # re-derive the base32 string from the integer
+        want = "".join(
+            GEOHASH_ALPHABET[(r.geohash_int >> (30 - 5 * (j + 1))) & 31]
+            for j in range(6)
+        )
+        assert r.geohash6 == want
+        assert r.prefix4 == want[:4]
+    by_prefix = {}
+    for r in rows:
+        by_prefix.setdefault(r.prefix4, set()).add(r.geohash_int >> 10)
+    for tops in by_prefix.values():
+        assert len(tops) == 1  # same prefix4 <=> same top 20 bits
