@@ -30,6 +30,32 @@ an ORDER BY (tfidf ranking), sort on the decimal BEFORE the double cast so
 both engines rank identical exact values. Also never emit arrays in
 checked outputs (pandas canonicalizer cannot hash list cells — the
 round-1 agg_listagg crash); join them to delimited strings.
+
+Round-4 refinements — when quantize-then-double is NOT enough:
+
+1. QUOTIENT doubles defeat the coarse-decimal rule. A value of the form
+   exact-decimal / small-integer (an hourly davg, a detrended delta)
+   has a shortest repr that can TERMINATE exactly on the quantum
+   boundary digit (…4445 at scale+1), where Spark's repr-HALF_UP and
+   DuckDB's binary rounding split — observed at ~0.3% of detrended
+   values in ts_seasonal_decompose, far from measure-zero. For derived
+   means over such values use PINNED-ORDER SEQUENTIAL FOLDS instead:
+   Spark `aggregate()` over a frame/array collected in a pinned order
+   (window frame order, or array_sort(collect_list(struct(key, v))))
+   ≡ DuckDB `list_reduce(list(v ORDER BY key), …)` — both engines add
+   bit-identical operands in the identical sequence, then divide once.
+   Bounded frames only (a window frame, a per-calendar-cell list, a
+   32-dim vector) — never corpus-sized lists.
+
+2. SCALED-INTEGER space makes even ITERATIVE algorithms hash-exact.
+   floor(x·10^s + 0.5) maps a float to int64 through multiply/add/floor
+   — IEEE ops with NO rounding-mode ambiguity on identical operands
+   (divergence needs x·10^s within one ulp of a half-integer, ~1e-11
+   per element — genuinely measure-zero, unlike the decimal-cast
+   boundary class). Exact integer sums + one double divide per mean +
+   floor(mean + 0.5) re-quantization keep every iteration's state
+   bit-identical across engines (llm_embed_drift, llm_kmeans_train —
+   the latter proves 3 Lloyd rounds end-to-end under the hash gate).
 """
 
 from __future__ import annotations
