@@ -745,3 +745,121 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# Register-blocked Bloom filter geometry for llm_decontaminate_bloom:
+# 4096 64-bit words = 256 Kbit. Each shingle hash selects ONE word
+# (pmod(h, words)) and sets TWO bits inside it from independent hash
+# bit-ranges — the cache-line-blocked Bloom design (one memory touch per
+# probe). At ~2k eval shingles the fill is ~1 bit/word -> FPR well under
+# 1%; for a real benchmark suite scale BLOOM_WORDS up linearly.
+BLOOM_WORDS = 4096
+_BLOOM_MASK = (
+    "(shiftleft(CAST(1 AS BIGINT), CAST(pmod(shiftright(h, 12), 64) AS INT))"
+    " | shiftleft(CAST(1 AS BIGINT), CAST(pmod(shiftright(h, 24), 64) AS INT)))"
+)
+
+
+@query(
+    "llm_decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(str_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(str_split(text, ' '), i, i + {SHINGLE_WORDS - 1}), ' ')
+               ))) AS s
+        FROM documents
+    ),
+    eval_sh AS (
+        SELECT DISTINCT doc_id AS eval_doc_id, s FROM sh
+        WHERE doc_id % {DECONTAM_EVAL_MOD} = {DECONTAM_EVAL_REM}
+    ),
+    train_sh AS (
+        SELECT doc_id AS train_doc_id, s FROM sh
+        WHERE doc_id % {DECONTAM_EVAL_MOD} != {DECONTAM_EVAL_REM}
+    ),
+    pairs AS (
+        SELECT train_doc_id, eval_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_common_shingles
+        FROM train_sh t JOIN eval_sh e USING (s)
+        GROUP BY train_doc_id, eval_doc_id
+        HAVING COUNT(*) >= {DECONTAM_MIN_COMMON}
+    )
+    SELECT train_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           MAX(n_common_shingles) AS max_overlap,
+           CAST(SUM(n_common_shingles) AS BIGINT) AS total_overlap
+    FROM pairs
+    GROUP BY train_doc_id
+    """,
+)
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination drop list: the per-TRAIN-doc roll-up of
+    eval overlap (llm_decontaminate is pair-level, llm_contamination_report
+    is eval-level; this is the list a curation job actually subtracts),
+    computed through a register-blocked Bloom pre-filter built from pure
+    JVM expressions.
+
+    The engine-side Bloom: eval shingle hashes fold into BLOOM_WORDS
+    64-bit words via groupBy(pmod(h, words)).agg(bit_or(mask)) — a
+    partial-aggregated exchange of at most `words` rows. Corpus shingles
+    then probe it with ONE broadcast equi-join on the word index plus a
+    bitwise containment filter ((mask & word) = mask), and only the
+    surviving sliver reaches the exact-confirm join against the broadcast
+    eval postings. Blooms have no false negatives, so the exact-confirm
+    output is IDENTICAL with or without the gate — which is why the
+    oracle is pure exact SQL and the hash check certifies end-to-end.
+    (Spark's own bloom_filter_agg is not in the public function registry;
+    this builds the same artifact from public shiftleft/pmod/bit_or.)
+
+    Scale shape vs llm_decontaminate: same asymmetric posture (the corpus
+    never shuffles its shingles), but the broadcast the corpus probes
+    FIRST is now O(BLOOM_WORDS) — constant — instead of the full eval
+    posting list, and the posting-list join only sees bloom survivors.
+    At 100 TB with a large benchmark suite that is the difference between
+    broadcasting gigabytes of postings to every task and broadcasting a
+    32 KB bitmap; the exact join stays, but on ~FPR x corpus instead of
+    corpus. Cited pattern: Spark's own runtime-filter bloom pushdown
+    (InjectRuntimeFilter), re-expressed declaratively.
+    """
+    sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
+    is_eval = (F.col("doc_id") % DECONTAM_EVAL_MOD) == DECONTAM_EVAL_REM
+    eval_sh = (
+        sh.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_doc_id"), "h")
+        .distinct()
+        .localCheckpoint()
+    )
+    bloom = (
+        eval_sh.select(
+            F.expr(f"pmod(h, {BLOOM_WORDS})").alias("word_idx"),
+            F.expr(_BLOOM_MASK).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("bloom_word"))
+    )
+    train_sh = sh.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc_id"), "h"
+    )
+    candidates = (
+        train_sh.withColumn("word_idx", F.expr(f"pmod(h, {BLOOM_WORDS})"))
+        .withColumn("mask", F.expr(_BLOOM_MASK))
+        .join(F.broadcast(bloom), "word_idx")
+        .filter(F.expr("(mask & bloom_word) = mask"))
+        .select("train_doc_id", "h")
+    )
+    return (
+        candidates.join(F.broadcast(eval_sh), "h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common_shingles"))
+        .filter(F.col("n_common_shingles") >= DECONTAM_MIN_COMMON)
+        .groupBy("train_doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_eval_docs"),
+            F.max("n_common_shingles").alias("max_overlap"),
+            F.expr("CAST(SUM(n_common_shingles) AS BIGINT)").alias(
+                "total_overlap"
+            ),
+        )
+    )

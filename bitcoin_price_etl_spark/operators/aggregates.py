@@ -1334,3 +1334,82 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("order_share"),
         )
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS total_price,
+           CAST(CAST(
+               CAST(SUM((2 * rn - n - 1)
+                        * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)
+               / (CAST(MAX(n) AS DOUBLE)
+                  * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                         AS DOUBLE))
+               AS DECIMAL(18,6)) AS DOUBLE) AS gini
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of order value per priority class —
+    the inequality / revenue-concentration audit (how top-heavy is spend?)
+    that pairs with win_pareto_abc's banding: Pareto tells you WHO the top
+    customers are, Gini gives one comparable number per segment.
+
+    Uses the sorted-rank identity G = sum((2i - n - 1) * x_i) / (n * sum x)
+    over x ascending — a single window-rank pass plus one grouped
+    aggregate, no pairwise |x_i - x_j| (the textbook O(n^2) form).
+
+    Parity: the rank coefficient (2*rn - n - 1) is exact integer arithmetic;
+    its product with DECIMAL(19,4) prices sums exactly (order-insensitive),
+    so the numerator and denominator are bit-identical in both engines and
+    the one double quotient quantizes through DECIMAL(18,6) (the agg_corr
+    moment-ratio rule). Ties on price cannot flap the sum: permuting equal
+    x across adjacent ranks leaves sum(coef * x) unchanged, and rn itself
+    is pinned by the o_orderkey tiebreak.
+
+    Scale shape: one exchange to sort within each priority class (the
+    window), then a partial-agg groupBy on the same key — AQE coalesces
+    them onto the same partitioning, so effectively ONE shuffle of
+    (priority, price, rank) triples. Group count is 5; per-group sort is
+    the cost, exactly the win_pareto_abc posture. At 100 TB the same
+    computation runs per partition-of-priority via range partitioning on
+    (priority, price) — ranks are sort-order statistics, not all-pairs.
+    """
+    od = load(spark, sf_dir, "orders")
+    ranked = od.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.expr(
+            "ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice, o_orderkey)"
+        ).alias("rn"),
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY o_orderpriority)"
+        ).alias("n"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_orders"),
+        F.expr(
+            f"CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE)"
+        ).alias("total_price"),
+        F.expr(
+            f"""CAST(CAST(
+                CAST(SUM((2 * rn - n - 1)
+                         * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)
+                / (CAST(MAX(n) AS DOUBLE)
+                   * CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE))
+                AS DECIMAL(18,6)) AS DOUBLE)"""
+        ).alias("gini"),
+    )

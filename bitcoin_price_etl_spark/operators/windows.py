@@ -1502,3 +1502,216 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y") - F.col("trend") - F.col("s_idx")).alias("remainder"),
         )
     )
+
+
+RSI_TAPS = 14  # classic 14-period RSI lookback
+
+
+@query(
+    "ts_rsi",
+    oracle=f"""
+    WITH diffed AS (
+        SELECT event_type, ts, event_id, value,
+               value - lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS d
+        FROM events
+    ),
+    framed AS (
+        SELECT event_type, ts, event_id, value,
+               SUM(CAST(CASE WHEN d > 0 THEN d ELSE 0 END
+                        AS DECIMAL(38,4))) OVER w AS g,
+               SUM(CAST(CASE WHEN d < 0 THEN -d ELSE 0 END
+                        AS DECIMAL(38,4))) OVER w AS l,
+               CAST(COUNT(d) OVER w AS BIGINT) AS n_diffs
+        FROM diffed
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {RSI_TAPS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_id, value, n_diffs,
+           CASE WHEN n_diffs = 0 THEN CAST(NULL AS DOUBLE)
+                WHEN CAST(g AS DOUBLE) + CAST(l AS DOUBLE) = 0.0
+                THEN CAST(50.0 AS DOUBLE)
+                ELSE CAST(CAST(
+                     100.0 * CAST(g AS DOUBLE)
+                     / (CAST(g AS DOUBLE) + CAST(l AS DOUBLE))
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS rsi
+    FROM framed
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index per series (simple 14-tap form): each tick's
+    up-move vs down-move balance over its trailing window, the canonical
+    momentum oscillator of exactly the reference's domain (hourly BTC rates
+    -> overbought/oversold signal; reference stores the raw hourly rows,
+    bpi_etl_bigquery.py:63-88 — the indicator is the natural next query).
+
+    RSI = 100 * sum(gains) / (sum(gains) + sum(losses)) over the frame —
+    algebraically 100 - 100/(1+RS) with the average-gain/average-loss RS,
+    but the n-divides cancel, so the exact decimal frame sums feed ONE
+    double quotient (fewer rounding sites than the textbook form). The
+    Wilder-smoothed variant is recursive (EWMA of gains) — ts_ewma's
+    bounded-tap pattern covers that shape; this is the windowed-sum form.
+
+    Parity: lag-diffs are IEEE-exact on identical operands; gain/loss split
+    then decimal-sums at scale 4 (tick deltas are money-like, far from any
+    conversion boundary — exprs.py). The final quotient is
+    exact-decimal / exact-decimal with a LARGE arbitrary denominator, not
+    the small-integer-divisor class that terminates on quantum boundaries
+    (exprs.py round-4 note 1), so quantize-then-double at DECIMAL(18,6)
+    holds. Flat series (g+l=0) pin to 50; the first tick of each series
+    (no diff yet) emits NULL identically in both engines.
+
+    Scale shape: identical to ts_zscore_rolling — ONE exchange on the
+    series key, two running decimal accumulators + a count per row, O(1)
+    window state, no frame list. 100 TB verdict: bounded by ticks/series
+    per partition, never corpus-wide.
+    """
+    ev = load(spark, sf_dir, "events")
+    frame = (
+        f"PARTITION BY event_type ORDER BY ts, event_id "
+        f"ROWS BETWEEN {RSI_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    diffed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.expr(
+            "value - lag(value) OVER ("
+            "PARTITION BY event_type ORDER BY ts, event_id)"
+        ).alias("d"),
+    )
+    framed = diffed.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.expr(
+            f"SUM(CAST(CASE WHEN d > 0 THEN d ELSE 0 END AS {DEC})) "
+            f"OVER ({frame})"
+        ).alias("g"),
+        F.expr(
+            f"SUM(CAST(CASE WHEN d < 0 THEN -d ELSE 0 END AS {DEC})) "
+            f"OVER ({frame})"
+        ).alias("l"),
+        F.expr(f"CAST(COUNT(d) OVER ({frame}) AS BIGINT)").alias("n_diffs"),
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_id",
+        "value",
+        "n_diffs",
+        F.expr(
+            """CASE WHEN n_diffs = 0 THEN CAST(NULL AS DOUBLE)
+               WHEN CAST(g AS DOUBLE) + CAST(l AS DOUBLE) = 0.0D
+               THEN CAST(50.0D AS DOUBLE)
+               ELSE CAST(CAST(
+                    100.0D * CAST(g AS DOUBLE)
+                    / (CAST(g AS DOUBLE) + CAST(l AS DOUBLE))
+                    AS DECIMAL(18,6)) AS DOUBLE) END"""
+        ).alias("rsi"),
+    )
+
+
+BETA_TAPS = 30  # rolling-OLS lookback (rows per frame)
+
+
+@query(
+    "win_rolling_beta",
+    oracle=f"""
+    WITH framed AS (
+        SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER w
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) OVER w
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                             * CAST(l_quantity AS DECIMAL(19,4))
+                             AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                             * CAST(l_extendedprice AS DECIMAL(19,4))
+                             AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              l_quantity, l_extendedprice
+                     ROWS BETWEEN {BETA_TAPS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_returnflag,
+           strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
+           l_orderkey, l_linenumber, n,
+           CASE WHEN n < 2 OR n * sxx - sx * sx <= 0.0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(CAST(
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS beta
+    FROM framed
+    """,
+)
+def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope per group (30-row frame): the trailing hedge-ratio
+    of price on quantity — agg_linreg's windowed sibling (global fit there,
+    online per-row fit here; the quant-finance rolling-beta shape applied
+    to the lineitem fact).
+
+    beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from EXACT decimal frame
+    moments, so the only inexact steps are a fixed IEEE expression tree on
+    bit-identical operands; the result quantizes through DECIMAL(18,6)
+    (the agg_corr moment-ratio rule). Degenerate frames (n<2 or zero
+    x-variance, checked on the exact moments) emit NULL in both engines.
+
+    Scale shape: one exchange on the partition key, four O(1) decimal
+    accumulators + a count per row — the zscore/RSI state pattern with two
+    cross-moments. No frame list, no second pass. 100 TB verdict: bounded
+    by rows/group per partition; for a skewed group key the ts_sessionize
+    salting treatment applies unchanged.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    frame = (
+        f"PARTITION BY l_returnflag "
+        f"ORDER BY l_shipdate, l_orderkey, l_linenumber, "
+        f"l_quantity, l_extendedprice "
+        f"ROWS BETWEEN {BETA_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    framed = li.select(
+        "l_returnflag",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            f"CAST(SUM(CAST(l_quantity AS {DEC})) OVER ({frame}) AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            f"CAST(SUM(CAST(l_extendedprice AS {DEC})) OVER ({frame}) "
+            f"AS DOUBLE)"
+        ).alias("sy"),
+        F.expr(
+            f"""CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                              * CAST(l_quantity AS DECIMAL(19,4))
+                              AS DECIMAL(38,8))) OVER ({frame}) AS DOUBLE)"""
+        ).alias("sxx"),
+        F.expr(
+            f"""CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                              * CAST(l_extendedprice AS DECIMAL(19,4))
+                              AS DECIMAL(38,8))) OVER ({frame}) AS DOUBLE)"""
+        ).alias("sxy"),
+        F.expr(f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)").alias("n"),
+    )
+    return framed.select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+        F.expr(
+            """CASE WHEN n < 2 OR n * sxx - sx * sx <= 0.0D
+               THEN CAST(NULL AS DOUBLE)
+               ELSE CAST(CAST(
+                    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    AS DECIMAL(18,6)) AS DOUBLE) END"""
+        ).alias("beta"),
+    )

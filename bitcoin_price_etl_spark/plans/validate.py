@@ -316,3 +316,96 @@ def validate_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipeline string, n_rows long, total_value double,"
         " n_nonpositive long, n_bad_status long, n_large_kept long",
     )
+
+
+@query(
+    "validate_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
+        GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs)
+    SELECT digit, n_obs,
+           CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,8))
+                AS DOUBLE) AS p_benford,
+           CAST(CAST(
+               n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
+                                   AS DECIMAL(18,8)) AS DOUBLE)
+               AS DECIMAL(18,4)) AS DOUBLE) AS n_expected,
+           CAST(CAST(
+               (n_obs - n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
+                                            AS DECIMAL(18,8)) AS DOUBLE))
+               * (n_obs - n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
+                                              AS DECIMAL(18,8)) AS DOUBLE))
+               / (n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
+                                      AS DECIMAL(18,8)) AS DOUBLE))
+               AS DECIMAL(18,6)) AS DOUBLE) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the money column: observed
+    leading-digit counts vs the log10(1 + 1/d) expectation, with the
+    per-digit chi-square contribution — the classic fabricated-data /
+    broken-upstream detector for financial facts (a feed that suddenly
+    clips, pads, or synthesizes amounts shifts this distribution long
+    before row counts move). Complements validate_expectations' rule
+    checks with a distributional check.
+
+    Parity: the leading digit is extracted in SCALED-INTEGER space
+    (floor(x*100 + 0.5) -> BIGINT -> first character), never via double
+    formatting or log10-of-data, so digit assignment is bit-exact in both
+    engines (exprs.py round-4 note 2). The nine Benford constants are
+    libm log10 calls that may differ in the last ulp between JVM and C —
+    each is quantized through DECIMAL(18,8) BEFORE use (both sides), and
+    derived expectation/chi-square values re-quantize at the edge
+    (DECIMAL(18,4)/(18,6), the agg_corr rule).
+
+    Scale shape: a map-side digit projection + ONE partial-agg groupBy to
+    9 rows; the grand total is an unpartitioned window over the 9-row
+    aggregate (NOT a second agg off the source — that planned a second
+    full scan of orders, caught in the plan snapshot). 100 TB verdict:
+    the exchange carries 9 x n_partitions partial counts, the global
+    window moves 9 rows — both free.
+    """
+    od = load(spark, sf_dir, "orders")
+    p_q = (
+        "CAST(CAST(log10(1.0D + 1.0D / digit) AS DECIMAL(18,8)) AS DOUBLE)"
+    )
+    obs = (
+        od.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr(
+                "CAST(substring(CAST("
+                "  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                " AS STRING), 1, 1) AS INT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_obs"))
+    )
+    with_tot = obs.withColumn(
+        "n_total", F.expr("CAST(SUM(n_obs) OVER () AS BIGINT)")
+    )
+    return with_tot.select(
+        "digit",
+        "n_obs",
+        F.expr(p_q).alias("p_benford"),
+        F.expr(
+            f"CAST(CAST(n_total * {p_q} AS DECIMAL(18,4)) AS DOUBLE)"
+        ).alias("n_expected"),
+        F.expr(
+            f"""CAST(CAST(
+                (n_obs - n_total * {p_q}) * (n_obs - n_total * {p_q})
+                / (n_total * {p_q})
+                AS DECIMAL(18,6)) AS DOUBLE)"""
+        ).alias("chi2_term"),
+    )
