@@ -998,3 +998,113 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bigram_count").desc(), "w1", "w2")
         .limit(BIGRAM_TOP_N)
     )
+
+
+@query(
+    "llm_diversity_index",
+    oracle="""
+    WITH slice AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT lang, source, n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS k
+        FROM slice
+    ),
+    terms AS (
+        SELECT lang, n_lang, k,
+               CAST(-(CAST(n AS DOUBLE) / n_lang)
+                    * ln(CAST(n AS DOUBLE) / n_lang)
+                    AS DECIMAL(18,8)) AS h_term,
+               CAST((CAST(n AS DOUBLE) / n_lang)
+                    * (CAST(n AS DOUBLE) / n_lang)
+                    AS DECIMAL(18,8)) AS hhi_term
+        FROM tot
+    )
+    SELECT lang,
+           CAST(MAX(n_lang) AS BIGINT) AS n_docs,
+           CAST(MAX(k) AS BIGINT) AS n_sources,
+           CAST(SUM(h_term) AS DOUBLE) AS entropy_nats,
+           CASE WHEN MAX(k) = 1 THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(CAST(
+                     CAST(SUM(h_term) AS DOUBLE)
+                     / CAST(CAST(ln(CAST(MAX(k) AS DOUBLE))
+                                 AS DECIMAL(18,8)) AS DOUBLE)
+                     AS DECIMAL(18,6)) AS DOUBLE) END AS entropy_norm,
+           CAST(CAST(exp(CAST(SUM(h_term) AS DOUBLE))
+                AS DECIMAL(18,6)) AS DOUBLE) AS effective_sources,
+           CAST(SUM(hhi_term) AS DOUBLE) AS hhi
+    FROM terms GROUP BY lang
+    """,
+)
+def llm_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity report per language: Shannon entropy of the source
+    mixture, normalized entropy (vs the uniform log K ceiling), effective
+    source count (exp H — the mixture's "perplexity"), and the Herfindahl
+    concentration index. These are the data-card diversity lines a corpus
+    release quotes (llm_data_card gives the raw shares; this is the
+    one-number-per-language summary mixture tuning monitors — a falling
+    effective-source count flags creeping single-domain dominance).
+
+    Parity: slice counts are exact longs; each share p = n/N is ONE double
+    quotient on identical operands; the libm-carrying terms (-p*ln p, p^2)
+    quantize through DECIMAL(18,8) per term BEFORE summing, so the sums
+    are exact decimal arithmetic — order-insensitive, immune to partial-agg
+    regrouping (the exprs.py quantize-then-double rule applied per-term
+    because ln differs in the last ulp between JVM and C libm). ln(K) and
+    exp(H) re-quantize at the edge. Single-source languages pin
+    entropy_norm to 1.0 (the 0/0 case) identically in both engines.
+
+    Scale shape: groupBy(lang, source) partial-aggregates to the slice
+    grid (tiny), a per-lang window over that grid (rows = slices, not
+    docs), then a per-lang agg of the grid — after the first exchange
+    everything operates on O(langs x sources) rows. The corpus itself is
+    touched once, map-side. Flat at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    slice_df = d.groupBy("lang", "source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    tot = slice_df.select(
+        "lang",
+        "n",
+        F.expr(
+            "CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("n_lang"),
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("k"),
+    )
+    terms = tot.select(
+        "lang",
+        "n_lang",
+        "k",
+        F.expr(
+            """CAST(-(CAST(n AS DOUBLE) / n_lang)
+               * ln(CAST(n AS DOUBLE) / n_lang) AS DECIMAL(18,8))"""
+        ).alias("h_term"),
+        F.expr(
+            """CAST((CAST(n AS DOUBLE) / n_lang)
+               * (CAST(n AS DOUBLE) / n_lang) AS DECIMAL(18,8))"""
+        ).alias("hhi_term"),
+    )
+    return terms.groupBy("lang").agg(
+        F.expr("CAST(MAX(n_lang) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(MAX(k) AS BIGINT)").alias("n_sources"),
+        F.expr("CAST(SUM(h_term) AS DOUBLE)").alias("entropy_nats"),
+        F.expr(
+            """CASE WHEN MAX(k) = 1 THEN CAST(1.0D AS DOUBLE)
+               ELSE CAST(CAST(
+                    CAST(SUM(h_term) AS DOUBLE)
+                    / CAST(CAST(ln(CAST(MAX(k) AS DOUBLE))
+                                AS DECIMAL(18,8)) AS DOUBLE)
+                    AS DECIMAL(18,6)) AS DOUBLE) END"""
+        ).alias("entropy_norm"),
+        F.expr(
+            """CAST(CAST(exp(CAST(SUM(h_term) AS DOUBLE))
+               AS DECIMAL(18,6)) AS DOUBLE)"""
+        ).alias("effective_sources"),
+        F.expr("CAST(SUM(hhi_term) AS DOUBLE)").alias("hhi"),
+    )

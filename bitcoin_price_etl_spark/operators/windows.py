@@ -1623,7 +1623,7 @@ BETA_TAPS = 30  # rolling-OLS lookback (rows per frame)
     "win_rolling_beta",
     oracle=f"""
     WITH framed AS (
-        SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
                CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER w
                     AS DOUBLE) AS sx,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) OVER w
@@ -1636,12 +1636,12 @@ BETA_TAPS = 30  # rolling-OLS lookback (rows per frame)
                              AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
                CAST(COUNT(*) OVER w AS BIGINT) AS n
         FROM lineitem
-        WINDOW w AS (PARTITION BY l_returnflag
+        WINDOW w AS (PARTITION BY l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
                               l_quantity, l_extendedprice
                      ROWS BETWEEN {BETA_TAPS - 1} PRECEDING AND CURRENT ROW)
     )
-    SELECT l_returnflag,
+    SELECT l_suppkey,
            strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
            l_orderkey, l_linenumber, n,
            CASE WHEN n < 2 OR n * sxx - sx * sx <= 0.0
@@ -1653,10 +1653,18 @@ BETA_TAPS = 30  # rolling-OLS lookback (rows per frame)
     """,
 )
 def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling OLS slope per group (30-row frame): the trailing hedge-ratio
-    of price on quantity — agg_linreg's windowed sibling (global fit there,
-    online per-row fit here; the quant-finance rolling-beta shape applied
-    to the lineitem fact).
+    """Rolling OLS slope per supplier (30-row frame): the trailing
+    hedge-ratio of price on quantity over each supplier's last 30
+    shipments — agg_linreg's windowed sibling (global fit there, online
+    per-row fit here; the quant-finance rolling-beta shape applied to the
+    lineitem fact).
+
+    Partition-key choice IS the scale design: the first formulation
+    partitioned by l_returnflag (3 values) and the 1x/4x/8x probe measured
+    it LINEAR (7.6x wall at 8x — three single-task sorts own the whole
+    fact table). Per-supplier series are the realistic grain AND bound
+    each window partition to that entity's rows; the probe re-run confirms
+    the flat shape.
 
     beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from EXACT decimal frame
     moments, so the only inexact steps are a fixed IEEE expression tree on
@@ -1664,21 +1672,22 @@ def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the agg_corr moment-ratio rule). Degenerate frames (n<2 or zero
     x-variance, checked on the exact moments) emit NULL in both engines.
 
-    Scale shape: one exchange on the partition key, four O(1) decimal
-    accumulators + a count per row — the zscore/RSI state pattern with two
-    cross-moments. No frame list, no second pass. 100 TB verdict: bounded
-    by rows/group per partition; for a skewed group key the ts_sessionize
-    salting treatment applies unchanged.
+    Scale shape: one exchange on the high-cardinality supplier key, four
+    O(1) decimal accumulators + a count per row — the zscore/RSI state
+    pattern with two cross-moments. No frame list, no second pass. 100 TB
+    verdict: per-partition cost is rows-per-supplier, which grows with
+    fact volume per entity, not corpus size; a pathological mega-supplier
+    gets the ts_sessionize salting treatment.
     """
     li = load(spark, sf_dir, "lineitem")
     frame = (
-        f"PARTITION BY l_returnflag "
+        f"PARTITION BY l_suppkey "
         f"ORDER BY l_shipdate, l_orderkey, l_linenumber, "
         f"l_quantity, l_extendedprice "
         f"ROWS BETWEEN {BETA_TAPS - 1} PRECEDING AND CURRENT ROW"
     )
     framed = li.select(
-        "l_returnflag",
+        "l_suppkey",
         "l_shipdate",
         "l_orderkey",
         "l_linenumber",
@@ -1702,7 +1711,7 @@ def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)").alias("n"),
     )
     return framed.select(
-        "l_returnflag",
+        "l_suppkey",
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
         "l_orderkey",
         "l_linenumber",
@@ -1714,4 +1723,88 @@ def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (n * sxy - sx * sy) / (n * sxx - sx * sx)
                     AS DECIMAL(18,6)) AS DOUBLE) END"""
         ).alias("beta"),
+    )
+
+
+@query(
+    "ts_obv",
+    oracle="""
+    WITH parsed AS (
+        SELECT event_type, ts, event_id, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        FROM events
+    ),
+    signed AS (
+        SELECT event_type, ts, event_id, value, vol,
+               CASE WHEN value > lag(value) OVER w THEN vol
+                    WHEN value < lag(value) OVER w THEN -vol
+                    ELSE CAST(0 AS BIGINT) END AS flow
+        FROM parsed
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_id, value, vol,
+           CAST(SUM(flow) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM signed
+    """,
+)
+def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume per series: the running signed-volume accumulator
+    (volume flows IN on up-ticks, OUT on down-ticks) — the classic
+    volume-confirmation indicator beside ts_rsi's momentum and
+    ts_resample_ohlc's bars, with the per-event `k` payload (parsed from
+    the JSON props column) standing in for trade volume.
+
+    Parity: ZERO float arithmetic in the checked value — the tick
+    direction is a three-way comparison of raw input doubles (exact on
+    identical operands), volume is an integer, and OBV is an unbounded
+    cumulative BIGINT sum over a total order (ts, event_id) — bit-exact
+    by construction, no decimal or quantize discipline needed. First
+    tick of each series contributes 0 flow (lag is NULL -> ELSE branch)
+    identically in both engines.
+
+    Scale shape: one exchange on the series key; the running sum is one
+    long of window state (Spark evaluates UNBOUNDED PRECEDING running
+    frames incrementally, not by re-scanning the frame). The JSON parse
+    is a map-side projection riding the same scan. Same posture as
+    ts_zscore_rolling; per-series ordering cost only.
+    """
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    signed = parsed.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        "vol",
+        F.expr(
+            """CASE WHEN value > lag(value) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id)
+                    THEN vol
+                    WHEN value < lag(value) OVER (
+                        PARTITION BY event_type ORDER BY ts, event_id)
+                    THEN -vol
+                    ELSE CAST(0 AS BIGINT) END"""
+        ).alias("flow"),
+    )
+    return signed.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "event_id",
+        "value",
+        "vol",
+        F.expr(
+            """CAST(SUM(flow) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT)"""
+        ).alias("obv"),
     )

@@ -83,6 +83,12 @@ DOC_KEYS = [
     "llm_multimodal_phash",
     # one-line-per-doc text export: volume linear, line-splittable read
     "scan_text",
+    # round-4e: copy-tagged docs keep eval overlap copy-local, so the
+    # bloom stays at its fill rate while corpus probes grow mult x --
+    # the constant-broadcast posture the operator exists to prove
+    "llm_decontaminate_bloom",
+    # the (lang, source) grid is fixed; only map-side partials grow
+    "llm_diversity_index",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -363,6 +369,18 @@ FACT_KEYS = {
     "sql_pipe_syntax": ("lineitem", "l_orderkey", None),
     # stateless bit arithmetic: per-row constant cost
     "fn_geohash": ("customer", "c_custkey", None),
+    # round-4e: every series gets mult× ticks — the O(1)-state window
+    # accumulators (gain/loss sums, four beta moments) absorb the growth
+    # inside each partition sort
+    "ts_rsi": ("events", "event_id", None),
+    "win_rolling_beta": ("lineitem", "l_orderkey", None),
+    # 5 fixed priority groups absorb mult× orders: the per-group sort is
+    # the honest cost (the agg_weighted_median hostile shape)
+    "agg_gini": ("orders", "o_orderkey", None),
+    # digit space is fixed (9 rows): only map-side partials grow
+    "validate_benford": ("orders", "o_orderkey", None),
+    # running BIGINT cumsum: one long of window state per series
+    "ts_obv": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so
