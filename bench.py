@@ -171,6 +171,10 @@ HEADLINE = [
     "validate_observe_metrics",
     "scan_text",
     "fn_geohash",
+    # round-4e: the bloom-gated decontamination path vs llm_decontaminate
+    # above, and the RSI window as the ts-indicator representative
+    "llm_decontaminate_bloom",
+    "ts_rsi",
 ]
 
 
