@@ -1808,3 +1808,212 @@ def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING) AS BIGINT)"""
         ).alias("obv"),
     )
+
+
+# Shared daily-bar CTE for the indicator family layered on OHLC bars
+# (ts_atr, ts_candle_patterns): the ts_resample_ohlc oracle body with the
+# same rank-pick discipline (open/close picked by total (ts, event_id)
+# order, volume through the exact decimal sum).
+_BARS_ORACLE = """
+    base AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS bar_date,
+               ts, event_id, value
+        FROM events
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar_date
+                                  ORDER BY ts, event_id) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar_date
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM base
+    ), bars AS (
+        SELECT event_type, bar_date,
+               MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_last = 1 THEN value END) AS close
+        FROM ranked GROUP BY event_type, bar_date
+    )
+"""
+
+ATR_TAPS = 14
+
+
+@query(
+    "ts_atr",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    tr_calc AS (
+        SELECT event_type, bar_date, high, low, close,
+               lag(close) OVER (PARTITION BY event_type
+                                ORDER BY bar_date) AS prev_close
+        FROM bars
+    ),
+    tr AS (
+        SELECT event_type, bar_date, close,
+               CASE WHEN prev_close IS NULL THEN high - low
+                    ELSE greatest(high - low, abs(high - prev_close),
+                                  abs(low - prev_close)) END AS true_range
+        FROM tr_calc
+    )
+    SELECT event_type, bar_date, close, true_range,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_bars,
+           CAST(CAST(
+                CAST(SUM(CAST(true_range AS DECIMAL(38,4))) OVER w
+                     AS DOUBLE)
+                / COUNT(*) OVER w
+                AS DECIMAL(18,6)) AS DOUBLE) AS atr
+    FROM tr
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+                 ROWS BETWEEN {ATR_TAPS - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range over daily bars: the volatility gauge that
+    completes the indicator family on the reference's domain (OHLC bars →
+    candles, RSI → momentum, OBV → volume, ATR → range). True range folds
+    inter-day gaps into the bar range (max of high-low, |high-prev_close|,
+    |low-prev_close|); ATR is its 14-bar windowed mean.
+
+    Built ON ts_resample_ohlc's certified bars (same rank-pick
+    open/close, same engine twin) — operator composition, not a new bar
+    definition.
+
+    Parity: bar values are raw picked inputs, so TR is a fixed IEEE
+    max/abs/subtract tree on identical operands; the frame mean divides
+    the exact decimal TR sum by the frame count and quantizes through
+    DECIMAL(18,6). The /14 small-integer quotient cannot terminate ON the
+    quantize boundary digit (a reduced denominator carrying the factor 7
+    either cancels — quotient terminates at the sum's own 4-digit scale,
+    far left of the boundary — or never terminates), so the exprs.py
+    round-4 quotient caveat does not bite. bar_date alone is a total
+    order per series (one row per calendar day by construction).
+
+    Scale shape: the OHLC partial agg absorbs the tick volume first
+    (O(1) reducer state per bar); both windows then ride the SAME
+    (event_type) exchange over bars — days-per-series rows, not ticks.
+    Flat at any tick rate; grows only with calendar span.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "high", "low", "close"
+    )
+    tr_calc = bars.select(
+        "event_type",
+        "bar_date",
+        "high",
+        "low",
+        "close",
+        F.expr(
+            "lag(close) OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("prev_close"),
+    )
+    tr = tr_calc.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(
+            """CASE WHEN prev_close IS NULL THEN high - low
+               ELSE greatest(high - low, abs(high - prev_close),
+                             abs(low - prev_close)) END"""
+        ).alias("true_range"),
+    )
+    w = (
+        f"PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {ATR_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    return tr.select(
+        "event_type",
+        "bar_date",
+        "close",
+        "true_range",
+        F.expr(f"CAST(COUNT(*) OVER ({w}) AS BIGINT)").alias("n_bars"),
+        F.expr(
+            f"""CAST(CAST(
+                CAST(SUM(CAST(true_range AS {DEC})) OVER ({w}) AS DOUBLE)
+                / COUNT(*) OVER ({w})
+                AS DECIMAL(18,6)) AS DOUBLE)"""
+        ).alias("atr"),
+    )
+
+
+@query(
+    "ts_candle_patterns",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    lagged AS (
+        SELECT event_type, bar_date, open, high, low, close,
+               lag(open) OVER w AS prev_open,
+               lag(close) OVER w AS prev_close
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    )
+    SELECT event_type, bar_date, open, high, low, close,
+           abs(close - open) * 10.0 <= (high - low) AS is_doji,
+           (close > open AND prev_close < prev_open
+            AND open <= prev_close AND close >= prev_open)
+               AS is_bull_engulfing,
+           (close < open AND prev_close > prev_open
+            AND open >= prev_close AND close <= prev_open)
+               AS is_bear_engulfing,
+           ((least(open, close) - low) >= 2.0 * abs(close - open)
+            AND (high - greatest(open, close)) <= abs(close - open))
+               AS is_hammer
+    FROM lagged
+    """,
+)
+def ts_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern flags over daily bars: doji (body within 10% of
+    the range), bull/bear engulfing (body swallows the prior bar's body),
+    and hammer (long lower shadow, capped upper shadow) — the chart-pattern
+    screen a market-analytics user runs directly on ts_resample_ohlc's
+    output.
+
+    Parity: every flag is a comparison tree over raw picked bar values
+    and their IEEE differences — identical operands in both engines, so
+    the booleans are bit-exact with NO decimal or quantize machinery
+    (the doji threshold is written |body|*10 <= range rather than
+    |body| <= 0.1*range so the only literal is exactly representable).
+    First bar of each series: engulfing flags are NULL (lag is NULL)
+    identically in both engines.
+
+    Scale shape: the OHLC partial agg absorbs tick volume; one lag window
+    over bars on the same series exchange. Flags are free projections.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "open", "high", "low", "close"
+    )
+    lagged = bars.select(
+        "event_type",
+        "bar_date",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.expr(
+            "lag(open) OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("prev_open"),
+        F.expr(
+            "lag(close) OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("prev_close"),
+    )
+    return lagged.select(
+        "event_type",
+        "bar_date",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.expr("abs(close - open) * 10.0D <= (high - low)").alias("is_doji"),
+        F.expr(
+            """close > open AND prev_close < prev_open
+               AND open <= prev_close AND close >= prev_open"""
+        ).alias("is_bull_engulfing"),
+        F.expr(
+            """close < open AND prev_close > prev_open
+               AND open >= prev_close AND close <= prev_open"""
+        ).alias("is_bear_engulfing"),
+        F.expr(
+            """(least(open, close) - low) >= 2.0D * abs(close - open)
+               AND (high - greatest(open, close)) <= abs(close - open)"""
+        ).alias("is_hammer"),
+    )

@@ -381,6 +381,9 @@ FACT_KEYS = {
     "validate_benford": ("orders", "o_orderkey", None),
     # running BIGINT cumsum: one long of window state per series
     "ts_obv": ("events", "event_id", None),
+    # the OHLC partial agg absorbs tick growth before the bar windows
+    "ts_atr": ("events", "event_id", None),
+    "ts_candle_patterns": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so
