@@ -863,3 +863,67 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "llm_template_mine",
+    oracle="""
+    WITH tpl AS (
+        SELECT doc_id,
+               array_to_string(list_slice(str_split(
+                   regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                   ' '), 1, 10), ' ') AS template
+        FROM documents
+    )
+    SELECT md5(template) AS template_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(length(template)) AS BIGINT) AS template_chars
+    FROM tpl
+    GROUP BY md5(template)
+    HAVING COUNT(*) >= 2
+    """,
+)
+def llm_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-template mining: mask digit runs to '#', lowercase, take the
+    first 10 tokens, and group — documents sharing a generated header or
+    boilerplate opening (differing only in numbers or body) collapse onto
+    one template. The standard boilerplate detector of web-corpus
+    curation (shared page headers/footers/banners), one masking step
+    beyond llm_dedup_exact's byte-dup hash: a header family is invisible
+    to exact dedup and too uniform for MinHash to rank highly.
+
+    Parity: the digit-mask regex ('[0-9]+' -> '#') behaves identically in
+    Java regex and RE2 (DuckDB needs the explicit 'g' flag Spark applies
+    by default — a one-flag dialect trap); the 10-token slice and md5 are
+    bit-identical; everything checked is integer. The full-document
+    template variant was VACUOUS on this corpus (zero >=2 groups at every
+    SF — near-dups here differ in words, not digits), caught by the
+    sf0.01 driver-contract differential; the head-prefix form mines 21-23
+    real groups at sf0.001/sf0.01.
+
+    Scale shape: identical posture to llm_dedup_exact — the ONE exchange
+    carries (md5, doc_id, length) triples, never the text; masking and
+    slicing are map-side projections. Flat at corpus scale; a
+    mega-template costs one hot reducer key absorbed by partial agg.
+    """
+    d = load(spark, sf_dir, "documents")
+    masked = "regexp_replace(lower(text), '[0-9]+', '#')"
+    tpl_expr = f"array_join(slice(split({masked}, ' '), 1, 10), ' ')"
+    tpl = d.select(
+        "doc_id",
+        F.expr(f"md5({tpl_expr})").alias("template_md5"),
+        F.expr(f"CAST(length({tpl_expr}) AS BIGINT)").alias(
+            "template_chars"
+        ),
+    )
+    return (
+        tpl.groupBy("template_md5")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(MIN(doc_id) AS BIGINT)").alias("min_doc_id"),
+            F.max("template_chars").alias("template_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("template_md5", "n_docs", "min_doc_id", "template_chars")
+    )

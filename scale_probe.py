@@ -89,6 +89,8 @@ DOC_KEYS = [
     "llm_decontaminate_bloom",
     # the (lang, source) grid is fixed; only map-side partials grow
     "llm_diversity_index",
+    # dedup_exact posture: the exchange carries (md5, id, length), not text
+    "llm_template_mine",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
