@@ -100,21 +100,38 @@ def write_bucketed(
     )
 
 
-@query("sink_salted", oracle=None)
+@query(
+    "sink_salted",
+    oracle="""
+    SELECT substring(md5(text), 1, 1) AS part_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM documents
+    GROUP BY substring(md5(text), 1, 1)
+    """,
+)
 def sink_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted write layout — the generalized R8 anti-hotspot recipe
     (bpi_etl_bigquery.py:8-23): partition output by a hash-derived prefix so
-    no store/partition hotspots on monotonic keys. Returns the per-prefix
-    file layout stats; rows-only (filesystem layout has no SQL twin)."""
+    no store/partition hotspots on monotonic keys. Returns per-prefix row
+    counts READ BACK from the salted layout, so the oracle (the same
+    counts straight off the source table) certifies the partitioned-write
+    round-trip end-to-end — upgraded from rows-only, the file-count side
+    of the layout stays test-asserted (round-4e; the r3 verdict asked for
+    the rows-only tail's maximal checks on record).
+
+    Parity trap: partition-column values come back as DIRECTORY NAMES, so
+    a tiny corpus whose salt prefixes happen to be all-numeric would let
+    Spark infer part_key as INT and break the schema check — the explicit
+    string cast pins it (the sink_training_shards lesson, ADVICE r3)."""
     src = load(spark, sf_dir, "documents")
     salted = src.withColumn("part_key", F.substring(F.md5("text"), 1, 1))
     target = sink_path("sink_salted/docs")
     salted.write.mode("overwrite").partitionBy("part_key").parquet(target)
-    out = spark.read.parquet(target)
-    return (
-        out.groupBy("part_key")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("part_key")
+    out = spark.read.parquet(target).withColumn(
+        "part_key", F.col("part_key").cast("string")
+    )
+    return out.groupBy("part_key").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows")
     )
 
 

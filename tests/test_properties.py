@@ -1164,3 +1164,28 @@ def test_geohash_prefix_nesting(spark):
         by_prefix.setdefault(r.prefix4, set()).add(r.geohash_int >> 10)
     for tops in by_prefix.values():
         assert len(tops) == 1  # same prefix4 <=> same top 20 bits
+
+
+def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
+    """The salted write must land every row under a single-hex-char
+    partition directory (the anti-hotspot layout contract), and the
+    read-back per-prefix counts must reconcile with the source — the
+    file-layout half of sink_salted's check (the row-content half is the
+    key's DuckDB oracle since round 4e)."""
+    import os
+
+    from bitcoin_price_etl_spark.paths import sink_path
+    from bitcoin_price_etl_spark.registry import load_all
+
+    out = load_all()["sink_salted"].fn(spark, SF_SMOKE)
+    counts = {r["part_key"]: r["n_rows"] for r in out.collect()}
+    root = sink_path("sink_salted/docs").removeprefix("file:")
+    dirs = {
+        d.split("=", 1)[1]
+        for d in os.listdir(root)
+        if d.startswith("part_key=")
+    }
+    assert dirs == set(counts), "one partition dir per observed prefix"
+    assert all(len(p) == 1 and p in "0123456789abcdef" for p in dirs)
+    n_src = load(spark, SF_SMOKE, "documents").count()
+    assert sum(counts.values()) == n_src
