@@ -1189,3 +1189,32 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     assert all(len(p) == 1 and p in "0123456789abcdef" for p in dirs)
     n_src = load(spark, SF_SMOKE, "documents").count()
     assert sum(counts.values()) == n_src
+
+
+@pytest.mark.parametrize("key", [
+    "ts_rsi",
+    "win_rolling_beta",
+    "agg_gini",
+    "validate_benford",
+    "llm_decontaminate_bloom",
+    "ts_obv",
+    "llm_diversity_index",
+    "ts_atr",
+    "ts_candle_patterns",
+    "llm_template_mine",
+])
+def test_round4e_keys_shuffle_partition_invariant(spark, key):
+    """Round-4e determinism disciplines (decimal frame moments, per-term
+    quantized logs, total-order tie-breaks, integer cumsums, bloom +
+    exact-confirm) must make results bit-identical under a different
+    shuffle partitioning."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()[key].fn
+    a = _multiset(fn(spark, SF_SMOKE))
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        b = _multiset(fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert a == b
