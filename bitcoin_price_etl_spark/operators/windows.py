@@ -2017,3 +2017,124 @@ def ts_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND (high - greatest(open, close)) <= abs(close - open)"""
         ).alias("is_hammer"),
     )
+
+
+# MACD geometry: classic (12, 26, 9) in the truncated-EWMA form ts_ewma
+# establishes (decay = 1 - 2/(n+1), window = n taps). Decays are written
+# as exact-quotient expressions so both engines derive the identical
+# double before pow().
+MACD_FAST, MACD_SLOW, MACD_SIGNAL = 12, 26, 9
+_D_FAST = "(11.0D / 13.0D)"     # 1 - 2/13
+_D_SLOW = "(25.0D / 27.0D)"     # 1 - 2/27
+_D_SIG = "(4.0D / 5.0D)"        # 1 - 2/10
+_D_FAST_DUCK = "(11.0 / 13.0)"
+_D_SLOW_DUCK = "(25.0 / 27.0)"
+_D_SIG_DUCK = "(4.0 / 5.0)"
+
+
+def _tewma_spark(lst: str, decay: str) -> str:
+    """Truncated-EWMA fold over a frame list (the ts_ewma discipline):
+    oldest-first weights pow(decay, n-k), sequential fold, one division,
+    quantized through DECIMAL(18,6)."""
+    return f"""CAST(CAST(
+        aggregate(zip_with({lst},
+            transform(sequence(1, size({lst})),
+                k -> pow({decay}, size({lst}) - k)),
+            (x, wt) -> x * wt),
+            0.0D, (s, p) -> s + p)
+        / aggregate(transform(sequence(1, size({lst})),
+                k -> pow({decay}, size({lst}) - k)),
+            0.0D, (s, p) -> s + p)
+    AS DECIMAL(18,6)) AS DOUBLE)"""
+
+
+def _tewma_duck(lst: str, decay: str) -> str:
+    return f"""CAST(CAST(
+        list_reduce(list_transform(list_zip({lst},
+            list_transform(generate_series(1, len({lst})),
+                k -> pow({decay}, len({lst}) - k))),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+            (s, x) -> s + x)
+        / list_reduce(list_transform(generate_series(1, len({lst})),
+            k -> pow({decay}, len({lst}) - k)),
+            (s, x) -> s + x)
+    AS DECIMAL(18,6)) AS DOUBLE)"""
+
+
+@query(
+    "ts_macd",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    emas AS (
+        SELECT event_type, bar_date, close,
+               {_tewma_duck(f"list(close) OVER (PARTITION BY event_type ORDER BY bar_date ROWS BETWEEN {MACD_FAST - 1} PRECEDING AND CURRENT ROW)", _D_FAST_DUCK)} AS ema_fast,
+               {_tewma_duck(f"list(close) OVER (PARTITION BY event_type ORDER BY bar_date ROWS BETWEEN {MACD_SLOW - 1} PRECEDING AND CURRENT ROW)", _D_SLOW_DUCK)} AS ema_slow
+        FROM bars
+    ),
+    macd_t AS (
+        SELECT event_type, bar_date, close, ema_fast, ema_slow,
+               ema_fast - ema_slow AS macd
+        FROM emas
+    )
+    SELECT event_type, bar_date, close, macd,
+           {_tewma_duck(f"list(macd) OVER (PARTITION BY event_type ORDER BY bar_date ROWS BETWEEN {MACD_SIGNAL - 1} PRECEDING AND CURRENT ROW)", _D_SIG_DUCK)} AS signal,
+           macd - {_tewma_duck(f"list(macd) OVER (PARTITION BY event_type ORDER BY bar_date ROWS BETWEEN {MACD_SIGNAL - 1} PRECEDING AND CURRENT ROW)", _D_SIG_DUCK)} AS histogram
+    FROM macd_t
+    """,
+)
+def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12, 26, 9) over daily bars — the convergence/divergence
+    capstone of the indicator family (bars -> RSI -> OBV -> ATR ->
+    candles -> MACD), in the truncated-EWMA form ts_ewma establishes:
+    macd = EMA12(close) - EMA26(close), signal = EMA9(macd), histogram =
+    macd - signal.
+
+    Nesting discipline: each truncated EWMA quantizes through
+    DECIMAL(18,6) at its own edge, so the INTERMEDIATE series (macd) is
+    bit-identical across engines before the second window layer folds it
+    — quantized intermediates are what make a two-level windowed
+    indicator hash-exact (raw-double EWMAs would carry last-ulp drift
+    into the signal fold and amplify). Decay bases are exact-quotient
+    doubles fed to libm pow on identical inputs (the ts_ewma parity
+    argument).
+
+    Scale shape: the OHLC partial agg absorbs tick volume; BOTH window
+    layers share the (event_type) x bar_date sort, so Spark plans one
+    exchange and stacked Window nodes over days-per-series rows. Frame
+    lists are <= 26 doubles. Flat at any tick rate.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    def w(taps: int, col: str) -> str:
+        return (
+            f"collect_list({col}) OVER (PARTITION BY event_type "
+            f"ORDER BY bar_date ROWS BETWEEN {taps - 1} PRECEDING "
+            f"AND CURRENT ROW)"
+        )
+    emas = bars.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(_tewma_spark(w(MACD_FAST, "close"), _D_FAST)).alias(
+            "ema_fast"
+        ),
+        F.expr(_tewma_spark(w(MACD_SLOW, "close"), _D_SLOW)).alias(
+            "ema_slow"
+        ),
+    )
+    macd_t = emas.select(
+        "event_type",
+        "bar_date",
+        "close",
+        (F.col("ema_fast") - F.col("ema_slow")).alias("macd"),
+    )
+    sig = F.expr(_tewma_spark(w(MACD_SIGNAL, "macd"), _D_SIG))
+    return macd_t.select(
+        "event_type",
+        "bar_date",
+        "close",
+        "macd",
+        sig.alias("signal"),
+        (F.col("macd") - sig).alias("histogram"),
+    )

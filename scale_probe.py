@@ -386,6 +386,7 @@ FACT_KEYS = {
     # the OHLC partial agg absorbs tick growth before the bar windows
     "ts_atr": ("events", "event_id", None),
     "ts_candle_patterns": ("events", "event_id", None),
+    "ts_macd": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so
