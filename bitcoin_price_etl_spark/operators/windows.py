@@ -2138,3 +2138,104 @@ def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.alias("signal"),
         (F.col("macd") - sig).alias("histogram"),
     )
+
+
+STOCH_TAPS = 14  # %K lookback
+STOCH_SMOOTH = 3  # %D smoothing bars
+
+
+@query(
+    "ts_stochastic",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    ranges AS (
+        SELECT event_type, bar_date, close,
+               MIN(low) OVER w AS ll,
+               MAX(high) OVER w AS hh
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {STOCH_TAPS - 1} PRECEDING
+                              AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT event_type, bar_date, close,
+               CASE WHEN hh = ll THEN CAST(50.0 AS DOUBLE)
+                    ELSE CAST(CAST(100.0 * (close - ll) / (hh - ll)
+                              AS DECIMAL(18,6)) AS DOUBLE) END AS pct_k
+        FROM ranges
+    )
+    SELECT event_type, bar_date, close, pct_k,
+           CASE WHEN COUNT(*) OVER d = {STOCH_SMOOTH}
+                THEN CAST(CAST(
+                     CAST(SUM(CAST(pct_k AS DECIMAL(38,6))) OVER d
+                          AS DOUBLE) / {STOCH_SMOOTH}
+                     AS DECIMAL(18,6)) AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END AS pct_d
+    FROM k
+    WINDOW d AS (PARTITION BY event_type ORDER BY bar_date
+                 ROWS BETWEEN {STOCH_SMOOTH - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator (14, 3) over daily bars: %K locates the close
+    inside its trailing 14-bar high-low range, %D is its 3-bar smoothing —
+    the overbought/oversold gauge that pairs with RSI (momentum of price
+    deltas there, position-in-range here).
+
+    Parity: the range bounds are raw MIN/MAX picks (exact); %K is one
+    IEEE quotient on identical operands quantized through DECIMAL(18,6)
+    (non-terminating denominator class — safe); %D sums the QUANTIZED %K
+    values exactly in decimal and divides by the constant 3 — and is
+    deliberately NULL until the smoothing frame is full, because the /2
+    partial-frame quotient of a scale-6 decimal TERMINATES exactly on the
+    scale-7 quantize boundary for every odd numerator (the exprs.py
+    round-4 quotient class, ~50% of second bars), while /3 and /1 cannot
+    terminate there. Degenerate flat ranges (hh = ll) pin %K to 50.
+
+    Scale shape: the OHLC partial agg absorbs tick volume; the range,
+    %K, and %D windows all share the (event_type) x bar_date sort — one
+    exchange, stacked Window nodes over days-per-series rows, O(1) state
+    each. Flat at any tick rate.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "high", "low", "close"
+    )
+    w = (
+        f"PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {STOCH_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    d = (
+        f"PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {STOCH_SMOOTH - 1} PRECEDING AND CURRENT ROW"
+    )
+    ranges = bars.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(f"MIN(low) OVER ({w})").alias("ll"),
+        F.expr(f"MAX(high) OVER ({w})").alias("hh"),
+    )
+    k = ranges.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(
+            """CASE WHEN hh = ll THEN CAST(50.0D AS DOUBLE)
+               ELSE CAST(CAST(100.0D * (close - ll) / (hh - ll)
+                         AS DECIMAL(18,6)) AS DOUBLE) END"""
+        ).alias("pct_k"),
+    )
+    return k.select(
+        "event_type",
+        "bar_date",
+        "close",
+        "pct_k",
+        F.expr(
+            f"""CASE WHEN COUNT(*) OVER ({d}) = {STOCH_SMOOTH}
+                THEN CAST(CAST(
+                     CAST(SUM(CAST(pct_k AS DECIMAL(38,6))) OVER ({d})
+                          AS DOUBLE) / {STOCH_SMOOTH}
+                     AS DECIMAL(18,6)) AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END"""
+        ).alias("pct_d"),
+    )
