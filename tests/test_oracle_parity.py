@@ -46,25 +46,28 @@ def test_no_canonicalizer_trap_types(spark, sf_dir, key):
     )
 
 
-def test_no_oracle_is_vacuous():
-    """Every oracle must return at least one row at smoke scale: an
-    empty result passes the driver's hash gate while proving nothing
-    (five keys shipped that way before the round-3 audit — Q20/Q22/
-    join_anti/subquery_in_agg/llm_dedup_embed all had predicates the
-    fixtures could never satisfy). DuckDB-only, no Spark session."""
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_no_oracle_is_vacuous(sf):
+    """Every oracle must return at least one row at BOTH the smoke scale
+    and the driver's sf0.01 gate scale: an empty result passes the hash
+    gate while proving nothing (five keys shipped that way before the
+    round-3 audit — Q20/Q22/join_anti/subquery_in_agg/llm_dedup_embed
+    had predicates the fixtures could never satisfy, and round 4e's
+    first llm_template_mine formulation was empty ONLY at sf0.01+ —
+    scale-dependent vacuousness the single-SF check missed). DuckDB-only,
+    no Spark session, so running both scales is cheap."""
     import duckdb
-
-    from tests.conftest import SF_SMOKE
 
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
     empty = []
     for key in ORACLE_KEYS:
         sql = load_all()[key].oracle
         if len(con.sql(sql).fetchall()) == 0:
             empty.append(key)
-    assert not empty, f"vacuous oracles (0 rows at smoke scale): {empty}"
+    assert not empty, f"vacuous oracles (0 rows at {sf}): {empty}"
