@@ -91,6 +91,9 @@ DOC_KEYS = [
     "llm_diversity_index",
     # dedup_exact posture: the exchange carries (md5, id, length), not text
     "llm_template_mine",
+    # salted write: volume grows linearly across 16 fixed prefixes; the
+    # probe measures write+read-back+count end-to-end
+    "sink_salted",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
