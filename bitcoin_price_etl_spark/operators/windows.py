@@ -1936,9 +1936,12 @@ def ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "true_range",
         F.expr(f"CAST(COUNT(*) OVER ({w}) AS BIGINT)").alias("n_bars"),
+        # bounded 14-bar frame: the long-backed DECIMAL(18,4) exact-sum
+        # fast path (see win_rolling_beta / BASELINE.md A/B)
         F.expr(
             f"""CAST(CAST(
-                CAST(SUM(CAST(true_range AS {DEC})) OVER ({w}) AS DOUBLE)
+                CAST(SUM(CAST(true_range AS DECIMAL(18,4))) OVER ({w})
+                     AS DOUBLE)
                 / COUNT(*) OVER ({w})
                 AS DECIMAL(18,6)) AS DOUBLE)"""
         ).alias("atr"),
@@ -2239,10 +2242,12 @@ def ts_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_date",
         "close",
         "pct_k",
+        # bounded 3-bar frame of values in [0, 100]: long-backed
+        # DECIMAL(18,6) exact-sum fast path
         F.expr(
             f"""CASE WHEN COUNT(*) OVER ({d}) = {STOCH_SMOOTH}
                 THEN CAST(CAST(
-                     CAST(SUM(CAST(pct_k AS DECIMAL(38,6))) OVER ({d})
+                     CAST(SUM(CAST(pct_k AS DECIMAL(18,6))) OVER ({d})
                           AS DOUBLE) / {STOCH_SMOOTH}
                      AS DECIMAL(18,6)) AS DOUBLE)
                 ELSE CAST(NULL AS DOUBLE) END"""
