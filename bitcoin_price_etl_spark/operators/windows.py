@@ -2253,3 +2253,118 @@ def ts_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(NULL AS DOUBLE) END"""
         ).alias("pct_d"),
     )
+
+
+KELTNER_MULT = 2  # band half-width in ATR units
+
+
+@query(
+    "ts_keltner",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    tr_calc AS (
+        SELECT event_type, bar_date, high, low, close,
+               lag(close) OVER (PARTITION BY event_type
+                                ORDER BY bar_date) AS prev_close
+        FROM bars
+    ),
+    tr AS (
+        SELECT event_type, bar_date, close,
+               CASE WHEN prev_close IS NULL THEN high - low
+                    ELSE greatest(high - low, abs(high - prev_close),
+                                  abs(low - prev_close)) END AS true_range
+        FROM tr_calc
+    ),
+    layered AS (
+        SELECT event_type, bar_date, close,
+               {_tewma_duck(f"list(close) OVER (PARTITION BY event_type ORDER BY bar_date ROWS BETWEEN {EWMA_HORIZON - 1} PRECEDING AND CURRENT ROW)", str(EWMA_DECAY))} AS center,
+               CAST(CAST(
+                    CAST(SUM(CAST(true_range AS DECIMAL(38,4))) OVER a
+                         AS DOUBLE) / COUNT(*) OVER a
+                    AS DECIMAL(18,6)) AS DOUBLE) AS atr
+        FROM tr
+        WINDOW a AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {ATR_TAPS - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type, bar_date, close, center, atr,
+           center + {KELTNER_MULT} * atr AS upper_band,
+           center - {KELTNER_MULT} * atr AS lower_band,
+           close > center + {KELTNER_MULT} * atr AS breakout_up,
+           close < center - {KELTNER_MULT} * atr AS breakout_down
+    FROM layered
+    """,
+)
+def ts_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels over daily bars: a truncated-EWMA centerline with
+    bands at +/-2 ATR, plus breakout flags — the volatility-envelope
+    screen composing the family's two certified primitives (ts_ewma's
+    bounded-tap smoothing and ts_atr's true-range mean) into one plan.
+
+    Parity: center and atr are each quantized through DECIMAL(18,6) at
+    their own edge (the ts_macd nesting discipline), so the band
+    arithmetic and breakout comparisons are fixed IEEE trees on
+    bit-identical operands — no further quantization needed.
+
+    Scale shape: the OHLC partial agg absorbs tick volume; the lag, EWMA,
+    and ATR windows all share the (event_type) x bar_date sort — one
+    exchange, stacked Window nodes over days-per-series rows; frame state
+    is <=20 doubles (EWMA list) plus two accumulators (ATR). Flat at any
+    tick rate.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "high", "low", "close"
+    )
+    tr_calc = bars.select(
+        "event_type",
+        "bar_date",
+        "high",
+        "low",
+        "close",
+        F.expr(
+            "lag(close) OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("prev_close"),
+    )
+    tr = tr_calc.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(
+            """CASE WHEN prev_close IS NULL THEN high - low
+               ELSE greatest(high - low, abs(high - prev_close),
+                             abs(low - prev_close)) END"""
+        ).alias("true_range"),
+    )
+    a = (
+        f"PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {ATR_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    ewma_list = (
+        f"collect_list(close) OVER (PARTITION BY event_type "
+        f"ORDER BY bar_date ROWS BETWEEN {EWMA_HORIZON - 1} PRECEDING "
+        f"AND CURRENT ROW)"
+    )
+    layered = tr.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(_tewma_spark(ewma_list, f"{EWMA_DECAY}D")).alias("center"),
+        F.expr(
+            f"""CAST(CAST(
+                CAST(SUM(CAST(true_range AS DECIMAL(18,4))) OVER ({a})
+                     AS DOUBLE) / COUNT(*) OVER ({a})
+                AS DECIMAL(18,6)) AS DOUBLE)"""
+        ).alias("atr"),
+    )
+    m = KELTNER_MULT
+    return layered.select(
+        "event_type",
+        "bar_date",
+        "close",
+        "center",
+        "atr",
+        F.expr(f"center + {m} * atr").alias("upper_band"),
+        F.expr(f"center - {m} * atr").alias("lower_band"),
+        F.expr(f"close > center + {m} * atr").alias("breakout_up"),
+        F.expr(f"close < center - {m} * atr").alias("breakout_down"),
+    )

@@ -391,6 +391,7 @@ FACT_KEYS = {
     "ts_candle_patterns": ("events", "event_id", None),
     "ts_macd": ("events", "event_id", None),
     "ts_stochastic": ("events", "event_id", None),
+    "ts_keltner": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so
