@@ -2368,3 +2368,108 @@ def ts_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"close > center + {m} * atr").alias("breakout_up"),
         F.expr(f"close < center - {m} * atr").alias("breakout_down"),
     )
+
+
+BOLL_TAPS = 20  # Bollinger lookback
+BOLL_K = 2      # band half-width in stddevs
+
+
+@query(
+    "ts_bollinger",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    framed AS (
+        SELECT event_type, bar_date, close,
+               CAST(SUM(CAST(close AS DECIMAL(38,4))) OVER w AS DOUBLE)
+                   AS s1,
+               CAST(SUM(CAST(CAST(close AS DECIMAL(19,4))
+                             * CAST(close AS DECIMAL(19,4))
+                             AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {BOLL_TAPS - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type, bar_date, close, n,
+           s1 / n AS ma,
+           CASE WHEN n > 1 AND s2 * n > s1 * s1
+                THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
+                ELSE CAST(0.0 AS DOUBLE) END AS sigma,
+           s1 / n + {BOLL_K} * (CASE WHEN n > 1 AND s2 * n > s1 * s1
+                THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
+                ELSE CAST(0.0 AS DOUBLE) END) AS upper_band,
+           s1 / n - {BOLL_K} * (CASE WHEN n > 1 AND s2 * n > s1 * s1
+                THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
+                ELSE CAST(0.0 AS DOUBLE) END) AS lower_band,
+           CASE WHEN n > 1 AND s2 * n > s1 * s1
+                THEN (close - (s1 / n - {BOLL_K} * sqrt((s2 - s1 * s1 / n)
+                                                        / (n - 1))))
+                     / (2 * {BOLL_K} * sqrt((s2 - s1 * s1 / n) / (n - 1)))
+                ELSE CAST(0.5 AS DOUBLE) END AS pct_b
+    FROM framed
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily bars: 20-bar moving average with bands
+    at +/-2 sample standard deviations and %B (the close's position
+    inside the band) — the mean-reversion envelope completing the
+    indicator family next to Keltner's ATR envelope.
+
+    Parity WITHOUT quantization: the frame moments (s1, s2, n) are exact
+    decimal/integer, and every downstream operator — divide, subtract,
+    multiply, sqrt — is IEEE correctly-rounded, so identical operands
+    give bit-identical doubles in both engines with NO decimal quantize
+    at any edge. (Quantize-then-double exists for non-correctly-rounded
+    libm — pow/ln/exp — and for operands that differ by construction,
+    e.g. partial-agg double sums; neither applies here. Contrast ts_ewma,
+    whose pow() weights force the quantize.) Degenerate frames (n=1 or
+    zero variance, decided on the exact-moment guard s2*n > s1^2) pin
+    sigma to 0 and %B to 0.5 identically.
+
+    Scale shape: the OHLC partial agg absorbs tick volume; one exchange,
+    two decimal accumulators + a count per row over bars (the
+    ts_zscore_rolling state pattern on the bar grain). Flat at any tick
+    rate.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    w = (
+        f"PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {BOLL_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    framed = bars.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(
+            f"CAST(SUM(CAST(close AS DECIMAL(18,4))) OVER ({w}) AS DOUBLE)"
+        ).alias("s1"),
+        F.expr(
+            f"""CAST(SUM(CAST(CAST(close AS DECIMAL(9,4))
+                              * CAST(close AS DECIMAL(9,4))
+                              AS DECIMAL(18,8))) OVER ({w}) AS DOUBLE)"""
+        ).alias("s2"),
+        F.expr(f"CAST(COUNT(*) OVER ({w}) AS BIGINT)").alias("n"),
+    )
+    sigma = """CASE WHEN n > 1 AND s2 * n > s1 * s1
+               THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
+               ELSE CAST(0.0D AS DOUBLE) END"""
+    return framed.select(
+        "event_type",
+        "bar_date",
+        "close",
+        "n",
+        F.expr("s1 / n").alias("ma"),
+        F.expr(sigma).alias("sigma"),
+        F.expr(f"s1 / n + {BOLL_K} * ({sigma})").alias("upper_band"),
+        F.expr(f"s1 / n - {BOLL_K} * ({sigma})").alias("lower_band"),
+        F.expr(
+            f"""CASE WHEN n > 1 AND s2 * n > s1 * s1
+                THEN (close - (s1 / n - {BOLL_K} * sqrt((s2 - s1 * s1 / n)
+                                                        / (n - 1))))
+                     / (2 * {BOLL_K} * sqrt((s2 - s1 * s1 / n) / (n - 1)))
+                ELSE CAST(0.5D AS DOUBLE) END"""
+        ).alias("pct_b"),
+    )
