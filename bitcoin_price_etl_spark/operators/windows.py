@@ -2473,3 +2473,96 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(0.5D AS DOUBLE) END"""
         ).alias("pct_b"),
     )
+
+
+ICHI_TENKAN, ICHI_KIJUN, ICHI_SPAN_B = 9, 26, 52
+ICHI_SHIFT = 26
+
+
+@query(
+    "ts_ichimoku",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    lines AS (
+        SELECT event_type, bar_date, close,
+               (MAX(high) OVER t + MIN(low) OVER t) / 2 AS tenkan,
+               (MAX(high) OVER k + MIN(low) OVER k) / 2 AS kijun,
+               (MAX(high) OVER s + MIN(low) OVER s) / 2 AS span_b_raw
+        FROM bars
+        WINDOW t AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {ICHI_TENKAN - 1} PRECEDING
+                              AND CURRENT ROW),
+               k AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {ICHI_KIJUN - 1} PRECEDING
+                              AND CURRENT ROW),
+               s AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {ICHI_SPAN_B - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT event_type, bar_date, close, tenkan, kijun,
+           lag((tenkan + kijun) / 2, {ICHI_SHIFT})
+               OVER w AS senkou_a,
+           lag(span_b_raw, {ICHI_SHIFT}) OVER w AS senkou_b,
+           lead(close, {ICHI_SHIFT}) OVER w AS chikou,
+           CASE WHEN lag((tenkan + kijun) / 2, {ICHI_SHIFT}) OVER w
+                     IS NULL THEN CAST(NULL AS BOOLEAN)
+                ELSE close > greatest(
+                     lag((tenkan + kijun) / 2, {ICHI_SHIFT}) OVER w,
+                     lag(span_b_raw, {ICHI_SHIFT}) OVER w) END
+               AS above_cloud
+    FROM lines
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    """,
+)
+def ts_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud over daily bars: conversion/base lines (midpoints of
+    the 9- and 26-bar high-low ranges), the two cloud spans as seen at
+    each bar (the (tenkan+kijun)/2 and 52-bar midpoints plotted 26 bars
+    forward, i.e. lagged 26 when read at the current bar), the lagging
+    close, and the above-cloud flag.
+
+    Parity: every value is exact-pick MAX/MIN arithmetic — midpoints are
+    one add + one halving (correctly-rounded IEEE on identical operands,
+    the ts_bollinger zero-quantization argument), and the span shifts are
+    pure lag/lead row moves. No decimal machinery anywhere. Rows inside
+    the 26-bar warm-up window emit NULL spans/flags identically in both
+    engines.
+
+    Scale shape: the OHLC partial agg absorbs tick volume; all four
+    window frames and the shift window share the (event_type) x bar_date
+    sort — one exchange, O(1) state per frame. Flat at any tick rate.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "high", "low", "close"
+    )
+    def mid(taps: int) -> str:
+        f = (
+            f"PARTITION BY event_type ORDER BY bar_date "
+            f"ROWS BETWEEN {taps - 1} PRECEDING AND CURRENT ROW"
+        )
+        return f"(MAX(high) OVER ({f}) + MIN(low) OVER ({f})) / 2"
+    lines = bars.select(
+        "event_type",
+        "bar_date",
+        "close",
+        F.expr(mid(ICHI_TENKAN)).alias("tenkan"),
+        F.expr(mid(ICHI_KIJUN)).alias("kijun"),
+        F.expr(mid(ICHI_SPAN_B)).alias("span_b_raw"),
+    )
+    w = "PARTITION BY event_type ORDER BY bar_date"
+    sa = f"lag((tenkan + kijun) / 2, {ICHI_SHIFT}) OVER ({w})"
+    sb = f"lag(span_b_raw, {ICHI_SHIFT}) OVER ({w})"
+    return lines.select(
+        "event_type",
+        "bar_date",
+        "close",
+        "tenkan",
+        "kijun",
+        F.expr(sa).alias("senkou_a"),
+        F.expr(sb).alias("senkou_b"),
+        F.expr(f"lead(close, {ICHI_SHIFT}) OVER ({w})").alias("chikou"),
+        F.expr(
+            f"""CASE WHEN {sa} IS NULL THEN CAST(NULL AS BOOLEAN)
+                ELSE close > greatest({sa}, {sb}) END"""
+        ).alias("above_cloud"),
+    )

@@ -393,6 +393,7 @@ FACT_KEYS = {
     "ts_stochastic": ("events", "event_id", None),
     "ts_keltner": ("events", "event_id", None),
     "ts_bollinger": ("events", "event_id", None),
+    "ts_ichimoku": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so
