@@ -409,3 +409,56 @@ def validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DECIMAL(18,6)) AS DOUBLE)"""
         ).alias("chi2_term"),
     )
+
+
+K_ANON_THRESHOLD = 5
+K_ANON_CHAR_BUCKET = 100
+
+
+@query(
+    "validate_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(n_chars // {K_ANON_CHAR_BUCKET} AS BIGINT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < {K_ANON_THRESHOLD} AS at_risk
+    FROM documents
+    GROUP BY lang, source, n_chars // {K_ANON_CHAR_BUCKET}
+    """,
+)
+def validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the corpus's quasi-identifiers: group by the
+    attribute combination an adversary could link externally (language,
+    provenance, bucketed document length) and flag equivalence classes
+    smaller than k — the re-identification risk screen a privacy review
+    runs before a corpus release (k-anonymity, Sweeney 2002), beside
+    llm_pii_scrub's content-level redaction.
+
+    Parity: pure integer arithmetic — the length bucket is integer
+    division of a BIGINT, group sizes are counts, the flag is an integer
+    comparison. Nothing to quantize.
+
+    Scale shape: ONE partial-aggregated groupBy on the quasi-identifier
+    tuple; the exchange carries one count per (partition x class). At
+    100 TB the class grid is bounded by the attribute domains, not the
+    corpus. Suppression/generalization (the fix for flagged classes) is a
+    filter or coarser bucket on the same plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.expr(
+                f"CAST(n_chars DIV {K_ANON_CHAR_BUCKET} AS BIGINT)"
+            ).alias("size_bucket"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("group_size"))
+        .select(
+            "lang",
+            "source",
+            "size_bucket",
+            "group_size",
+            (F.col("group_size") < K_ANON_THRESHOLD).alias("at_risk"),
+        )
+    )

@@ -91,6 +91,8 @@ DOC_KEYS = [
     "llm_diversity_index",
     # dedup_exact posture: the exchange carries (md5, id, length), not text
     "llm_template_mine",
+    # bounded quasi-identifier grid: only map-side partials grow
+    "validate_k_anonymity",
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",

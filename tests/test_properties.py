@@ -1207,6 +1207,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ts_keltner",
     "ts_bollinger",
     "ts_ichimoku",
+    "validate_k_anonymity",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
