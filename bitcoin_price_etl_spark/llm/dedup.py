@@ -927,3 +927,75 @@ def llm_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("template_md5", "n_docs", "min_doc_id", "template_chars")
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(str_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1),
+                   i -> array_to_string(list_slice(str_split(text, ' '), i, i + {SHINGLE_WORDS - 1}), ' ')
+               ))) AS s
+        FROM documents
+    ),
+    firsts AS (
+        SELECT doc_id, s,
+               MIN(doc_id) OVER (PARTITION BY s) AS first_doc
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_ratio
+    FROM firsts
+    GROUP BY doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty score per document: the fraction of its word-5-gram
+    shingles that IT introduced to the corpus (no earlier doc_id carries
+    them) — the incremental-information metric a curation loop uses to
+    rank candidate batches ("does this crawl add anything?"), the
+    temporal complement of dedup (dedup asks "seen before?", novelty
+    asks "how much of this is first-seen?").
+
+    Scale shape: one partial-aggregated groupBy over shingle hashes
+    computes each shingle's minimum doc_id, then one equi-join back on
+    the hash attributes first-ownership to postings — the llm_dedup_ngram
+    shuffle topology WITHOUT the posting cap (min() keeps hot-shingle
+    reducer state at one long, and the join back is 1:n on the already
+    co-partitioned key, which AQE reuses). The oracle takes the
+    independently-shaped window-over-postings form.
+
+    Parity: counts are exact integers; the ratio is ONE division of
+    identical exact operands (correctly-rounded IEEE — no quantize
+    needed, the ts_bollinger rule). Shingles travel as xxhash64 longs
+    (the llm_dedup_ngram collision argument: a 2^-64 collision can only
+    merge shingles, identically in the count and the oracle-side string
+    form at these corpus sizes).
+    """
+    sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_shingles"),
+            F.expr(
+                "CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_shingles")
+            ).alias("novelty_ratio"),
+        )
+    )

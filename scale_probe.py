@@ -93,6 +93,9 @@ DOC_KEYS = [
     "llm_template_mine",
     # bounded quasi-identifier grid: only map-side partials grow
     "validate_k_anonymity",
+    # copy-tagged docs keep first-ownership copy-local: postings and the
+    # ownership join grow linearly, min() state stays one long
+    "llm_ngram_novelty",
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",

@@ -1208,6 +1208,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ts_bollinger",
     "ts_ichimoku",
     "validate_k_anonymity",
+    "llm_ngram_novelty",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
