@@ -1487,3 +1487,84 @@ def llm_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("rendered").alias("rendered_md5"),
         )
     )
+
+
+_DP_EPSILON_STR = "1.0"  # Laplace scale b = sensitivity/epsilon = 1/1
+_DP_POW52 = "4503599627370496.0"  # 2^52: 13 hex digits of md5 as a uniform
+
+
+@query(
+    "llm_dp_noise",
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY lang, source
+    ),
+    u AS (
+        SELECT lang, source, n_true,
+               CAST(CAST(concat('0x', substr(md5(concat(lang, '|', source)), 1, 13))
+                    AS UBIGINT) AS DOUBLE) / {_DP_POW52} AS u01
+        FROM g
+    )
+    SELECT lang, source, n_true,
+           CAST(CAST(
+               CASE WHEN u01 >= 0.5
+                    THEN -(1.0 / {_DP_EPSILON_STR}) * ln(1.0 - 2.0 * (u01 - 0.5))
+                    ELSE  (1.0 / {_DP_EPSILON_STR}) * ln(1.0 - 2.0 * (0.5 - u01))
+               END AS DECIMAL(18,8)) AS DOUBLE) AS noise,
+           CAST(CAST(n_true AS DECIMAL(18,8)) + CAST(
+               CASE WHEN u01 >= 0.5
+                    THEN -(1.0 / {_DP_EPSILON_STR}) * ln(1.0 - 2.0 * (u01 - 0.5))
+                    ELSE  (1.0 / {_DP_EPSILON_STR}) * ln(1.0 - 2.0 * (0.5 - u01))
+               END AS DECIMAL(18,8)) AS DOUBLE) AS n_released
+    FROM u
+    """,
+)
+def llm_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release over the corpus slice grid:
+    per-(lang, source) document counts plus Laplace(1/epsilon) noise via
+    the inverse-CDF of a DETERMINISTIC per-group uniform — the
+    epsilon-DP histogram mechanism (Dwork et al. 2006) a privacy review
+    applies before publishing corpus composition stats externally, the
+    release-side complement of validate_k_anonymity's risk screen.
+    Seeding the uniform from the group key (not a PRNG) keeps the release
+    re-runnable and cross-engine reproducible; production would swap the
+    key-hash for a salted secret so the noise is unpredictable to
+    adversaries while staying deterministic per release.
+
+    Parity: the uniform is 13 md5 hex digits (52 bits) parsed identically
+    in both engines and divided by 2^52 — an exact IEEE quotient of exact
+    integers. The Laplace transform's one libm call (ln) quantizes through
+    DECIMAL(18,8) (the quantize-then-double rule); the release adds the
+    quantized noise to the exact count in decimal space. The branch on
+    u >= 0.5 keeps sign() out of the ulp-sensitive path.
+
+    Scale shape: ONE partial-aggregated groupBy collapses the corpus to
+    the O(langs x sources) slice grid; everything after operates on grid
+    rows. Flat at any corpus size.
+    """
+    g = load(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_true")
+    )
+    u = g.withColumn(
+        "u01",
+        F.expr(
+            "CAST(conv(substr(md5(concat(lang, '|', source)), 1, 13), 16, 10)"
+            f" AS DOUBLE) / {_DP_POW52}"
+        ),
+    )
+    noise_q = (
+        f"""CAST(CASE WHEN u01 >= 0.5
+            THEN -(1.0D / {_DP_EPSILON_STR}D) * ln(1.0D - 2.0D * (u01 - 0.5D))
+            ELSE  (1.0D / {_DP_EPSILON_STR}D) * ln(1.0D - 2.0D * (0.5D - u01))
+            END AS DECIMAL(18,8))"""
+    )
+    return u.select(
+        "lang",
+        "source",
+        "n_true",
+        F.expr(f"CAST({noise_q} AS DOUBLE)").alias("noise"),
+        F.expr(
+            f"CAST(CAST(n_true AS DECIMAL(18,8)) + {noise_q} AS DOUBLE)"
+        ).alias("n_released"),
+    )

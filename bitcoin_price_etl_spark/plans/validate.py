@@ -462,3 +462,98 @@ def validate_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < K_ANON_THRESHOLD).alias("at_risk"),
         )
     )
+
+
+_RI_EDGES = [
+    # (edge label, child table, fk col, parent table, pk col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query(
+    "validate_referential_integrity",
+    oracle="""
+    """ + "\nUNION ALL\n".join(
+        f"""
+        SELECT '{label}' AS edge,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS child_rows,
+               (SELECT CAST(COUNT(DISTINCT {fk}) AS BIGINT) FROM {child}
+                WHERE {fk} IS NOT NULL) AS child_keys,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+                WHERE {fk} IS NOT NULL
+                  AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS orphan_rows,
+               (SELECT CAST(COUNT(DISTINCT {fk}) AS BIGINT) FROM {child}
+                WHERE {fk} IS NOT NULL
+                  AND {fk} NOT IN (SELECT {pk} FROM {parent})) AS orphan_keys,
+               (SELECT COUNT(*) FROM {child}
+                WHERE {fk} IS NOT NULL
+                  AND {fk} NOT IN (SELECT {pk} FROM {parent})) = 0 AS ri_ok
+        """
+        for (label, child, fk, parent, pk) in _RI_EDGES
+    ),
+)
+def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per declared foreign-key edge
+    of the warehouse star schema, counting child rows, distinct child
+    keys, and orphans (child keys with no matching parent) — the FK
+    health check a pipeline runs after every load, since Spark (like most
+    lakehouse engines) does not enforce FK constraints on write. Joins
+    validate_expectations' column-level rules with a cross-table rule.
+
+    Scale shape: per edge, the child collapses to a key-grid FIRST
+    (groupBy(fk) partial-aggregated count — the exchange carries one
+    (key, count) pair per child key, never child rows), then a left_anti
+    join against the parent key column resolves orphans; parent key
+    frames here are dimension-sized (Catalyst broadcasts them under
+    AQE). The 5 per-edge one-row summaries union into a 5-row report —
+    the fact table is scanned once per edge touching only its FK column
+    (columnar pruning makes this a single-column scan).
+
+    Parity: all-integer counts and an equality flag. Nothing to quantize.
+    NULL FKs are excluded from both key counts and orphan counts in both
+    engines (NOT IN with NULLs is the classic SQL trap — the oracle
+    filters IS NOT NULL before the NOT IN for identical semantics).
+    """
+    out = None
+    for label, child, fk, parent, pk in _RI_EDGES:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        keyed = (
+            c.filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("__fk"))
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__n"))
+        )
+        orphans = keyed.join(
+            F.broadcast(p), keyed["__fk"] == p["__pk"], "left_anti"
+        )
+        row = (
+            orphans.agg(
+                F.expr("CAST(COALESCE(SUM(__n), 0) AS BIGINT)").alias("orphan_rows"),
+                F.expr("CAST(COUNT(*) AS BIGINT)").alias("orphan_keys"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    c.agg(
+                        F.expr("CAST(COUNT(*) AS BIGINT)").alias("child_rows"),
+                        F.expr(
+                            f"CAST(COUNT(DISTINCT CASE WHEN {fk} IS NOT NULL"
+                            f" THEN {fk} END) AS BIGINT)"
+                        ).alias("child_keys"),
+                    )
+                )
+            )
+            .select(
+                F.lit(label).alias("edge"),
+                "child_rows",
+                "child_keys",
+                "orphan_rows",
+                "orphan_keys",
+                (F.col("orphan_rows") == 0).alias("ri_ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
