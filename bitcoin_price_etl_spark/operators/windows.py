@@ -2566,3 +2566,124 @@ def ts_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE close > greatest({sa}, {sb}) END"""
         ).alias("above_cloud"),
     )
+
+
+_THEILSEN_CAP = 128  # pairwise work is capped at 128^2/2 slopes per group
+
+
+@query(
+    "ts_theilsen",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               epoch_us(ts) AS t_us, value,
+               row_number() OVER (
+                   PARTITION BY event_type, CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    capped AS (SELECT * FROM pts WHERE rn <= {_THEILSEN_CAP}),
+    slopes AS (
+        SELECT a.event_type, a.day,
+               (b.value - a.value)
+               / (CAST(b.t_us - a.t_us AS DOUBLE) / 1000000.0) AS s
+        FROM capped a JOIN capped b
+          ON a.event_type = b.event_type AND a.day = b.day
+         AND a.rn < b.rn AND b.t_us > a.t_us
+    ),
+    ranked AS (
+        SELECT event_type, day, s,
+               row_number() OVER (
+                   PARTITION BY event_type, day ORDER BY s
+               ) AS sr,
+               COUNT(*) OVER (PARTITION BY event_type, day) AS np
+        FROM slopes
+    )
+    SELECT event_type, day,
+           CAST(MAX(np) AS BIGINT) AS n_pairs,
+           CAST(AVG(s) AS DOUBLE) AS slope_per_sec,
+           CAST(AVG(s) * 3600.0 AS DOUBLE) AS slope_per_hour
+    FROM ranked
+    WHERE sr IN ((np + 1) // 2, (np + 2) // 2)
+    GROUP BY event_type, day
+    """,
+)
+def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per (event_type, day): the median of all
+    pairwise slopes of value-vs-time — the estimator monitoring uses when
+    a day's trend must not be dragged by outlier spikes (up to 29%
+    contamination tolerance, vs OLS's zero; complements agg_linreg the
+    way ts_anomaly_mad complements z-scores).
+
+    Scale shape: points are capped DETERMINISTICALLY at the first
+    128 per group (row_number over the total order (ts, event_id) —
+    WindowGroupLimit pushes the cap into the sort), so the pairwise
+    self-join is Sigma-bounded at 128^2/2 slopes per group — the
+    join_fuzzy_blocked discipline: equi-join on the (event_type, day)
+    block key, never an uncapped n^2. One more window ranks slopes
+    within the group, and the median is the mean of the middle one or
+    two by EXPLICIT rank selection.
+
+    Parity: each slope is one subtraction and one division of identical
+    operands (correctly-rounded IEEE, bit-identical — no libm, nothing
+    to quantize); selecting the middle ranks by integer arithmetic
+    sidesteps percentile-interpolation formula differences between
+    engines entirely, and AVG over the selected 1-2 slopes is sum/count
+    in both. Slope ties make row_number nondeterministic BETWEEN equal
+    values only — rank selection still lands on the same values.
+    """
+    e = load(spark, sf_dir, "events")
+    pts = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.unix_micros("ts").alias("t_us"),
+            "value",
+            F.expr(
+                """row_number() OVER (
+                       PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id
+                   )"""
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") <= _THEILSEN_CAP)
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.rn") < F.col("b.rn"))
+        & (F.col("b.t_us") > F.col("a.t_us")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        (
+            (F.col("b.value") - F.col("a.value"))
+            / (
+                (F.col("b.t_us") - F.col("a.t_us")).cast("double")
+                / F.lit(1000000.0)
+            )
+        ).alias("s"),
+    )
+    ranked = slopes.select(
+        "event_type",
+        "day",
+        "s",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type, day ORDER BY s)"
+        ).alias("sr"),
+        F.expr("COUNT(*) OVER (PARTITION BY event_type, day)").alias("np"),
+    )
+    return (
+        ranked.filter(
+            F.expr("sr IN (CAST((np + 1) / 2 AS INT), CAST((np + 2) / 2 AS INT))")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("CAST(MAX(np) AS BIGINT)").alias("n_pairs"),
+            F.expr("CAST(AVG(s) AS DOUBLE)").alias("slope_per_sec"),
+            F.expr("CAST(AVG(s) * 3600.0D AS DOUBLE)").alias("slope_per_hour"),
+        )
+    )

@@ -557,3 +557,89 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_VOL_DRIFT_PCT = "0.5"  # flag days whose volume is >50% off the trailing median
+_VOL_WARMUP = 3  # need at least 3 trailing days before judging
+
+
+@query(
+    "validate_volume_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    trail AS (
+        SELECT day, n_rows,
+               median(n_rows) OVER (
+                   ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS trailing_median,
+               COUNT(*) OVER (
+                   ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS n_trailing
+        FROM daily
+    )
+    SELECT day, n_rows,
+           CAST(trailing_median AS DOUBLE) AS trailing_median,
+           CAST(n_trailing AS BIGINT) AS n_trailing,
+           CASE WHEN n_trailing < {_VOL_WARMUP} THEN NULL
+                ELSE abs(CAST(n_rows AS DOUBLE) / trailing_median - 1.0)
+                     > {_VOL_DRIFT_PCT}
+           END AS is_anomalous
+    FROM trail
+    """,
+)
+def validate_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-volume drift monitor: daily ingest row counts vs the trailing
+    7-day median, flagging days whose volume deviates more than 50% —
+    the missed-load / double-load / upstream-outage alarm every
+    production pipeline schedules after each batch (a robust-median twin
+    of the mean-based ts_anomaly_mad, applied to pipeline operations
+    rather than prices). Days with under 3 trailing observations return
+    NULL (warmup — no verdict).
+
+    Parity: daily counts are exact longs; median-at-0.5 of integers is
+    the midpoint of the two middle values — exact in IEEE (x.0 or x.5)
+    and computed identically by Spark's exact percentile() and DuckDB's
+    median(); the ratio is ONE correctly-rounded division of exact
+    operands, and the threshold compare happens on that identical double
+    (no libm, nothing to quantize — the ts_bollinger rule).
+
+    Scale shape: ONE partial-aggregated groupBy collapses the fact table
+    to the O(days) daily grid; the trailing window runs over grid rows
+    (single-partition is fine — 100 TB is still only ~10^4 days; were the
+    grid per-source it would partition by source). Bounded 7-row frame.
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"))
+    )
+    trail = daily.select(
+        "day",
+        "n_rows",
+        F.expr(
+            """percentile(n_rows, 0.5D) OVER (
+                   ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               )"""
+        ).alias("trailing_median"),
+        F.expr(
+            """CAST(COUNT(*) OVER (
+                   ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS BIGINT)"""
+        ).alias("n_trailing"),
+    )
+    return trail.select(
+        "day",
+        "n_rows",
+        F.expr("CAST(trailing_median AS DOUBLE)").alias("trailing_median"),
+        "n_trailing",
+        F.expr(
+            f"""CASE WHEN n_trailing < {_VOL_WARMUP} THEN NULL
+                ELSE abs(CAST(n_rows AS DOUBLE) / trailing_median - 1.0D)
+                     > {_VOL_DRIFT_PCT}D
+                END"""
+        ).alias("is_anomalous"),
+    )

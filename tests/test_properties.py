@@ -1209,6 +1209,10 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ts_ichimoku",
     "validate_k_anonymity",
     "llm_ngram_novelty",
+    "validate_referential_integrity",
+    "llm_dp_noise",
+    "validate_volume_anomaly",
+    "ts_theilsen",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
