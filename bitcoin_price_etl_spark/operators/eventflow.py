@@ -917,3 +917,158 @@ def win_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("peak_at"),
         "n_starts",
     )
+
+
+@query(
+    "cohort_survival_km",
+    oracle="""
+    WITH raw AS (
+        SELECT user_id,
+               date_diff('day', CAST(MIN(ts) AS DATE),
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END)) AS conv_days
+        FROM events GROUP BY user_id
+    ),
+    per_user AS (
+        SELECT user_id,
+               CASE WHEN conv_days IS NOT NULL AND conv_days <= 3
+                    THEN conv_days ELSE 3 END AS duration_days,
+               conv_days IS NOT NULL AND conv_days <= 3 AS churned
+        FROM raw
+    ),
+    grid AS (
+        SELECT duration_days,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_churned,
+               CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_censored
+        FROM per_user GROUP BY duration_days
+    ),
+    risk AS (
+        SELECT duration_days, n_churned, n_censored,
+               CAST(SUM(n_churned + n_censored) OVER ()
+                    - COALESCE(SUM(n_churned + n_censored) OVER (
+                          ORDER BY duration_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS n_risk
+        FROM grid
+    ),
+    terms AS (
+        SELECT *,
+               CASE WHEN n_churned = 0 THEN CAST(0 AS DECIMAL(18,8))
+                    WHEN n_churned < n_risk THEN CAST(ln(
+                        1.0 - CAST(n_churned AS DOUBLE) / n_risk
+                    ) AS DECIMAL(18,8))
+                    ELSE CAST(0 AS DECIMAL(18,8)) END AS term,
+               MAX(CASE WHEN n_churned = n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY duration_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS zeroed
+        FROM risk
+    )
+    SELECT duration_days, n_risk, n_churned, n_censored,
+           CASE WHEN zeroed = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(CAST(exp(CAST(SUM(term) OVER (
+                         ORDER BY duration_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+           END AS survival
+    FROM terms
+    """,
+)
+def cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: duration = days from a
+    user's first event to their first purchase within a 3-day horizon;
+    users not converted by the horizon are right-CENSORED there
+    (administrative censoring) — the product-limit
+    estimator (Kaplan & Meier 1958) growth teams read conversion latency
+    from, counting the still-unconverted correctly where a naive
+    avg(days-to-purchase) silently drops them. (KM's "event observed"
+    flag is named churned in the plan; here the event is conversion.)
+
+    Parity: risk counts are exact integer window cumsums; each hazard
+    term 1 - d/n is one correctly-rounded division of exact longs; the
+    product-limit runs as exp(Sigma ln(term)) with each ln QUANTIZED
+    through DECIMAL(18,8) before the exact decimal cumulative sum and
+    exp re-quantized at the edge (the llm_diversity_index per-term rule
+    — ln/exp differ in the last ulp between libms). The everyone-dies
+    tail (d = n, ln 0 undefined) pins survival to exactly 0 by an
+    integer flag in both engines.
+
+    Scale shape: one partial-aggregated groupBy collapses events to
+    per-user rows (the exchange carries (user, min, max) triples), a
+    second collapses users to the O(distinct durations) grid; the KM
+    windows run single-partition over grid rows (bounded by the horizon
+    — the validate_volume_anomaly argument). Deaths count before
+    same-time censors (the standard KM tie convention) because censored
+    rows at t never enter earlier risk subtractions.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                """datediff(
+                       MIN(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ts AS DATE) END),
+                       CAST(MIN(ts) AS DATE))"""
+            ).alias("conv_days"),
+        )
+        .select(
+            F.expr(
+                """CAST(CASE WHEN conv_days IS NOT NULL AND conv_days <= 3
+                   THEN conv_days ELSE 3 END AS BIGINT)"""
+            ).alias("duration_days"),
+            F.expr("conv_days IS NOT NULL AND conv_days <= 3").alias("churned"),
+        )
+    )
+    grid = per_user.groupBy("duration_days").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_churned"),
+        F.expr(
+            "CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("n_censored"),
+    )
+    risk = grid.select(
+        "duration_days",
+        "n_churned",
+        "n_censored",
+        F.expr(
+            """CAST(SUM(n_churned + n_censored) OVER ()
+               - COALESCE(SUM(n_churned + n_censored) OVER (
+                     ORDER BY duration_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT)"""
+        ).alias("n_risk"),
+    )
+    terms = risk.select(
+        "*",
+        F.expr(
+            """CASE WHEN n_churned = 0 THEN CAST(0 AS DECIMAL(18,8))
+               WHEN n_churned < n_risk THEN CAST(ln(
+                   1.0D - CAST(n_churned AS DOUBLE) / n_risk
+               ) AS DECIMAL(18,8))
+               ELSE CAST(0 AS DECIMAL(18,8)) END"""
+        ).alias("term"),
+        F.expr(
+            """MAX(CASE WHEN n_churned = n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY duration_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )"""
+        ).alias("zeroed"),
+    )
+    return terms.select(
+        "duration_days",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.expr(
+            """CASE WHEN zeroed = 1 THEN CAST(0.0D AS DOUBLE)
+               ELSE CAST(CAST(exp(CAST(SUM(term) OVER (
+                        ORDER BY duration_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE)
+               END"""
+        ).alias("survival"),
+    )
