@@ -2687,3 +2687,119 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(AVG(s) * 3600.0D AS DOUBLE)").alias("slope_per_hour"),
         )
     )
+
+
+_PGRAM_K = 8  # harmonics 1..8 over each series' hourly grid
+_PI_LIT = "3.141592653589793"  # pinned double literal: engine pi() not trusted
+
+
+@query(
+    "ts_periodogram",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS y
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    idx AS (
+        SELECT event_type, y,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hr
+               ) - 1 AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    terms AS (
+        SELECT i.event_type, i.n, k.k,
+               CAST(i.y * cos(2.0 * {_PI_LIT} * k.k * i.t / i.n)
+                    AS DECIMAL(18,8)) AS c_term,
+               CAST(i.y * sin(2.0 * {_PI_LIT} * k.k * i.t / i.n)
+                    AS DECIMAL(18,8)) AS s_term
+        FROM idx i CROSS JOIN (
+            SELECT unnest(range(1, {_PGRAM_K + 1})) AS k
+        ) k
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS k,
+           CAST(MAX(n) AS BIGINT) AS n_obs,
+           CAST(SUM(c_term) AS DOUBLE) AS cos_sum,
+           CAST(SUM(s_term) AS DOUBLE) AS sin_sum,
+           CAST(CAST(SUM(c_term) AS DOUBLE) * CAST(SUM(c_term) AS DOUBLE)
+                + CAST(SUM(s_term) AS DOUBLE) * CAST(SUM(s_term) AS DOUBLE)
+                AS DOUBLE) AS power
+    FROM terms GROUP BY event_type, k
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram per event series: spectral power at
+    harmonics k = 1..8 of each event_type's hourly mean-value series —
+    the seasonality detector that finds daily/weekly cycles numerically
+    where ts_seasonal_decompose assumes the period and ts_autocorr scans
+    lags (a peak at k = n_hours/24 means a daily cycle).
+
+    Parity: hourly means are exact decimal sums over doubles divided
+    once; the DFT angle 2*pi*k*t/n is a chain of correctly-rounded IEEE
+    ops on identical operands (pi pinned to the same double LITERAL in
+    both engines — never each engine's pi()); cos/sin are libm calls
+    that differ in the last ulp, so each y*cos / y*sin product term
+    QUANTIZES through DECIMAL(18,8) before the exact decimal per-series
+    sums (the llm_diversity_index per-term rule); the final power is two
+    multiplies and an add on identical doubles.
+
+    Scale shape: the corpus collapses to the O(types x hours) hourly
+    grid first (one partial-aggregated groupBy); the k-expansion is a
+    bounded x8 map-side cross join OVER GRID ROWS (never over raw
+    events), and the spectrum agg re-partitions by (type, k) — a few
+    thousand groups at any scale. Flat in corpus size; linear in grid
+    length only.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value)"
+        ).alias("y")
+    )
+    idx = hourly.select(
+        "event_type",
+        "y",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY hr) - 1"
+        ).alias("t"),
+        F.expr("COUNT(*) OVER (PARTITION BY event_type)").alias("n"),
+    )
+    terms = idx.select(
+        "event_type",
+        "n",
+        F.explode(F.expr(f"sequence(1, {_PGRAM_K})")).alias("k"),
+        "y",
+        "t",
+    ).select(
+        "event_type",
+        "n",
+        "k",
+        F.expr(
+            f"CAST(y * cos(2.0D * {_PI_LIT}D * k * t / n) AS DECIMAL(18,8))"
+        ).alias("c_term"),
+        F.expr(
+            f"CAST(y * sin(2.0D * {_PI_LIT}D * k * t / n) AS DECIMAL(18,8))"
+        ).alias("s_term"),
+    )
+    return terms.groupBy("event_type", "k").agg(
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_obs"),
+        F.expr("CAST(SUM(c_term) AS DOUBLE)").alias("cos_sum"),
+        F.expr("CAST(SUM(s_term) AS DOUBLE)").alias("sin_sum"),
+        F.expr(
+            """CAST(CAST(SUM(c_term) AS DOUBLE) * CAST(SUM(c_term) AS DOUBLE)
+               + CAST(SUM(s_term) AS DOUBLE) * CAST(SUM(s_term) AS DOUBLE)
+               AS DOUBLE)"""
+        ).alias("power"),
+    ).select(
+        "event_type",
+        F.col("k").cast("bigint").alias("k"),
+        "n_obs",
+        "cos_sum",
+        "sin_sum",
+        "power",
+    )
