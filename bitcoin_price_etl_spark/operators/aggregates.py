@@ -1413,3 +1413,95 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DECIMAL(18,6)) AS DOUBLE)"""
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT *,
+               MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN price END)
+                   OVER (PARTITION BY l_returnflag) AS p_lo,
+               MAX(CASE WHEN rn = n - (5 * n + 99) // 100 + 1 THEN price END)
+                   OVER (PARTITION BY l_returnflag) AS p_hi
+        FROM ranked
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(p_lo) AS DOUBLE) AS p_lo,
+           CAST(MAX(p_hi) AS DOUBLE) AS p_hi,
+           CAST(SUM(CAST(LEAST(GREATEST(price, p_lo), p_hi)
+                    AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS winsorized_mean,
+           CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS raw_mean
+    FROM bounds GROUP BY l_returnflag
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clip each group's price distribution at
+    its 5th/95th percentile values, then average — the robust central
+    tendency finance and metrics teams report when a handful of fat-tail
+    rows would otherwise drag the plain mean (keeps every row, unlike a
+    trimmed mean, so group sizes stay interpretable).
+
+    Parity: the clip bounds are selected by EXPLICIT integer nearest-rank
+    arithmetic — ceil(0.05 n) computed as (5n + 99) DIV 100 in exact
+    integer math, never ceil() on an inexact 0.05*n double (the
+    ts_theilsen rank-selection rule) — so both engines pick the same
+    element values; tied prices make row_number order-ambiguous only
+    between rows holding EQUAL values, so the value at any rank is
+    deterministic. Clipping is exact comparisons; both means are exact
+    DECIMAL(38,4) sums divided once.
+
+    Scale shape: one hash-partitioned window pass per group computes
+    ranks and broadcasts the two bound values down the partition, then a
+    partial-aggregated groupBy finishes. Low-cardinality group keys make
+    the window partitions wide — at 100 TB the same statistic would come
+    from the two-pass form (approx_percentile bounds at 1e-6 relative
+    error + a conditional agg, both already certified separately as
+    agg_approx_percentile / agg_conditional); this operator is the exact
+    small-group form.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.expr(
+            """row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               )"""
+        ).alias("rn"),
+        F.expr("COUNT(*) OVER (PARTITION BY l_returnflag)").alias("n"),
+    )
+    bounds = ranked.select(
+        "*",
+        F.expr(
+            """MAX(CASE WHEN rn = (5 * n + 99) DIV 100 THEN price END)
+               OVER (PARTITION BY l_returnflag)"""
+        ).alias("p_lo"),
+        F.expr(
+            """MAX(CASE WHEN rn = n - (5 * n + 99) DIV 100 + 1 THEN price END)
+               OVER (PARTITION BY l_returnflag)"""
+        ).alias("p_hi"),
+    )
+    return bounds.groupBy("l_returnflag").agg(
+        F.expr("CAST(MAX(n) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(MAX(p_lo) AS DOUBLE)").alias("p_lo"),
+        F.expr("CAST(MAX(p_hi) AS DOUBLE)").alias("p_hi"),
+        F.expr(
+            """CAST(SUM(CAST(LEAST(GREATEST(price, p_lo), p_hi)
+               AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)"""
+        ).alias("winsorized_mean"),
+        F.expr(
+            "CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)"
+        ).alias("raw_mean"),
+    )

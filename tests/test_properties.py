@@ -1215,6 +1215,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ts_theilsen",
     "cohort_survival_km",
     "ts_periodogram",
+    "agg_winsorized_mean",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
