@@ -1279,3 +1279,116 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id", "n_vectors", "inertia", "centroid_l1"
         )
     )
+
+
+_HN_ANCHOR_MOD = 25  # every 25th vec_id anchors a mining batch
+_HN_LO, _HN_HI = "0.20", "0.95"  # the "hard" band: similar, not near-dup
+_HN_K = 3
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=f"""
+    WITH normed AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x)) AS norm
+        FROM embeddings
+    ),
+    anchors AS (
+        SELECT vec_id AS anchor_id, label AS anchor_label,
+               embedding AS av, norm AS anorm
+        FROM normed WHERE vec_id % {_HN_ANCHOR_MOD} = 0
+    ),
+    scored AS (
+        SELECT a.anchor_id, c.vec_id AS negative_id, c.label AS negative_label,
+               list_reduce(list_transform(list_zip(c.embedding, a.av),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (s, x) -> s + x) / (c.norm * a.anorm) AS cosine
+        FROM normed c CROSS JOIN anchors a
+        WHERE c.label <> a.anchor_label
+    ),
+    banded AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cosine DESC, negative_id
+               ) AS rn
+        FROM scored
+        WHERE cosine >= {_HN_LO} AND cosine <= {_HN_HI}
+    )
+    SELECT anchor_id, negative_id, negative_label, cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM banded WHERE rn <= {_HN_K}
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor vector, the top-3 most-similar vectors of a DIFFERENT class
+    inside a cosine band — similar enough to be informative, not so
+    similar they're label noise (the InfoNCE negative-selection recipe;
+    random negatives are too easy and stall the loss). Anchors are a
+    deterministic vec_id stride — the shape of mining against a training
+    batch.
+
+    Parity: cosines reuse the llm_sim_search discipline — exact
+    per-element double products folded SEQUENTIALLY in index order in
+    both engines, sqrt correctly rounded, one division — bit-identical,
+    so the band membership and the (cosine DESC, vec_id) rank order
+    agree exactly; no quantization anywhere.
+
+    Scale shape: the anchor batch is broadcast (bounded by the training
+    batch size, not the corpus) and the corpus streams past it map-side
+    — cost is anchors x corpus with NO corpus shuffle; the per-anchor
+    top-3 runs as WindowGroupLimit on the already-small banded set. At
+    100 TB the same plan swaps the full scan for the IVF cell-pruned
+    probe (llm_sim_search_ivf) — mining only scans cells near each
+    anchor; this operator is the exact-recall form.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    norm_expr = (
+        "sqrt(aggregate(transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (s, v) -> s + v))"
+    )
+    normed = e.select(
+        "vec_id", "label", "embedding", F.expr(norm_expr).alias("norm")
+    )
+    anchors = normed.filter(
+        F.expr(f"vec_id % {_HN_ANCHOR_MOD} = 0")
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("av"),
+        F.col("norm").alias("anorm"),
+    )
+    scored = (
+        normed.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.expr(
+                "aggregate(zip_with(embedding, av,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (s, v) -> s + v) / (norm * anorm)"
+            ).alias("cosine"),
+        )
+    )
+    banded = scored.filter(
+        F.expr(f"cosine >= {_HN_LO}D AND cosine <= {_HN_HI}D")
+    ).select(
+        "*",
+        F.expr(
+            """row_number() OVER (
+                   PARTITION BY anchor_id ORDER BY cosine DESC, negative_id
+               )"""
+        ).alias("rn"),
+    )
+    return banded.filter(F.col("rn") <= _HN_K).select(
+        "anchor_id",
+        "negative_id",
+        "negative_label",
+        "cosine",
+        F.col("rn").cast("bigint").alias("rank"),
+    )

@@ -239,6 +239,10 @@ TPCH_KEYS = [
     # must absorb mult× input into a flat pair set — the dedup-shaped
     # stress for the projection
     "graph_bipartite_projection",
+    # orderkey-consistent scaling keeps every copy's lineitems resolving
+    # their orders: the orphan anti-joins stay empty while the key grids
+    # grow mult× — the probe measures the key-only collapse, never rows
+    "validate_referential_integrity",
 ]
 
 _TPCH_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
@@ -399,6 +403,16 @@ FACT_KEYS = {
     "ts_keltner": ("events", "event_id", None),
     "ts_bollinger": ("events", "event_id", None),
     "ts_ichimoku": ("events", "event_id", None),
+    # round-4f: mult× points per (type, day) group — the 128-point cap
+    # must bound pairwise slopes while input grows; the hourly grid and
+    # per-user/daily collapses absorb growth for the other three
+    "ts_theilsen": ("events", "event_id", None),
+    "ts_periodogram": ("events", "event_id", None),
+    "cohort_survival_km": ("events", "event_id", None),
+    "validate_volume_anomaly": ("orders", "o_orderkey", None),
+    # 3 fixed groups absorb mult× rows through the rank window — the
+    # agg_weighted_median hostile shape, plus two decimal sums
+    "agg_winsorized_mean": ("lineitem", "l_orderkey", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

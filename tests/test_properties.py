@@ -1216,6 +1216,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "cohort_survival_km",
     "ts_periodogram",
     "agg_winsorized_mean",
+    "llm_hard_negatives",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
