@@ -792,3 +792,84 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(npts).crossJoin(stats).select(
         "n_points", "n_candidates", "n_pairs", "min_d2", "max_d2"
     )
+
+
+@query(
+    "join_skyline_pareto",
+    oracle="""
+    WITH best_at_price AS (
+        SELECT p_retailprice,
+               CAST(MIN(p_size) AS BIGINT) AS msize
+        FROM part GROUP BY p_retailprice
+    ),
+    frontier AS (
+        SELECT p_retailprice, msize,
+               MIN(msize) OVER (
+                   ORDER BY p_retailprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_min
+        FROM best_at_price
+    )
+    SELECT p.p_partkey, p.p_name, p.p_retailprice,
+           CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p JOIN frontier f ON p.p_retailprice = f.p_retailprice
+    WHERE p.p_size = f.msize
+      AND (f.prev_min IS NULL OR f.prev_min > p.p_size)
+    """,
+)
+def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the parts no other part dominates
+    on (price, size) — cheaper-and-not-bigger wins (Borzsony et al.,
+    "The Skyline Operator", ICDE 2001) — the multi-criteria shortlist
+    behind "show me the options that aren't strictly worse than
+    something else".
+
+    NOT the naive NOT EXISTS self-join (n^2): the 2-D skyline falls out
+    of a sorted prefix-scan — collapse to the best size per distinct
+    price (one partial-aggregated groupBy), take the running strict-
+    prefix minimum over the price order, and a row survives iff it holds
+    its price's best size AND beats every cheaper price's best
+    (prev_min > size; ties on both dims are mutually non-dominating and
+    all survive). Dominance semantics: p' <= p AND s' <= s with at
+    least one strict.
+
+    Parity: all comparisons are exact (double price equality groups the
+    same rows in both engines — no arithmetic touches the values;
+    integer sizes) — nothing to quantize. The equi-join back to part
+    broadcasts the frontier grid.
+
+    Scale shape: one groupBy collapses the table to the distinct-price
+    grid, the frontier window runs single-partition over grid rows
+    (bounded by price cardinality, not rows — and at 100 TB a first
+    coarse map-side min per partition would pre-shrink it), and the
+    re-attach is a broadcast hash join. d>2 dims would swap in the
+    block-nested-loop-with-presort form; 2-D is the common case and
+    stays n log n.
+    """
+    p = load(spark, sf_dir, "part")
+    best = p.groupBy("p_retailprice").agg(
+        F.expr("CAST(MIN(p_size) AS BIGINT)").alias("msize")
+    )
+    frontier = best.select(
+        "p_retailprice",
+        "msize",
+        F.expr(
+            """MIN(msize) OVER (
+                   ORDER BY p_retailprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               )"""
+        ).alias("prev_min"),
+    )
+    return (
+        p.join(F.broadcast(frontier), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("msize"))
+            & (F.col("prev_min").isNull() | (F.col("prev_min") > F.col("p_size")))
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.col("p_size").cast("bigint").alias("p_size"),
+        )
+    )

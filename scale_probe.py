@@ -96,6 +96,9 @@ DOC_KEYS = [
     # copy-tagged docs keep first-ownership copy-local: postings and the
     # ownership join grow linearly, min() state stays one long
     "llm_ngram_novelty",
+    # slice-grid collapse: the DP release math runs on O(langs x sources)
+    # rows no matter the corpus
+    "llm_dp_noise",
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",

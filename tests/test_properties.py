@@ -1217,6 +1217,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ts_periodogram",
     "agg_winsorized_mean",
     "llm_hard_negatives",
+    "join_skyline_pareto",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
