@@ -93,3 +93,30 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
     a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
     return r.exceptAll(a)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): each part key appears
+    min(multiplicity-in-R, multiplicity-in-A) times — the
+    multiplicity-preserving twin of set_intersect, completing the
+    multiset algebra beside set_except's EXCEPT ALL. Spark lowers
+    intersectAll to a count-paired aggregate + generate, not an n^2
+    join; the shuffle carries (key, count) pairs.
+
+    Parity: integer keys and integer multiplicities — nothing to
+    quantize. Scale: two partial-aggregated counts co-partitioned on
+    the key, one equi-join, one bounded replicate — flat in row width,
+    linear in distinct keys.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersectAll(a)

@@ -2803,3 +2803,89 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sin_sum",
         "power",
     )
+
+
+_VOL_TAPS = 20
+_LN2_LIT = "0.6931471805599453"      # ln 2 pinned to the double literal
+_GK_COEF = "0.3862943611198906"      # 2 ln 2 - 1, pinned likewise
+
+
+@query(
+    "ts_volatility_ohlc",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    terms AS (
+        SELECT event_type, bar_date,
+               CAST(ln(high / low) * ln(high / low)
+                    AS DECIMAL(18,8)) AS p_term,
+               CAST(0.5 * ln(high / low) * ln(high / low)
+                    - {_GK_COEF} * ln(close / open) * ln(close / open)
+                    AS DECIMAL(18,8)) AS gk_term
+        FROM bars
+    )
+    SELECT event_type, bar_date,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_bars,
+           CAST(SUM(p_term) OVER w AS DOUBLE)
+               / (4.0 * {_LN2_LIT} * (COUNT(*) OVER w)) AS parkinson_var,
+           CAST(SUM(gk_term) OVER w AS DOUBLE)
+               / (COUNT(*) OVER w) AS garman_klass_var
+    FROM terms
+    WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+                 ROWS BETWEEN {_VOL_TAPS - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_volatility_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based volatility per series: rolling 20-bar Parkinson and
+    Garman-Klass variance estimators from the daily OHLC grid — the
+    high-low estimators a trading desk prefers over close-to-close
+    because the intraday range carries ~5x the information of one close
+    print (Parkinson 1980; Garman & Klass 1980). Completes the indicator
+    family: ATR gives the range in PRICE units; these give variance in
+    RETURN units.
+
+    Built ON ts_resample_ohlc's certified bars (operator composition).
+
+    Parity: each bar's log-range term carries libm ln, so the whole
+    term (including its square and the GK linear combination) QUANTIZES
+    through DECIMAL(18,8) before the exact decimal frame sums; ln 2 and
+    2 ln 2 - 1 are pinned double LITERALS (never each engine's ln(2));
+    the final normalizations divide identical doubles by exact integer
+    products — correctly-rounded IEEE, bit-identical.
+
+    Scale shape: the OHLC partial agg absorbs tick volume (O(1) reducer
+    state per bar); one exchange on event_type; the bounded 20-tap frame
+    keeps long-backed decimal window state (the round-4e fast path).
+    Flat at any tick rate.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "open", "high", "low", "close"
+    )
+    terms = bars.select(
+        "event_type",
+        "bar_date",
+        F.expr(
+            "CAST(ln(high / low) * ln(high / low) AS DECIMAL(18,8))"
+        ).alias("p_term"),
+        F.expr(
+            f"""CAST(0.5D * ln(high / low) * ln(high / low)
+                - {_GK_COEF}D * ln(close / open) * ln(close / open)
+                AS DECIMAL(18,8))"""
+        ).alias("gk_term"),
+    )
+    w = (
+        f"PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {_VOL_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    return terms.select(
+        "event_type",
+        "bar_date",
+        F.expr(f"CAST(COUNT(*) OVER ({w}) AS BIGINT)").alias("n_bars"),
+        F.expr(
+            f"""CAST(SUM(p_term) OVER ({w}) AS DOUBLE)
+                / (4.0D * {_LN2_LIT}D * (COUNT(*) OVER ({w})))"""
+        ).alias("parkinson_var"),
+        F.expr(
+            f"""CAST(SUM(gk_term) OVER ({w}) AS DOUBLE)
+                / (COUNT(*) OVER ({w}))"""
+        ).alias("garman_klass_var"),
+    )

@@ -1218,6 +1218,8 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "agg_winsorized_mean",
     "llm_hard_negatives",
     "join_skyline_pareto",
+    "ts_volatility_ohlc",
+    "set_intersect_all",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
