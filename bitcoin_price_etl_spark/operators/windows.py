@@ -2826,7 +2826,8 @@ _GK_COEF = "0.3862943611198906"      # 2 ln 2 - 1, pinned likewise
     SELECT event_type, bar_date,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_bars,
            CAST(SUM(p_term) OVER w AS DOUBLE)
-               / (4.0 * {_LN2_LIT} * (COUNT(*) OVER w)) AS parkinson_var,
+               / (4.0 * CAST({_LN2_LIT} AS DOUBLE) * (COUNT(*) OVER w))
+               AS parkinson_var,
            CAST(SUM(gk_term) OVER w AS DOUBLE)
                / (COUNT(*) OVER w) AS garman_klass_var
     FROM terms
