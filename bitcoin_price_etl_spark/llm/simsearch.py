@@ -1281,7 +1281,8 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HN_ANCHOR_MOD = 25  # every 25th vec_id anchors a mining batch
+_HN_ANCHOR_MOD = 25  # every 25th vec_id is anchor-eligible
+_HN_BATCH = 32  # the mining batch: first 32 eligible anchors by vec_id
 _HN_LO, _HN_HI = "0.20", "0.95"  # the "hard" band: similar, not near-dup
 _HN_K = 3
 
@@ -1300,6 +1301,7 @@ _HN_K = 3
         SELECT vec_id AS anchor_id, label AS anchor_label,
                embedding AS av, norm AS anorm
         FROM normed WHERE vec_id % {_HN_ANCHOR_MOD} = 0
+        ORDER BY vec_id LIMIT {_HN_BATCH}
     ),
     scored AS (
         SELECT a.anchor_id, c.vec_id AS negative_id, c.label AS negative_label,
@@ -1327,8 +1329,9 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside a cosine band — similar enough to be informative, not so
     similar they're label noise (the InfoNCE negative-selection recipe;
     random negatives are too easy and stall the loss). Anchors are a
-    deterministic vec_id stride — the shape of mining against a training
-    batch.
+    deterministic vec_id stride CAPPED at a fixed batch of 32 (ordered
+    take — TakeOrderedAndProject) so cost is batch x corpus by
+    construction, never corpus x corpus.
 
     Parity: cosines reuse the llm_sim_search discipline — exact
     per-element double products folded SEQUENTIALLY in index order in
@@ -1353,13 +1356,16 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = e.select(
         "vec_id", "label", "embedding", F.expr(norm_expr).alias("norm")
     )
-    anchors = normed.filter(
-        F.expr(f"vec_id % {_HN_ANCHOR_MOD} = 0")
-    ).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("av"),
-        F.col("norm").alias("anorm"),
+    anchors = (
+        normed.filter(F.expr(f"vec_id % {_HN_ANCHOR_MOD} = 0"))
+        .orderBy("vec_id")
+        .limit(_HN_BATCH)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("av"),
+            F.col("norm").alias("anorm"),
+        )
     )
     scored = (
         normed.crossJoin(F.broadcast(anchors))

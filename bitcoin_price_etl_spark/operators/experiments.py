@@ -335,3 +335,126 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("var_reduction"),
     )
+
+
+_RATIO_USER_DUCK = """
+    SELECT user_id, user_id % 2 AS variant,
+           CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)
+               AS x,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "ab_ratio_delta_ci",
+    oracle=f"""
+    WITH units AS ({_RATIO_USER_DUCK}),
+    m AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,2)) * CAST(x AS DECIMAL(38,2)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS DECIMAL(38,2)) * y) AS DOUBLE) AS sxy
+        FROM units GROUP BY variant
+    ),
+    d AS (
+        SELECT variant, n, sx, sy,
+               sx / sy AS ratio,
+               sx / n AS xbar, sy / n AS ybar,
+               (sxx - n * (sx / n) * (sx / n)) / (n - 1) AS vx,
+               (syy - n * (sy / n) * (sy / n)) / (n - 1) AS vy,
+               (sxy - n * (sx / n) * (sy / n)) / (n - 1) AS cxy
+        FROM m
+    )
+    SELECT CAST(variant AS BIGINT) AS variant, n,
+           sx AS sum_revenue, sy AS sum_clicks, ratio,
+           (vx - 2.0 * ratio * cxy + ratio * ratio * vy)
+               / (n * ybar * ybar) AS var_delta,
+           sqrt((vx - 2.0 * ratio * cxy + ratio * ratio * vy)
+               / (n * ybar * ybar)) AS se,
+           ratio - CAST(1.96 AS DOUBLE)
+               * sqrt((vx - 2.0 * ratio * cxy + ratio * ratio * vy)
+                      / (n * ybar * ybar)) AS ci_lo,
+           ratio + CAST(1.96 AS DOUBLE)
+               * sqrt((vx - 2.0 * ratio * cxy + ratio * ratio * vy)
+                      / (n * ybar * ybar)) AS ci_hi
+    FROM d
+    """,
+)
+def ab_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue per
+    click) per variant — the readout for metrics whose numerator and
+    denominator vary per user, where naive SE formulas are wrong because
+    ratio metrics aren't averages of i.i.d. units (Deng et al., KDD'18
+    "Applying the Delta Method in Metric Analytics"). Var(X̄/Ȳ) ≈
+    (Sx² − 2R·Sxy + R²·Sy²) / (n·Ȳ²), clustered at the user.
+
+    Parity: per-user x (decimal-exact revenue) and integer click counts
+    feed exact decimal moment sums (the agg_corr input-first rule:
+    multiply in decimal at natural scales, cast once to double); every
+    downstream step — means, variances, the delta expression, sqrt, the
+    1.96 half-width — is a correctly-rounded IEEE chain on identical
+    operands, MIRRORED in op order between engines; 1.96 is CAST to
+    double in the oracle (DuckDB parses bare literals as DECIMAL — the
+    ts_volatility_ohlc trap). No quantization needed.
+
+    Scale shape: the corpus collapses to per-user units in ONE
+    partial-aggregated pass, then to two 6-number moment buffers. The
+    statistics are control-plane arithmetic. Flat at any event volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.expr(
+            """CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"""
+        ).alias("x"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("y"),
+    ).select(F.expr("user_id % 2").alias("variant"), "x", "y")
+    m = units.groupBy("variant").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(38,2)) * CAST(x AS DECIMAL(38,2)))"
+            " AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr("CAST(SUM(y * y) AS DOUBLE)").alias("syy"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(38,2)) * y) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    d = m.select(
+        "variant",
+        "n",
+        "sx",
+        "sy",
+        F.expr("sx / sy").alias("ratio"),
+        F.expr("sx / n").alias("xbar"),
+        F.expr("sy / n").alias("ybar"),
+        F.expr("(sxx - n * (sx / n) * (sx / n)) / (n - 1)").alias("vx"),
+        F.expr("(syy - n * (sy / n) * (sy / n)) / (n - 1)").alias("vy"),
+        F.expr("(sxy - n * (sx / n) * (sy / n)) / (n - 1)").alias("cxy"),
+    )
+    var_delta = (
+        "(vx - 2.0D * ratio * cxy + ratio * ratio * vy) / (n * ybar * ybar)"
+    )
+    return d.select(
+        F.col("variant").cast("bigint").alias("variant"),
+        "n",
+        F.col("sx").alias("sum_revenue"),
+        F.col("sy").alias("sum_clicks"),
+        "ratio",
+        F.expr(var_delta).alias("var_delta"),
+        F.expr(f"sqrt({var_delta})").alias("se"),
+        F.expr(f"ratio - 1.96D * sqrt({var_delta})").alias("ci_lo"),
+        F.expr(f"ratio + 1.96D * sqrt({var_delta})").alias("ci_hi"),
+    )

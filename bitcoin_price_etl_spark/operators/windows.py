@@ -2822,6 +2822,7 @@ _GK_COEF = "0.3862943611198906"      # 2 ln 2 - 1, pinned likewise
                     - {_GK_COEF} * ln(close / open) * ln(close / open)
                     AS DECIMAL(18,8)) AS gk_term
         FROM bars
+        WHERE low > 0 AND open > 0
     )
     SELECT event_type, bar_date,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_bars,
@@ -2858,8 +2859,12 @@ def ts_volatility_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps long-backed decimal window state (the round-4e fast path).
     Flat at any tick rate.
     """
-    bars = ts_resample_ohlc(spark, sf_dir).select(
-        "event_type", "bar_date", "open", "high", "low", "close"
+    bars = (
+        ts_resample_ohlc(spark, sf_dir)
+        .select("event_type", "bar_date", "open", "high", "low", "close")
+        # a zero tick makes the log-range undefined; real OHLC feeds
+        # drop halted/invalid bars the same way
+        .filter(F.expr("low > 0 AND open > 0"))
     )
     terms = bars.select(
         "event_type",
@@ -2889,4 +2894,132 @@ def ts_volatility_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""CAST(SUM(gk_term) OVER ({w}) AS DOUBLE)
                 / (COUNT(*) OVER ({w}))"""
         ).alias("garman_klass_var"),
+    )
+
+
+_MK_CAP = 128  # bars per series entering the pairwise sign sum
+
+
+@query(
+    "ts_mann_kendall",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    capped AS (
+        SELECT event_type, bar_date, close,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY bar_date
+               ) AS rn
+        FROM bars
+        QUALIFY rn <= {_MK_CAP}
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.close > a.close THEN 1
+                             WHEN b.close < a.close THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM capped a JOIN capped b
+          ON a.event_type = b.event_type AND a.rn < b.rn
+        GROUP BY a.event_type
+    ),
+    nn AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM capped GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_corr
+        FROM (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM capped GROUP BY event_type, close
+        ) GROUP BY event_type
+    )
+    SELECT nn.event_type, nn.n, s.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_corr
+                AS DOUBLE) / 18.0 AS var_s,
+           CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                    / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tie_corr AS DOUBLE) / 18.0)
+                WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                    / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tie_corr AS DOUBLE) / 18.0)
+                ELSE CAST(0.0 AS DOUBLE) END AS z_stat
+    FROM nn JOIN s USING (event_type) JOIN ties USING (event_type)
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per series: the nonparametric is-there-a-
+    monotone-trend significance test over the daily close series — the
+    inference companion to ts_theilsen's slope estimate (the standard
+    pairing: MK says WHETHER the trend is real, Theil-Sen says HOW
+    STEEP), distribution-free where agg_linreg's t-stat assumes
+    Gaussian residuals. S = Sigma sign(close_j - close_i) over ordered
+    pairs; variance tie-corrected: [n(n-1)(2n+5) - Sigma t(t-1)(2t+5)]/18.
+
+    Parity: S and both variance terms are EXACT integer arithmetic
+    (sign comparisons never compute differences); the only float ops
+    are one /18.0, one sqrt, one division — correctly-rounded IEEE on
+    identical operands, bit-identical. The continuity correction
+    (S -/+ 1) branches on the exact integer sign. No quantization.
+
+    Scale shape: the OHLC collapse absorbs tick volume; the pairwise
+    sign join runs over the 128-bar capped grid (the ts_theilsen
+    discipline — Sigma-bounded at 128^2/2 per series); ties and counts
+    are grid aggregates. Flat in corpus size.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    capped = bars.select(
+        "event_type",
+        "close",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("rn"),
+    ).filter(F.col("rn") <= _MK_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.expr(
+                """CAST(SUM(CASE WHEN b.close > a.close THEN 1
+                   WHEN b.close < a.close THEN -1 ELSE 0 END) AS BIGINT)"""
+            ).alias("s_stat")
+        )
+    )
+    nn = capped.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+    )
+    ties = (
+        capped.groupBy("event_type", "close")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)"
+            ).alias("tie_corr")
+        )
+    )
+    var_expr = (
+        "CAST(n * (n - 1) * (2 * n + 5) - tie_corr AS DOUBLE) / 18.0D"
+    )
+    return (
+        nn.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            F.expr(var_expr).alias("var_s"),
+            F.expr(
+                f"""CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt({var_expr})
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt({var_expr})
+                    ELSE CAST(0.0D AS DOUBLE) END"""
+            ).alias("z_stat"),
+        )
     )

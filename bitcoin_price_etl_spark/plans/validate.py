@@ -643,3 +643,127 @@ def validate_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END"""
         ).alias("is_anomalous"),
     )
+
+
+_PSI_BIN_W = 50  # fixed-width n_chars bins: deterministic, engine-neutral
+
+
+@query(
+    "validate_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT n_chars // {_PSI_BIN_W} AS bin,
+               doc_id % 2 = 0 AS is_ref
+        FROM documents
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_ref,
+               CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_new
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT bin, c_ref, c_new,
+               CAST(SUM(c_ref) OVER () AS BIGINT) AS n_ref,
+               CAST(SUM(c_new) OVER () AS BIGINT) AS n_new,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_bins
+        FROM counts
+    ),
+    terms AS (
+        SELECT bin, c_ref, c_new,
+               (CAST(c_ref AS DOUBLE) + 0.5)
+                   / (CAST(n_ref AS DOUBLE) + 0.5 * n_bins) AS p,
+               (CAST(c_new AS DOUBLE) + 0.5)
+                   / (CAST(n_new AS DOUBLE) + 0.5 * n_bins) AS q,
+               CAST(((CAST(c_ref AS DOUBLE) + 0.5)
+                         / (CAST(n_ref AS DOUBLE) + 0.5 * n_bins)
+                     - (CAST(c_new AS DOUBLE) + 0.5)
+                         / (CAST(n_new AS DOUBLE) + 0.5 * n_bins))
+                    * ln(((CAST(c_ref AS DOUBLE) + 0.5)
+                          / (CAST(n_ref AS DOUBLE) + 0.5 * n_bins))
+                         / ((CAST(c_new AS DOUBLE) + 0.5)
+                            / (CAST(n_new AS DOUBLE) + 0.5 * n_bins)))
+                    AS DECIMAL(18,8)) AS psi_term
+        FROM tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, c_ref, c_new,
+           CAST(p AS DOUBLE) AS p_ref,
+           CAST(q AS DOUBLE) AS p_new,
+           CAST(psi_term AS DOUBLE) AS psi_term,
+           CAST(SUM(psi_term) OVER () AS DOUBLE) AS psi_total,
+           CAST(SUM(psi_term) OVER () AS DOUBLE) > 0.2 AS drift_flag
+    FROM terms
+    """,
+)
+def validate_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor: the document-length
+    distribution of the incoming batch (odd doc_ids stand in for the new
+    snapshot) against the reference snapshot (even doc_ids), binned at a
+    fixed width, PSI = Sigma (p-q) ln(p/q) with Laplace-smoothed
+    proportions so empty bins stay finite — the standard model-ops gate
+    (PSI > 0.2 = investigate) between ingest and training, per feature.
+    Complements validate_volume_anomaly (row VOLUME drift) with SHAPE
+    drift.
+
+    Parity: bin ids and counts are exact integers; 0.5 and the bin
+    width are binary-exact literals, so the smoothed proportions are
+    correctly-rounded quotients of identical operands; each PSI term
+    carries libm ln and QUANTIZES through DECIMAL(18,8) before the
+    exact decimal total (the per-term rule); the 0.2 threshold compares
+    a decimal-exact double.
+
+    Scale shape: one partial-aggregated groupBy collapses the corpus to
+    the bounded bin grid (value-range / width bins); the window total
+    rides grid rows. Flat at any corpus size. A real deployment keys
+    this by (feature, day) — same plan with two more group columns.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.expr(f"n_chars DIV {_PSI_BIN_W}").alias("bin"),
+            F.expr("doc_id % 2 = 0").alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("c_ref"),
+            F.expr(
+                "CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)"
+            ).alias("c_new"),
+        )
+    )
+    tot = counts.select(
+        "bin",
+        "c_ref",
+        "c_new",
+        F.expr("CAST(SUM(c_ref) OVER () AS BIGINT)").alias("n_ref"),
+        F.expr("CAST(SUM(c_new) OVER () AS BIGINT)").alias("n_new"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n_bins"),
+    )
+    p = "((c_ref + 0.5D) / (n_ref + 0.5D * n_bins))"
+    q = "((c_new + 0.5D) / (n_new + 0.5D * n_bins))"
+    terms = tot.select(
+        "bin",
+        "c_ref",
+        "c_new",
+        F.expr(f"CAST({p} AS DOUBLE)").alias("p_ref"),
+        F.expr(f"CAST({q} AS DOUBLE)").alias("p_new"),
+        F.expr(
+            f"CAST(({p} - {q}) * ln({p} / {q}) AS DECIMAL(18,8))"
+        ).alias("psi_term_d"),
+    )
+    return terms.select(
+        "bin",
+        "c_ref",
+        "c_new",
+        "p_ref",
+        "p_new",
+        F.expr("CAST(psi_term_d AS DOUBLE)").alias("psi_term"),
+        F.expr("CAST(SUM(psi_term_d) OVER () AS DOUBLE)").alias("psi_total"),
+        F.expr(
+            "CAST(SUM(psi_term_d) OVER () AS DOUBLE) > 0.2D"
+        ).alias("drift_flag"),
+    )

@@ -99,6 +99,8 @@ DOC_KEYS = [
     # slice-grid collapse: the DP release math runs on O(langs x sources)
     # rows no matter the corpus
     "llm_dp_noise",
+    # bounded bin grid: only map-side partials grow
+    "validate_psi_drift",
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",
@@ -122,6 +124,9 @@ EMB_KEYS = [
     # labels irrelevant here: mult x vectors per centroid is the hot-
     # cluster stress on the argmin combine and the (cluster, pos) agg
     "llm_kmeans_train",
+    # anchors multiply with the shifted vec_ids AND the corpus grows —
+    # the probe measures the anchors x corpus broadcast scan shape
+    "llm_hard_negatives",
 ]
 
 
@@ -416,6 +421,19 @@ FACT_KEYS = {
     # 3 fixed groups absorb mult× rows through the rank window — the
     # agg_weighted_median hostile shape, plus two decimal sums
     "agg_winsorized_mean": ("lineitem", "l_orderkey", None),
+    # OHLC partial agg absorbs tick growth before the 20-tap frames
+    "ts_volatility_ohlc": ("events", "event_id", None),
+    # count-paired multiset intersection: (key, count) pairs shuffle,
+    # never rows
+    "set_intersect_all": ("lineitem", "l_orderkey", None),
+    # distinct-price grid collapse + broadcast frontier re-attach
+    "join_skyline_pareto": ("part", "p_partkey", None),
+    # per-user unit collapse absorbs event growth before the two
+    # 6-number moment buffers
+    "ab_ratio_delta_ci": ("events", "event_id", None),
+    # OHLC collapse then the 128-bar capped sign join — flat like
+    # ts_theilsen
+    "ts_mann_kendall": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

@@ -1220,6 +1220,9 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "join_skyline_pareto",
     "ts_volatility_ohlc",
     "set_intersect_all",
+    "ab_ratio_delta_ci",
+    "ts_mann_kendall",
+    "validate_psi_drift",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
