@@ -1108,3 +1108,92 @@ def llm_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("effective_sources"),
         F.expr("CAST(SUM(hhi_term) AS DOUBLE)").alias("hhi"),
     )
+
+
+_ROUTE_ENG = ("table", "query", "join", "scan", "index", "merge", "filter")
+_ROUTE_COM = ("customer", "order", "part", "supplier", "price", "ship")
+
+
+def _duck_lexicon_count(words: tuple) -> str:
+    return (
+        "len(list_filter(str_split(text, ' '), w -> w IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + ")))"
+    )
+
+
+def _spark_lexicon_count(words: tuple) -> str:
+    return (
+        "size(filter(split(text, ' '), w -> w IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + ")))"
+    )
+
+
+@query(
+    "llm_domain_route",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, lang,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST({_duck_lexicon_count(_ROUTE_ENG)} AS BIGINT) AS n_eng,
+               CAST({_duck_lexicon_count(_ROUTE_COM)} AS BIGINT) AS n_com
+        FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_eng, n_com,
+           CAST(n_eng AS DOUBLE) / n_words AS eng_density,
+           CAST(n_com AS DOUBLE) / n_words AS com_density,
+           CASE WHEN n_eng * 20 < n_words AND n_com * 20 < n_words
+                     THEN 'general'
+                WHEN n_eng >= n_com THEN 'data-eng'
+                ELSE 'commerce' END AS domain
+    FROM sig
+    """,
+)
+def llm_domain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based domain router: per-document keyword densities for
+    two domain vocabularies (data-engineering vs commerce terms) decide
+    which downstream pipeline a crawl document feeds — the cheap
+    first-stage router mixed-corpus curation runs before any model-based
+    classifier (each domain then gets its own quality gates and
+    dedup pool). Documents under 5% density in every lexicon route to
+    'general'; ties break deterministically toward the first lexicon.
+
+    Parity: word counts are exact integers from identical
+    split-and-filter semantics (exact whole-word equality — no substring
+    false hits); densities are single correctly-rounded divisions of
+    exact operands; the routing decision compares INTEGERS only
+    (n*20 < n_words avoids any float threshold) — bit-identical
+    everywhere.
+
+    Scale shape: a zero-shuffle projection riding the corpus scan
+    (higher-order array functions stay inside whole-stage codegen —
+    no UDF). Flat at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST({_spark_lexicon_count(_ROUTE_ENG)} AS BIGINT)"
+        ).alias("n_eng"),
+        F.expr(
+            f"CAST({_spark_lexicon_count(_ROUTE_COM)} AS BIGINT)"
+        ).alias("n_com"),
+    )
+    return sig.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_eng",
+        "n_com",
+        F.expr("CAST(n_eng AS DOUBLE) / n_words").alias("eng_density"),
+        F.expr("CAST(n_com AS DOUBLE) / n_words").alias("com_density"),
+        F.expr(
+            """CASE WHEN n_eng * 20 < n_words AND n_com * 20 < n_words
+                    THEN 'general'
+               WHEN n_eng >= n_com THEN 'data-eng'
+               ELSE 'commerce' END"""
+        ).alias("domain"),
+    )

@@ -3023,3 +3023,113 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_stat"),
         )
     )
+
+
+_SAX_SEGMENTS = 8
+_SAX_BP = "0.6745"  # N(0,1) quartile breakpoint for a 4-letter alphabet
+
+
+@query(
+    "ts_sax_symbolize",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    idx AS (
+        SELECT event_type, bar_date, close,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY bar_date
+               ) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(CAST(close AS DECIMAL(38,4)))
+                    OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(close AS DECIMAL(38,4))
+                        * CAST(close AS DECIMAL(38,4)))
+                    OVER (PARTITION BY event_type) AS DOUBLE) AS sxx
+        FROM bars
+    ),
+    z AS (
+        SELECT event_type,
+               ((rn - 1) * {_SAX_SEGMENTS}) // n AS segment,
+               CAST((close - sx / n)
+                    / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
+                    AS DECIMAL(18,8)) AS z_q
+        FROM idx
+    )
+    SELECT event_type, CAST(segment AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(z_q) AS DOUBLE) / COUNT(*) AS paa,
+           CASE WHEN CAST(SUM(z_q) AS DOUBLE) / COUNT(*)
+                     < -CAST({_SAX_BP} AS DOUBLE) THEN 'a'
+                WHEN CAST(SUM(z_q) AS DOUBLE) / COUNT(*)
+                     < 0.0 THEN 'b'
+                WHEN CAST(SUM(z_q) AS DOUBLE) / COUNT(*)
+                     < CAST({_SAX_BP} AS DOUBLE) THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z GROUP BY event_type, segment
+    """,
+)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic approximation per series (Lin et al. 2003): z-
+    normalize the daily close series, average into 8 equal PAA segments,
+    and map each segment mean onto a 4-letter alphabet by the N(0,1)
+    quartile breakpoints — the representation motif-mining, similarity
+    indexing, and anomaly dictionaries run on, turning a numeric series
+    into a short word ('bcaddcab') that hashes and joins like text.
+
+    Parity: series mean/variance come from exact DECIMAL(38,4) moments
+    (order-insensitive), so each z-score is a correctly-rounded IEEE
+    chain on identical operands; z QUANTIZES through DECIMAL(18,8)
+    per element before the segment sums (partial-agg double sums would
+    differ by regrouping — rule 2b), and the PAA mean divides the exact
+    decimal sum once. Segment ids are pure integer arithmetic
+    ((rn-1)*8 DIV n — never floor() on an inexact double), and the
+    breakpoint literal CASTs to DOUBLE in the oracle (the decimal-
+    literal trap). Breakpoint comparisons run on identical doubles.
+
+    Scale shape: the OHLC collapse absorbs ticks; both window passes
+    ride ONE (event_type) exchange over bar rows; the segment agg is a
+    partial-agg'd groupBy on the bounded (series x 8) grid. Flat.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    idx = bars.select(
+        "event_type",
+        "close",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("rn"),
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("n"),
+        F.expr(
+            """CAST(SUM(CAST(close AS DECIMAL(38,4)))
+               OVER (PARTITION BY event_type) AS DOUBLE)"""
+        ).alias("sx"),
+        F.expr(
+            """CAST(SUM(CAST(close AS DECIMAL(38,4))
+                        * CAST(close AS DECIMAL(38,4)))
+               OVER (PARTITION BY event_type) AS DOUBLE)"""
+        ).alias("sxx"),
+    )
+    z = idx.select(
+        "event_type",
+        F.expr(f"((rn - 1) * {_SAX_SEGMENTS}) DIV n").alias("segment"),
+        F.expr(
+            """CAST((close - sx / n)
+               / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
+               AS DECIMAL(18,8))"""
+        ).alias("z_q"),
+    )
+    paa = "CAST(SUM(z_q) AS DOUBLE) / COUNT(*)"
+    return z.groupBy(
+        "event_type", F.col("segment").cast("bigint").alias("segment")
+    ).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_obs"),
+        F.expr(paa).alias("paa"),
+        F.expr(
+            f"""CASE WHEN {paa} < -{_SAX_BP}D THEN 'a'
+                WHEN {paa} < 0.0D THEN 'b'
+                WHEN {paa} < {_SAX_BP}D THEN 'c'
+                ELSE 'd' END"""
+        ).alias("symbol"),
+    )

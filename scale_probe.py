@@ -101,6 +101,8 @@ DOC_KEYS = [
     "llm_dp_noise",
     # bounded bin grid: only map-side partials grow
     "validate_psi_drift",
+    # zero-shuffle codegen projection: per-row constant cost
+    "llm_domain_route",
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",
@@ -434,6 +436,9 @@ FACT_KEYS = {
     # OHLC collapse then the 128-bar capped sign join — flat like
     # ts_theilsen
     "ts_mann_kendall": ("events", "event_id", None),
+    # OHLC collapse; both window passes share one exchange; the PAA
+    # grid is series x 8
+    "ts_sax_symbolize": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

@@ -1223,6 +1223,8 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ab_ratio_delta_ci",
     "ts_mann_kendall",
     "validate_psi_drift",
+    "ts_sax_symbolize",
+    "llm_domain_route",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
