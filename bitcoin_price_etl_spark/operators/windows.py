@@ -3133,3 +3133,215 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'd' END"""
         ).alias("symbol"),
     )
+
+
+_HURST_WS = (5, 10, 15)  # block sizes for the R/S log-log regression
+
+
+@query(
+    "ts_hurst_rs",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    idx AS (
+        SELECT event_type, close,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY bar_date
+               ) AS rn
+        FROM bars
+    ),
+    blocks AS (
+        SELECT i.event_type, w.w, i.close,
+               (i.rn - 1) // w.w AS blk,
+               row_number() OVER (
+                   PARTITION BY i.event_type, w.w, (i.rn - 1) // w.w
+                   ORDER BY i.rn
+               ) AS brn
+        FROM idx i CROSS JOIN (
+            SELECT unnest([{", ".join(str(w) for w in _HURST_WS)}]) AS w
+        ) w
+    ),
+    full_blocks AS (
+        SELECT event_type, w, blk, close, brn,
+               CAST(SUM(CAST(close AS DECIMAL(38,4)))
+                    OVER (PARTITION BY event_type, w, blk) AS DOUBLE) AS bs,
+               COUNT(*) OVER (PARTITION BY event_type, w, blk) AS bc
+        FROM blocks
+        QUALIFY bc = w
+    ),
+    devs AS (
+        SELECT event_type, w, blk,
+               CAST(close - bs / w AS DECIMAL(18,8)) AS dev_q,
+               CAST((close - bs / w) * (close - bs / w)
+                    AS DECIMAL(18,8)) AS dev2_q,
+               brn
+        FROM full_blocks
+    ),
+    cums AS (
+        SELECT event_type, w, blk,
+               SUM(dev_q) OVER (
+                   PARTITION BY event_type, w, blk ORDER BY brn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               CAST(SUM(dev2_q) OVER (PARTITION BY event_type, w, blk)
+                    AS DOUBLE) AS ss
+        FROM devs
+    ),
+    rs AS (
+        SELECT event_type, w, blk,
+               CAST(CAST(MAX(cum) - MIN(cum) AS DOUBLE)
+                    / sqrt(CAST(MAX(ss) AS DOUBLE) / w)
+                    AS DECIMAL(18,8)) AS rs_q
+        FROM cums
+        GROUP BY event_type, w, blk
+        HAVING CAST(MAX(ss) AS DOUBLE) > 0.0
+    ),
+    pts AS (
+        SELECT event_type, w,
+               CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(18,8)) AS x_q,
+               CAST(ln(CAST(SUM(rs_q) AS DOUBLE) / COUNT(*))
+                    AS DECIMAL(18,8)) AS y_q,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM rs GROUP BY event_type, w
+    )
+    SELECT event_type, CAST(w AS BIGINT) AS w, n_blocks,
+           CAST(y_q AS DOUBLE) AS ln_rs,
+           CAST(CAST((COUNT(*) OVER (PARTITION BY event_type)
+                  * CAST(SUM(x_q * y_q)
+                     OVER (PARTITION BY event_type) AS DOUBLE)
+                 - CAST(SUM(x_q) OVER (PARTITION BY event_type) AS DOUBLE)
+                   * CAST(SUM(y_q) OVER (PARTITION BY event_type) AS DOUBLE))
+                / (COUNT(*) OVER (PARTITION BY event_type)
+                   * CAST(SUM(x_q * x_q) OVER (PARTITION BY event_type)
+                          AS DOUBLE)
+                   - CAST(SUM(x_q) OVER (PARTITION BY event_type) AS DOUBLE)
+                     * CAST(SUM(x_q) OVER (PARTITION BY event_type)
+                            AS DOUBLE))
+                AS DECIMAL(12,6)) AS DOUBLE) AS hurst
+    FROM pts
+    """,
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis per series: split the
+    daily close series into blocks of 5/10/15 bars, compute each block's
+    R/S (range of cumulative mean-deviations over its std), and read H
+    as the log-log slope of mean R/S vs block size — the long-memory
+    diagnostic (H > 0.5 trending, < 0.5 mean-reverting) quant research
+    runs before choosing momentum vs reversion models (Hurst 1951;
+    Mandelbrot's R/S form).
+
+    Parity: block sums are exact decimals; per-element deviations and
+    their squares QUANTIZE to DECIMAL(18,8) so the ordered cumulative
+    sum and the block sum-of-squares are exact decimal arithmetic
+    (window-internal double summation order is NOT cross-engine-stable —
+    rule 2b); R/S divides exact-decimal-derived doubles, re-quantizes;
+    ln(mean R/S) and ln(w) quantize (libm); the slope's moment algebra
+    runs in exact decimal products cast to double for ONE final division
+    (never decimal/decimal — result scales differ, the tpch_q14
+    lesson), and the slope QUANTIZES through DECIMAL(12,6): the a*b-c*d
+    product-difference is FMA-contractable in a C engine (one rounding)
+    but not on the JVM (two) — a genuine 1-ulp divergence class distinct
+    from libm, observed here and absorbed by the quantize. Degenerate
+    constant blocks (S = 0) are excluded in both engines.
+
+    Scale shape: OHLC collapse absorbs ticks; the x3 block-size expand
+    rides the bar grid map-side; every window partitions by
+    (series, w, block) — bounded frames, one exchange. Flat.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    idx = bars.select(
+        "event_type",
+        "close",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("rn"),
+    )
+    blocks = idx.select(
+        "event_type",
+        F.explode(
+            F.expr(f"array({', '.join(str(w) for w in _HURST_WS)})")
+        ).alias("w"),
+        "close",
+        "rn",
+    ).select(
+        "event_type",
+        "w",
+        "close",
+        F.expr("(rn - 1) DIV w").alias("blk"),
+        F.expr(
+            """row_number() OVER (
+                   PARTITION BY event_type, w, (rn - 1) DIV w ORDER BY rn
+               )"""
+        ).alias("brn"),
+    )
+    full_blocks = blocks.select(
+        "*",
+        F.expr(
+            """CAST(SUM(CAST(close AS DECIMAL(38,4)))
+               OVER (PARTITION BY event_type, w, blk) AS DOUBLE)"""
+        ).alias("bs"),
+        F.expr("COUNT(*) OVER (PARTITION BY event_type, w, blk)").alias("bc"),
+    ).filter(F.expr("bc = w"))
+    devs = full_blocks.select(
+        "event_type",
+        "w",
+        "blk",
+        "brn",
+        F.expr("CAST(close - bs / w AS DECIMAL(18,8))").alias("dev_q"),
+        F.expr(
+            "CAST((close - bs / w) * (close - bs / w) AS DECIMAL(18,8))"
+        ).alias("dev2_q"),
+    )
+    cums = devs.select(
+        "event_type",
+        "w",
+        "blk",
+        F.expr(
+            """SUM(dev_q) OVER (
+                   PARTITION BY event_type, w, blk ORDER BY brn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )"""
+        ).alias("cum"),
+        F.expr(
+            """CAST(SUM(dev2_q) OVER (PARTITION BY event_type, w, blk)
+               AS DOUBLE)"""
+        ).alias("ss"),
+    )
+    rs = (
+        cums.groupBy("event_type", "w", "blk")
+        .agg(
+            F.expr(
+                """CAST(CAST(MAX(cum) - MIN(cum) AS DOUBLE)
+                   / sqrt(CAST(MAX(ss) AS DOUBLE) / w)
+                   AS DECIMAL(18,8))"""
+            ).alias("rs_q"),
+            F.expr("CAST(MAX(ss) AS DOUBLE)").alias("ss_max"),
+        )
+        .filter(F.col("ss_max") > 0.0)
+    )
+    pts = rs.groupBy("event_type", "w").agg(
+        F.expr("CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(18,8))").alias("x_q"),
+        F.expr(
+            "CAST(ln(CAST(SUM(rs_q) AS DOUBLE) / COUNT(*)) AS DECIMAL(18,8))"
+        ).alias("y_q"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_blocks"),
+    )
+    slope = (
+        "CAST((COUNT(*) OVER (PARTITION BY event_type)"
+        " * CAST(SUM(x_q * y_q) OVER (PARTITION BY event_type) AS DOUBLE)"
+        " - CAST(SUM(x_q) OVER (PARTITION BY event_type) AS DOUBLE)"
+        " * CAST(SUM(y_q) OVER (PARTITION BY event_type) AS DOUBLE))"
+        " / (COUNT(*) OVER (PARTITION BY event_type)"
+        " * CAST(SUM(x_q * x_q) OVER (PARTITION BY event_type) AS DOUBLE)"
+        " - CAST(SUM(x_q) OVER (PARTITION BY event_type) AS DOUBLE)"
+        " * CAST(SUM(x_q) OVER (PARTITION BY event_type) AS DOUBLE))"
+        " AS DECIMAL(12,6))"
+    )
+    return pts.select(
+        "event_type",
+        F.col("w").cast("bigint").alias("w"),
+        "n_blocks",
+        F.expr("CAST(y_q AS DOUBLE)").alias("ln_rs"),
+        F.expr(f"CAST({slope} AS DOUBLE)").alias("hurst"),
+    )

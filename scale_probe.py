@@ -439,6 +439,8 @@ FACT_KEYS = {
     # OHLC collapse; both window passes share one exchange; the PAA
     # grid is series x 8
     "ts_sax_symbolize": ("events", "event_id", None),
+    # OHLC collapse; bounded (series x w x block) window frames
+    "ts_hurst_rs": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

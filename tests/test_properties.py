@@ -1225,6 +1225,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "validate_psi_drift",
     "ts_sax_symbolize",
     "llm_domain_route",
+    "ts_hurst_rs",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
