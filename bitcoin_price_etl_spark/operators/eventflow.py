@@ -1072,3 +1072,109 @@ def cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ).alias("survival"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ), revenue AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS BIGINT)
+                   AS week_offset,
+               SUM(CASE WHEN e.event_type = 'purchase'
+                        THEN CAST(e.value AS DECIMAL(38,2))
+                        ELSE CAST(0 AS DECIMAL(38,2)) END) AS wk_rev
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY f.cohort_week, 2
+    ), cum AS (
+        SELECT cohort_week, week_offset,
+               CAST(wk_rev AS DOUBLE) AS wk_revenue,
+               CAST(SUM(wk_rev) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum_revenue
+        FROM revenue
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           c.week_offset, s.cohort_size, c.wk_revenue, c.cum_revenue,
+           c.cum_revenue / s.cohort_size AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative purchase revenue per signup-week
+    cohort by week-of-life, normalized per cohort member — the
+    lifetime-value readout growth finance pairs with cohort_retention
+    (retention counts WHO came back; LTV sums WHAT they spent), and the
+    payback-period input (LTV curve vs acquisition cost).
+
+    Parity: weekly revenue is an exact DECIMAL(38,2) sum; the cohort
+    cumulative runs IN DECIMAL over the ordered offset frame (exact,
+    order-insensitive) and casts to double once; the per-user division
+    is one correctly-rounded quotient by an exact integer. Week
+    truncation and offsets are the cohort_retention discipline.
+
+    Scale shape: the firsts frame is one user_id exchange; the revenue
+    join-back reuses it; the weekly grid aggregate is the second
+    exchange over |cohorts| x |offsets| keys; the cumulative window and
+    the broadcast size join ride grid rows. Event payloads never
+    shuffle twice.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("cohort_size")
+    )
+    revenue = (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "event_type",
+            "value",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.expr(
+                """SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(value AS DECIMAL(38,2))
+                   ELSE CAST(0 AS DECIMAL(38,2)) END)"""
+            ).alias("wk_rev")
+        )
+    )
+    cum = revenue.select(
+        "cohort_week",
+        "week_offset",
+        F.expr("CAST(wk_rev AS DOUBLE)").alias("wk_revenue"),
+        F.expr(
+            """CAST(SUM(wk_rev) OVER (
+                   PARTITION BY cohort_week ORDER BY week_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE)"""
+        ).alias("cum_revenue"),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "cohort_size",
+            "wk_revenue",
+            "cum_revenue",
+            F.expr("cum_revenue / cohort_size").alias("ltv_per_user"),
+        )
+    )

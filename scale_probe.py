@@ -441,6 +441,9 @@ FACT_KEYS = {
     "ts_sax_symbolize": ("events", "event_id", None),
     # OHLC collapse; bounded (series x w x block) window frames
     "ts_hurst_rs": ("events", "event_id", None),
+    # user-keyed firsts + join-back reuse one exchange; the weekly grid
+    # absorbs growth before the cumulative window
+    "cohort_ltv_curve": ("events", "event_id", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

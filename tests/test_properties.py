@@ -1226,6 +1226,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ts_sax_symbolize",
     "llm_domain_route",
     "ts_hurst_rs",
+    "cohort_ltv_curve",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
