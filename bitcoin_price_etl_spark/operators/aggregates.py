@@ -1505,3 +1505,115 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)"
         ).alias("raw_mean"),
     )
+
+
+@query(
+    "agg_theil_index",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders
+        WHERE o_totalprice > 0
+    ),
+    stats AS (
+        SELECT grp, x,
+               CAST(SUM(CAST(x AS DECIMAL(38,2))) OVER () AS DOUBLE) AS s_all,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_all,
+               CAST(SUM(CAST(x AS DECIMAL(38,2))) OVER (PARTITION BY grp)
+                    AS DOUBLE) AS s_grp,
+               CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_grp
+        FROM base
+    ),
+    terms AS (
+        SELECT grp, s_all, n_all, s_grp, n_grp,
+               CAST((x / s_all) * ln(x / (s_all / n_all))
+                    AS DECIMAL(18,12)) AS t_total,
+               CAST((x / s_all) * ln(x / (s_grp / n_grp))
+                    AS DECIMAL(18,12)) AS t_within
+        FROM stats
+    ),
+    grouped AS (
+        SELECT grp,
+               MAX(n_grp) AS n,
+               MAX(s_grp) / MAX(n_grp) AS mean_grp,
+               CAST(SUM(t_within) AS DOUBLE) AS theil_within,
+               CAST(CAST((MAX(s_grp) / MAX(s_all))
+                    * ln((MAX(s_grp) / MAX(n_grp))
+                         / (MAX(s_all) / MAX(n_all)))
+                    AS DECIMAL(18,12)) AS DOUBLE) AS theil_between,
+               CAST(SUM(t_total) AS DOUBLE) AS theil_contrib
+        FROM terms GROUP BY grp
+    )
+    SELECT grp, n, mean_grp, theil_within, theil_between, theil_contrib,
+           CAST(SUM(CAST(theil_contrib AS DECIMAL(18,12))) OVER ()
+                AS DOUBLE) AS theil_total
+    FROM grouped
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality index with within/between decomposition: how
+    unequal are order values, and how much of that inequality lives
+    INSIDE priority classes vs BETWEEN them — the decomposable
+    inequality measure (Theil 1967) that agg_gini cannot decompose
+    (Gini's group terms overlap; Theil's are additive:
+    T = Sigma_g within_g + Sigma_g between_g).
+
+    Parity: group/global sums are exact decimals cast once to double,
+    so every share and mean is a correctly-rounded quotient of
+    identical operands; each per-row term carries libm ln and QUANTIZES
+    through DECIMAL(18,12) before the exact decimal group sums (the
+    per-term rule — scale 12 because shares shrink with corpus size);
+    the between term quantizes the same way; the grand total re-sums
+    the per-group doubles through decimal.
+
+    Scale shape: two window passes (global + per-group stats) ride one
+    exchange each over the scan; the term aggregation partial-aggs into
+    5 group rows. The per-row ln is the honest cost — one libm call per
+    row, map-side, no extra shuffle. Linear scan, flat shuffle.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    stats = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER () AS DOUBLE)"
+        ).alias("s_all"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n_all"),
+        F.expr(
+            """CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+               OVER (PARTITION BY o_orderpriority) AS DOUBLE)"""
+        ).alias("s_grp"),
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)"
+        ).alias("n_grp"),
+    )
+    terms = stats.select(
+        "grp",
+        "s_all",
+        "n_all",
+        "s_grp",
+        "n_grp",
+        F.expr(
+            "CAST((x / s_all) * ln(x / (s_all / n_all)) AS DECIMAL(18,12))"
+        ).alias("t_total"),
+        F.expr(
+            "CAST((x / s_all) * ln(x / (s_grp / n_grp)) AS DECIMAL(18,12))"
+        ).alias("t_within"),
+    )
+    grouped = terms.groupBy("grp").agg(
+        F.expr("MAX(n_grp)").alias("n"),
+        F.expr("MAX(s_grp) / MAX(n_grp)").alias("mean_grp"),
+        F.expr("CAST(SUM(t_within) AS DOUBLE)").alias("theil_within"),
+        F.expr(
+            """CAST(CAST((MAX(s_grp) / MAX(s_all))
+               * ln((MAX(s_grp) / MAX(n_grp)) / (MAX(s_all) / MAX(n_all)))
+               AS DECIMAL(18,12)) AS DOUBLE)"""
+        ).alias("theil_between"),
+        F.expr("CAST(SUM(t_total) AS DOUBLE)").alias("theil_contrib"),
+    )
+    return grouped.select(
+        "*",
+        F.expr(
+            """CAST(SUM(CAST(theil_contrib AS DECIMAL(18,12))) OVER ()
+               AS DOUBLE)"""
+        ).alias("theil_total"),
+    )

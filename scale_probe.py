@@ -444,6 +444,8 @@ FACT_KEYS = {
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
+    # per-row ln rides the scan map-side; 5 fixed groups absorb growth
+    "agg_theil_index": ("orders", "o_orderkey", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

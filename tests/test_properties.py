@@ -1227,6 +1227,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "llm_domain_route",
     "ts_hurst_rs",
     "cohort_ltv_curve",
+    "agg_theil_index",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
