@@ -1197,3 +1197,163 @@ def llm_domain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'commerce' END"""
         ).alias("domain"),
     )
+
+
+_BM25_QUERY = ("table", "join", "merge")  # the fixed probe query
+_BM25_K1, _BM25_B = "1.2", "0.75"
+_BM25_TOPK = 20
+
+
+@query(
+    "llm_bm25_rank",
+    oracle=f"""
+    WITH doclen AS (
+        SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+               text
+        FROM documents
+    ),
+    avgl AS (
+        SELECT doc_id, dl, text,
+               CAST(SUM(dl) OVER () AS DOUBLE)
+                   / (COUNT(*) OVER ()) AS avgdl,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_docs
+        FROM doclen
+    ),
+    tf AS (
+        SELECT a.doc_id, a.dl, a.avgdl, a.n_docs, q.term,
+               CAST(len(list_filter(str_split(a.text, ' '),
+                        w -> w = q.term)) AS BIGINT) AS f
+        FROM avgl a CROSS JOIN (
+            SELECT unnest([{", ".join(f"'{t}'" for t in _BM25_QUERY)}])
+                AS term
+        ) q
+    ),
+    df AS (
+        SELECT term, CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_df
+        FROM tf GROUP BY term
+    ),
+    ratio AS (
+        SELECT t.doc_id, t.f, d.n_df, t.n_docs,
+               CAST(CAST(t.dl AS DOUBLE) / t.avgdl AS DECIMAL(18,12)) AS r_q
+        FROM tf t JOIN df d ON t.term = d.term
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(
+                   CAST(CAST(ln((CAST(n_docs - n_df AS DOUBLE) + 0.5)
+                           / (CAST(n_df AS DOUBLE) + 0.5) + 1.0)
+                        AS DECIMAL(18,10)) AS DOUBLE)
+                   * CAST(CAST(CAST(f * CAST(2.2 AS DECIMAL(2,1)) AS DOUBLE)
+                       / CAST(f + CAST(1.2 AS DECIMAL(2,1))
+                          * (CAST(0.25 AS DECIMAL(3,2))
+                             + CAST(0.75 AS DECIMAL(3,2)) * r_q)
+                          AS DOUBLE)
+                       AS DECIMAL(18,10)) AS DOUBLE)
+                   AS DECIMAL(18,10)) AS term_score
+        FROM ratio
+    )
+    SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed probe query —
+    the retrieval scorer (Robertson-Sparck Jones; the Lucene/retrieval-
+    pipeline default) behind RAG candidate selection and dedup-aware
+    search, completing the text stack: llm_tfidf builds WEIGHTS,
+    this RANKS against a query with length normalization and term
+    saturation (k1 = 1.2, b = 0.75, the +1 idf smoothing that keeps
+    scores positive).
+
+    Parity: term frequencies, document lengths, and document
+    frequencies are exact integers from whole-word splits; avgdl is one
+    exact-sum division. The idf carries libm ln -> quantized
+    DECIMAL(18,10); the saturation factor is a correctly-rounded chain
+    of identical operands, quantized to the same scale so the per-term
+    product is EXACT decimal x decimal; per-doc sums are exact decimal;
+    k1/b literals appear only inside quantized factors (decimal-literal
+    trap contained). Top-k orders by (bm25 DESC, doc_id) — total order.
+
+    Scale shape: the x|query| expand rides the corpus scan map-side
+    (bounded by query length); df is a tiny per-term aggregate
+    broadcast back; the final is TakeOrderedAndProject — no global
+    sort. At 100 TB the same plan serves batched query sets by making
+    the query a broadcast table (the llm_hard_negatives posture).
+    """
+    d = load(spark, sf_dir, "documents")
+    avgl = d.select(
+        "doc_id",
+        "text",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("dl"),
+    ).select(
+        "doc_id",
+        "text",
+        "dl",
+        F.expr(
+            "CAST(SUM(dl) OVER () AS DOUBLE) / (COUNT(*) OVER ())"
+        ).alias("avgdl"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n_docs"),
+    )
+    tf = avgl.select(
+        "doc_id",
+        "dl",
+        "avgdl",
+        "n_docs",
+        F.explode(
+            F.expr(
+                "array(" + ", ".join(f"'{t}'" for t in _BM25_QUERY) + ")"
+            )
+        ).alias("term"),
+        "text",
+    ).select(
+        "doc_id",
+        "dl",
+        "avgdl",
+        "n_docs",
+        "term",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), w -> w = term)) AS BIGINT)"
+        ).alias("f"),
+    )
+    df = tf.groupBy("term").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "f",
+            "n_df",
+            "n_docs",
+            F.expr(
+                "CAST(CAST(dl AS DOUBLE) / avgdl AS DECIMAL(18,12))"
+            ).alias("r_q"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                """CAST(
+                   CAST(CAST(ln((CAST(n_docs - n_df AS DOUBLE) + 0.5D)
+                           / (CAST(n_df AS DOUBLE) + 0.5D) + 1.0D)
+                        AS DECIMAL(18,10)) AS DOUBLE)
+                   * CAST(CAST(CAST(f * CAST(2.2 AS DECIMAL(2,1)) AS DOUBLE)
+                       / CAST(f + CAST(1.2 AS DECIMAL(2,1))
+                          * (CAST(0.25 AS DECIMAL(3,2))
+                             + CAST(0.75 AS DECIMAL(3,2)) * r_q)
+                          AS DOUBLE)
+                       AS DECIMAL(18,10)) AS DOUBLE)
+                   AS DECIMAL(18,10))"""
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.expr("CAST(SUM(term_score) AS DOUBLE)").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -103,6 +103,8 @@ DOC_KEYS = [
     "validate_psi_drift",
     # zero-shuffle codegen projection: per-row constant cost
     "llm_domain_route",
+    # x|query| map-side expand + tiny broadcast df + TakeOrdered top-k
+    "llm_bm25_rank",
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",
