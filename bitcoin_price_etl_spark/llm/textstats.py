@@ -1284,19 +1284,18 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query a broadcast table (the llm_hard_negatives posture).
     """
     d = load(spark, sf_dir, "documents")
-    avgl = d.select(
+    lens = d.select(
         "doc_id",
         "text",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("dl"),
-    ).select(
-        "doc_id",
-        "text",
-        "dl",
-        F.expr(
-            "CAST(SUM(dl) OVER () AS DOUBLE) / (COUNT(*) OVER ())"
-        ).alias("avgdl"),
-        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n_docs"),
     )
+    # corpus stats via a 1-row broadcast aggregate — never OVER () on the
+    # raw corpus (the agg_theil_index single-partition cliff)
+    corpus = lens.agg(
+        F.expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").alias("avgdl"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+    )
+    avgl = lens.crossJoin(F.broadcast(corpus))
     tf = avgl.select(
         "doc_id",
         "dl",

@@ -1627,3 +1627,111 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS DOUBLE)"""
         ).alias("theil_total"),
     )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MAX(o_orderdate) AS DATE) AS max_day FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT max_day FROM bounds)) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY recency_days, o_custkey) AS rr,
+               row_number() OVER (ORDER BY frequency, o_custkey) AS fr,
+               row_number() OVER (ORDER BY monetary, o_custkey) AS mr,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM per_cust
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary,
+           CAST(5 - ((rr - 1) * 5) // n AS BIGINT) AS r_score,
+           CAST(((fr - 1) * 5) // n + 1 AS BIGINT) AS f_score,
+           CAST(((mr - 1) * 5) // n + 1 AS BIGINT) AS m_score,
+           CASE WHEN 5 - ((rr - 1) * 5) // n >= 4
+                     AND ((fr - 1) * 5) // n + 1 >= 4 THEN 'champion'
+                WHEN 5 - ((rr - 1) * 5) // n <= 2
+                     AND ((mr - 1) * 5) // n + 1 >= 4 THEN 'at-risk-high-value'
+                WHEN 5 - ((rr - 1) * 5) // n <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM ranked
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order), Frequency (order count), Monetary (decimal-exact lifetime
+    spend), each scored 1-5 by exact rank quintile, then bucketed into
+    the marketing segments ('champion', 'at-risk-high-value', ...) —
+    the workhorse lifecycle segmentation every commerce warehouse
+    ships (Hughes 1994), feeding campaign targeting and the LTV curve's
+    cohort cuts.
+
+    Parity: recency/frequency are exact integers, monetary is an exact
+    decimal sum cast once; quintile scores use the ts_sax_symbolize
+    integer-rank trick (((rank-1)*5) DIV n — never ntile(), whose
+    remainder distribution is engine-defined, and never float
+    percentiles) over total orders (metric, custkey) — deterministic
+    under ties; segment labels branch on the integer scores only.
+
+    Scale shape: one partial-aggregated groupBy collapses orders to
+    customers; the three rank windows are single-partition over the
+    CUSTOMER grid (documented cliff bound: customer cardinality — at
+    100 TB swap for range-partitioned percent_rank or pre-computed
+    quantile bounds via agg_approx_percentile, both certified); the
+    1-row max-date aggregate broadcasts.
+    """
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(F.expr("CAST(MAX(o_orderdate) AS DATE)").alias("max_day"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr("CAST(MAX(o_orderdate) AS DATE)").alias("last_day"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("frequency"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)"
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            F.expr("CAST(datediff(max_day, last_day) AS BIGINT)").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    ranked = per_cust.select(
+        "*",
+        F.expr("row_number() OVER (ORDER BY recency_days, o_custkey)").alias("rr"),
+        F.expr("row_number() OVER (ORDER BY frequency, o_custkey)").alias("fr"),
+        F.expr("row_number() OVER (ORDER BY monetary, o_custkey)").alias("mr"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n"),
+    )
+    return ranked.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.expr("CAST(5 - ((rr - 1) * 5) DIV n AS BIGINT)").alias("r_score"),
+        F.expr("CAST(((fr - 1) * 5) DIV n + 1 AS BIGINT)").alias("f_score"),
+        F.expr("CAST(((mr - 1) * 5) DIV n + 1 AS BIGINT)").alias("m_score"),
+        F.expr(
+            """CASE WHEN 5 - ((rr - 1) * 5) DIV n >= 4
+                    AND ((fr - 1) * 5) DIV n + 1 >= 4 THEN 'champion'
+               WHEN 5 - ((rr - 1) * 5) DIV n <= 2
+                    AND ((mr - 1) * 5) DIV n + 1 >= 4
+                    THEN 'at-risk-high-value'
+               WHEN 5 - ((rr - 1) * 5) DIV n <= 2 THEN 'hibernating'
+               ELSE 'regular' END"""
+        ).alias("segment"),
+    )

@@ -448,6 +448,8 @@ FACT_KEYS = {
     "cohort_ltv_curve": ("events", "event_id", None),
     # per-row ln rides the scan map-side; 5 fixed groups absorb growth
     "agg_theil_index": ("orders", "o_orderkey", None),
+    # orders collapse to the fixed customer grid before the rank windows
+    "agg_rfm_segmentation": ("orders", "o_orderkey", None),
 }
 
 # keys that ALSO read an unscaled dimension: copied through verbatim so

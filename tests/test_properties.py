@@ -1229,6 +1229,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "cohort_ltv_curve",
     "agg_theil_index",
     "llm_bm25_rank",
+    "agg_rfm_segmentation",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
