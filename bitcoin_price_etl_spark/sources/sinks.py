@@ -792,3 +792,63 @@ def sink_snapshot_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "sink_export_jsonl",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           MIN(md5(CAST(to_json(struct_pack(
+               doc_id := doc_id, lang := lang, text := text
+           )) AS VARCHAR))) AS min_line_md5,
+           MAX(md5(CAST(to_json(struct_pack(
+               doc_id := doc_id, lang := lang, text := text
+           )) AS VARCHAR))) AS max_line_md5,
+           CAST(SUM(length(CAST(to_json(struct_pack(
+               doc_id := doc_id, lang := lang, text := text
+           )) AS VARCHAR))) AS BIGINT) AS n_bytes
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus export — THE LLM-data interchange format (one JSON
+    object per line; what dataloaders, HF datasets, and eval harnesses
+    ingest) — written lang-partitioned via the text sink, then READ
+    BACK and summarized per language (line counts, content-hash bounds,
+    byte volume), so the check certifies the export round-trip byte
+    for byte, the sink_training_shards discipline applied to the
+    JSONL layout.
+
+    Parity: Spark's to_json and DuckDB's to_json(struct_pack(...))
+    render IDENTICAL compact JSON for (bigint, string, string) fields
+    in declaration order (probed: same escaping, same spacing), so the
+    oracle recomputes per-line md5 from the source view while the
+    engine hashes the lines read back from disk — any lost, duplicated,
+    or mangled line flips min/max hash, count, or byte volume.
+
+    Scale shape: one partitionBy(lang) text write (the fanout dial is
+    the partition column), one line-source read-back, one partial-agg'd
+    groupBy. Lines stream — nothing collects.
+    """
+    d = load(spark, sf_dir, "documents")
+    target = sink_path("export_jsonl/documents_jsonl")
+    delete_path(spark, target)
+    d.select(
+        "lang",
+        F.expr(
+            "to_json(struct(doc_id AS doc_id, lang AS lang, text AS text))"
+        ).alias("value"),
+    ).write.partitionBy("lang").text(target)
+    back = (
+        spark.read.format("text")
+        .option("pathGlobFilter", "*.txt")
+        .load(target + "/lang=*/")
+        .withColumn("lang", F.get_json_object("value", "$.lang"))
+    )
+    return back.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        F.expr("MIN(md5(value))").alias("min_line_md5"),
+        F.expr("MAX(md5(value))").alias("max_line_md5"),
+        F.expr("CAST(SUM(length(value)) AS BIGINT)").alias("n_bytes"),
+    )

@@ -105,6 +105,8 @@ DOC_KEYS = [
     "llm_domain_route",
     # x|query| map-side expand + tiny broadcast df + TakeOrdered top-k
     "llm_bm25_rank",
+    # partitioned text write + read-back agg: volume linear, commit O(1)
+    "sink_export_jsonl",
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",
