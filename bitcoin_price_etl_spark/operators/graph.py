@@ -480,3 +480,110 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common_parts"))
         .filter(F.col("n_common_parts") >= BIPROJ_MIN_COMMON)
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT u, v FROM pairs GROUP BY u, v
+        HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), m AS (
+        SELECT CAST(SUM(du.d * dv.d) AS BIGINT) AS s_jk,
+               CAST(SUM(du.d + dv.d) AS BIGINT) AS s_j,
+               CAST(SUM(du.d * du.d + dv.d * dv.d) AS BIGINT) AS s_jj,
+               CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM edges e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           n_edges, s_jk, s_j, s_jj,
+           CAST(CAST(2 * n_edges * 2 * s_jk - s_j * s_j AS DOUBLE)
+                / CAST(2 * n_edges * s_jj - s_j * s_j AS DOUBLE)
+                AS DOUBLE) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman 2002):
+    the Pearson correlation of endpoint degrees across edges — positive
+    means hubs link to hubs (social-network shape), negative means
+    hub-and-spoke (catalog/infrastructure shape). The one-number
+    mixing diagnostic that tells a recommender team which graph family
+    their co-occurrence structure belongs to, completing the graph
+    suite's global metrics beside clustering (triangle census).
+
+    Newman's r over the 2M directed endpoint pairs reduces to pure
+    INTEGER moments: r = (4M*S_jk - S_j^2) / (2M*S_jj - S_j^2) with
+    S_jk = Sigma du*dv, S_j = Sigma (du+dv), S_jj = Sigma (du^2+dv^2)
+    over undirected edges.
+
+    Parity: every moment is an exact BIGINT (degrees are counts); the
+    statistic is ONE division of exact integer-derived doubles —
+    correctly rounded, bit-identical, no quantization, and no FMA risk
+    (the product-difference happens in exact integer space, not
+    doubles). Overflow headroom: |4M*S_jk| < 2^63 up to ~1e9-edge
+    graphs at these degree ranges; past that, promote the moments to
+    DECIMAL(38,0) — same plan.
+
+    Scale shape: identical edge derivation to graph_triangle_count
+    (order-bounded pair fan-out, support threshold keeps |E| flat);
+    the degree frame broadcasts onto both endpoints; the moment
+    aggregate is one row. Flat with the edge census.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.expr("CAST(count(*) AS BIGINT)").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    m = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.expr("CAST(SUM(du * dv) AS BIGINT)").alias("s_jk"),
+            F.expr("CAST(SUM(du + dv) AS BIGINT)").alias("s_j"),
+            F.expr("CAST(SUM(du * du + dv * dv) AS BIGINT)").alias("s_jj"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_edges"),
+        )
+    )
+    n_nodes = deg.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_nodes"))
+    return (
+        m.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "s_jk",
+            "s_j",
+            "s_jj",
+            F.expr(
+                """CAST(CAST(2 * n_edges * 2 * s_jk - s_j * s_j AS DOUBLE)
+                   / CAST(2 * n_edges * s_jj - s_j * s_j AS DOUBLE)
+                   AS DOUBLE)"""
+            ).alias("assortativity"),
+        )
+    )

@@ -253,6 +253,9 @@ TPCH_KEYS = [
     # must absorb mult× input into a flat pair set — the dedup-shaped
     # stress for the projection
     "graph_bipartite_projection",
+    # same edge census as triangle_count: support threshold keeps |E|
+    # flat while pair mass grows; the moment agg is one row
+    "graph_assortativity",
     # orderkey-consistent scaling keeps every copy's lineitems resolving
     # their orders: the orphan anti-joins stay empty while the key grids
     # grow mult× — the probe measures the key-only collapse, never rows
