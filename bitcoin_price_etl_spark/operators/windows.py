@@ -3345,3 +3345,114 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(y_q AS DOUBLE)").alias("ln_rs"),
         F.expr(f"CAST({slope} AS DOUBLE)").alias("hurst"),
     )
+
+
+_LN_K_LIT = "2.0794415416798357"  # ln(8): pinned double literal
+
+
+@query(
+    "ts_spectral_entropy",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS y
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    idx AS (
+        SELECT event_type, y,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hr
+               ) - 1 AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    terms AS (
+        SELECT i.event_type, k.k,
+               CAST(i.y * cos(2.0 * {_PI_LIT} * k.k * i.t / i.n)
+                    AS DECIMAL(18,8)) AS c_term,
+               CAST(i.y * sin(2.0 * {_PI_LIT} * k.k * i.t / i.n)
+                    AS DECIMAL(18,8)) AS s_term
+        FROM idx i CROSS JOIN (
+            SELECT unnest(range(1, {_PGRAM_K + 1})) AS k
+        ) k
+    ),
+    spectrum AS (
+        SELECT event_type, k,
+               CAST(CAST(SUM(c_term) AS DOUBLE) * CAST(SUM(c_term) AS DOUBLE)
+                    + CAST(SUM(s_term) AS DOUBLE) * CAST(SUM(s_term) AS DOUBLE)
+                    AS DECIMAL(18,6)) AS power_q
+        FROM terms GROUP BY event_type, k
+    ),
+    normed AS (
+        SELECT event_type, k, power_q,
+               CAST(SUM(power_q) OVER (PARTITION BY event_type) AS DOUBLE)
+                   AS total
+        FROM spectrum
+    ),
+    ent AS (
+        SELECT event_type,
+               SUM(CASE WHEN CAST(power_q AS DOUBLE) > 0.0 THEN
+                   CAST(-(CAST(power_q AS DOUBLE) / total)
+                        * ln(CAST(power_q AS DOUBLE) / total)
+                        AS DECIMAL(18,8))
+                   ELSE CAST(0 AS DECIMAL(18,8)) END) AS h_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_freqs
+        FROM normed GROUP BY event_type
+    )
+    SELECT event_type, n_freqs,
+           CAST(h_sum AS DOUBLE) AS entropy_nats,
+           CAST(h_sum AS DOUBLE) / CAST({_LN_K_LIT} AS DOUBLE)
+               AS entropy_norm
+    FROM ent
+    """,
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy per series: Shannon entropy of the normalized
+    periodogram power distribution — THE forecastability score (low
+    entropy = power concentrated in few frequencies = strongly seasonal
+    and predictable; ~1 = white noise), the feature the forecasting
+    literature (tsfeatures / Hyndman) ranks series by before choosing
+    models. Composes the certified ts_periodogram spectrum.
+
+    Parity: the spectrum re-derives bit-identically (per-term quantized
+    cos/sin, exact decimal sums, pinned pi); each power QUANTIZES to
+    DECIMAL(18,6) so the normalizing total is an exact decimal sum;
+    each share p = power/total divides identical doubles; -p ln p
+    quantizes per term (libm); ln(8) is a pinned literal CAST to
+    DOUBLE in the oracle (decimal-literal trap). Zero-power bins
+    contribute exactly 0 in both engines.
+
+    Scale shape: identical to ts_periodogram (grid collapse, bounded
+    x8 expand) plus one window + one agg over the (series x 8)
+    spectrum grid. Flat.
+    """
+    spectrum = ts_periodogram(spark, sf_dir).select(
+        "event_type",
+        "k",
+        F.expr("CAST(power AS DECIMAL(18,6))").alias("power_q"),
+    )
+    normed = spectrum.select(
+        "event_type",
+        "k",
+        "power_q",
+        F.expr(
+            "CAST(SUM(power_q) OVER (PARTITION BY event_type) AS DOUBLE)"
+        ).alias("total"),
+    )
+    ent = normed.groupBy("event_type").agg(
+        F.expr(
+            """SUM(CASE WHEN CAST(power_q AS DOUBLE) > 0.0D THEN
+               CAST(-(CAST(power_q AS DOUBLE) / total)
+                    * ln(CAST(power_q AS DOUBLE) / total)
+                    AS DECIMAL(18,8))
+               ELSE CAST(0 AS DECIMAL(18,8)) END)"""
+        ).alias("h_sum"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_freqs"),
+    )
+    return ent.select(
+        "event_type",
+        "n_freqs",
+        F.expr("CAST(h_sum AS DOUBLE)").alias("entropy_nats"),
+        F.expr(f"CAST(h_sum AS DOUBLE) / {_LN_K_LIT}D").alias("entropy_norm"),
+    )

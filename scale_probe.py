@@ -253,9 +253,6 @@ TPCH_KEYS = [
     # must absorb mult× input into a flat pair set — the dedup-shaped
     # stress for the projection
     "graph_bipartite_projection",
-    # same edge census as triangle_count: support threshold keeps |E|
-    # flat while pair mass grows; the moment agg is one row
-    "graph_assortativity",
     # orderkey-consistent scaling keeps every copy's lineitems resolving
     # their orders: the orphan anti-joins stay empty while the key grids
     # grow mult× — the probe measures the key-only collapse, never rows
@@ -376,6 +373,14 @@ FACT_KEYS = {
         "l_orderkey",
         {"l_partkey": lambda col, i: col + 10_000_000 * i},
     ),
+    # same copy-local co-purchase scaling as triangle_count: edges and
+    # degree moments grow linearly (orderkey-only shifts would duplicate
+    # every pair mult x and the support threshold would stop sparsifying)
+    "graph_assortativity": (
+        "lineitem",
+        "l_orderkey",
+        {"l_partkey": lambda col, i: col + 10_000_000 * i},
+    ),
     # facts multiply while the versioned dim stays fixed: every version
     # chain is probed by mult x more orders — the residual-scan stress
     "join_scd2_pointintime": ("orders", "o_orderkey", None),
@@ -448,6 +453,8 @@ FACT_KEYS = {
     "ts_sax_symbolize": ("events", "event_id", None),
     # OHLC collapse; bounded (series x w x block) window frames
     "ts_hurst_rs": ("events", "event_id", None),
+    # periodogram grid collapse + (series x 8) spectrum entropy
+    "ts_spectral_entropy": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),

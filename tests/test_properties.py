@@ -1232,6 +1232,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "agg_rfm_segmentation",
     "sink_export_jsonl",
     "graph_assortativity",
+    "ts_spectral_entropy",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
