@@ -3456,3 +3456,126 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(h_sum AS DOUBLE)").alias("entropy_nats"),
         F.expr(f"CAST(h_sum AS DOUBLE) / {_LN_K_LIT}D").alias("entropy_norm"),
     )
+
+
+_XCORR_MAX_LAG = 3
+_XCORR_A, _XCORR_B = "click", "purchase"
+
+
+@query(
+    "ts_lead_lag_xcorr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS y
+        FROM events
+        WHERE event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    xs AS (SELECT hr, y AS x FROM hourly WHERE event_type = '{_XCORR_A}'),
+    ys AS (SELECT hr, y FROM hourly WHERE event_type = '{_XCORR_B}'),
+    lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1}))
+                 AS lag),
+    pairs AS (
+        SELECT l.lag, xs.x, ys.y
+        FROM lags l
+        JOIN xs ON TRUE
+        JOIN ys ON ys.hr = xs.hr + to_hours(CAST(l.lag AS BIGINT))
+    ),
+    means AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS mx,
+               CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS my
+        FROM pairs GROUP BY lag
+    ),
+    centered AS (
+        SELECT p.lag, m.n,
+               CAST((p.x - m.mx) * (p.y - m.my) AS DECIMAL(18,8)) AS cxy,
+               CAST((p.x - m.mx) * (p.x - m.mx) AS DECIMAL(18,8)) AS cxx,
+               CAST((p.y - m.my) * (p.y - m.my) AS DECIMAL(18,8)) AS cyy
+        FROM pairs p JOIN means m ON p.lag = m.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, MAX(n) AS n_pairs,
+           CAST(CAST(SUM(cxy) AS DOUBLE)
+                / (sqrt(CAST(SUM(cxx) AS DOUBLE))
+                   * sqrt(CAST(SUM(cyy) AS DOUBLE))) AS DOUBLE) AS xcorr
+    FROM centered GROUP BY lag
+    """,
+)
+def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase hourly
+    series at lags -3..+3 hours: does engagement LEAD conversion (peak
+    at positive lag) or move with it — the lead-lag discovery scan a
+    growth/quant team runs before building any predictive feature on a
+    companion series (the cross-series generalization of ts_autocorr).
+
+    Parity: hourly means are decimal-exact; each lag's pair means come
+    from quantized exact decimal sums divided once; per-element
+    CENTERED products quantize to DECIMAL(18,8) before exact decimal
+    sums (partial-agg double order — rule 2b), and the final
+    correlation is Sxy / (sqrt(Sxx) * sqrt(Syy)) — a divide of a
+    product of sqrts on identical operands, a shape that CANNOT
+    FMA-contract (no a*b+c), so no final quantize is needed
+    (the centered-moments algebra avoids the hurst slope's
+    product-difference entirely).
+
+    Scale shape: the corpus collapses to two hourly series first; the
+    x7 lag expand joins grid rows on shifted hour keys (equi-join,
+    bounded by 7 x grid length); means broadcast back per lag. Flat in
+    event volume; linear in calendar span.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_XCORR_A, _XCORR_B)
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value)"
+        ).alias("y")
+    )
+    xs = hourly.filter(F.col("event_type") == _XCORR_A).select(
+        "hr", F.col("y").alias("x")
+    )
+    ys = hourly.filter(F.col("event_type") == _XCORR_B).select("hr", "y")
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    xs_l = xs.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        "x",
+        F.expr("hr + make_interval(0, 0, 0, 0, CAST(lag AS INT), 0, 0)").alias(
+            "y_hr"
+        ),
+    )
+    pairs = xs_l.join(ys.withColumnRenamed("hr", "y_hr"), "y_hr").select(
+        "lag", "x", "y"
+    )
+    means = pairs.groupBy("lag").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+        ).alias("mx"),
+        F.expr(
+            "CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+        ).alias("my"),
+    )
+    centered = pairs.join(F.broadcast(means), "lag").select(
+        "lag",
+        "n",
+        F.expr("CAST((x - mx) * (y - my) AS DECIMAL(18,8))").alias("cxy"),
+        F.expr("CAST((x - mx) * (x - mx) AS DECIMAL(18,8))").alias("cxx"),
+        F.expr("CAST((y - my) * (y - my) AS DECIMAL(18,8))").alias("cyy"),
+    )
+    return centered.groupBy(F.col("lag").cast("bigint").alias("lag")).agg(
+        F.expr("MAX(n)").alias("n_pairs"),
+        F.expr(
+            """CAST(CAST(SUM(cxy) AS DOUBLE)
+               / (sqrt(CAST(SUM(cxx) AS DOUBLE))
+                  * sqrt(CAST(SUM(cyy) AS DOUBLE))) AS DOUBLE)"""
+        ).alias("xcorr"),
+    )

@@ -767,3 +767,69 @@ def validate_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(psi_term_d) OVER () AS DOUBLE) > 0.2D"
         ).alias("drift_flag"),
     )
+
+
+_PK_TABLES = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("nation", "n_nationkey"),
+    ("region", "r_regionkey"),
+]
+
+
+@query(
+    "validate_pk_uniqueness",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{t}' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {t}) AS n_rows,
+               (SELECT CAST(COUNT(DISTINCT {pk}) AS BIGINT) FROM {t})
+                   AS n_keys,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {t}
+                WHERE {pk} IS NULL) AS n_null_keys,
+               (SELECT COUNT(*) FROM {t})
+                   = (SELECT COUNT(DISTINCT {pk}) FROM {t})
+                 AND (SELECT COUNT(*) FROM {t} WHERE {pk} IS NULL) = 0
+                   AS pk_ok
+        """
+        for t, pk in _PK_TABLES
+    ),
+)
+def validate_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: one row per warehouse table
+    asserting its declared key is unique and non-null — the PK half of
+    the constraint audit (validate_referential_integrity is the FK
+    half), run after every load because lakehouse engines enforce
+    neither. A duplicate or NULL key here breaks every downstream
+    merge/SCD2/point-in-time join silently.
+
+    Parity: all-integer counts and boolean algebra. Nothing to
+    quantize.
+
+    Scale shape: per table, one partial-aggregated pass computes
+    (count, distinct count, null count) — the distinct collapses to a
+    key grid before the exchange; the 6 one-row summaries union into
+    the report. Each table is scanned once touching only its key
+    column.
+    """
+    out = None
+    for t, pk in _PK_TABLES:
+        df = load(spark, sf_dir, t)
+        row = df.agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+            F.expr(f"CAST(COUNT(DISTINCT {pk}) AS BIGINT)").alias("n_keys"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {pk} IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_null_keys"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            "n_keys",
+            "n_null_keys",
+            F.expr("n_rows = n_keys AND n_null_keys = 0").alias("pk_ok"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

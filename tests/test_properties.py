@@ -1233,6 +1233,8 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "sink_export_jsonl",
     "graph_assortativity",
     "ts_spectral_entropy",
+    "validate_pk_uniqueness",
+    "ts_lead_lag_xcorr",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
