@@ -175,6 +175,37 @@ HEADLINE = [
     # above, and the RSI window as the ts-indicator representative
     "llm_decontaminate_bloom",
     "ts_rsi",
+    # round-4f: one representative per new family — constraint audits,
+    # DP release, drift monitors, robust trend/inference, survival/LTV,
+    # spectral, inequality, retrieval, segmentation, JSONL export,
+    # graph mixing, hard negatives, multiset algebra, skyline
+    "validate_referential_integrity",
+    "validate_pk_uniqueness",
+    "validate_volume_anomaly",
+    "validate_psi_drift",
+    "llm_dp_noise",
+    "llm_ngram_novelty",
+    "llm_domain_route",
+    "llm_hard_negatives",
+    "llm_bm25_rank",
+    "ts_theilsen",
+    "ts_mann_kendall",
+    "ts_periodogram",
+    "ts_spectral_entropy",
+    "ts_volatility_ohlc",
+    "ts_sax_symbolize",
+    "ts_hurst_rs",
+    "ts_lead_lag_xcorr",
+    "cohort_survival_km",
+    "cohort_ltv_curve",
+    "ab_ratio_delta_ci",
+    "agg_winsorized_mean",
+    "agg_theil_index",
+    "agg_rfm_segmentation",
+    "join_skyline_pareto",
+    "set_intersect_all",
+    "graph_assortativity",
+    "sink_export_jsonl",
 ]
 
 
