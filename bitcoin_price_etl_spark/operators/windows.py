@@ -3579,3 +3579,151 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(CAST(SUM(cyy) AS DOUBLE))) AS DOUBLE)"""
         ).alias("xcorr"),
     )
+
+
+_ADX_TAPS = 14
+
+
+@query(
+    "ts_adx",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    moves AS (
+        SELECT event_type, bar_date, high, low, close,
+               lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+               lag(close) OVER w AS pc
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    ),
+    dm AS (
+        SELECT event_type, bar_date,
+               CAST(CASE WHEN ph IS NULL THEN NULL
+                    WHEN high - ph > pl - low AND high - ph > 0
+                        THEN high - ph ELSE 0 END AS DECIMAL(18,6)) AS pdm,
+               CAST(CASE WHEN ph IS NULL THEN NULL
+                    WHEN pl - low > high - ph AND pl - low > 0
+                        THEN pl - low ELSE 0 END AS DECIMAL(18,6)) AS ndm,
+               CAST(CASE WHEN pc IS NULL THEN high - low
+                    ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+                    END AS DECIMAL(18,6)) AS tr
+        FROM moves
+    ),
+    sums AS (
+        SELECT event_type, bar_date,
+               CAST(SUM(pdm) OVER w AS DOUBLE) AS s_pdm,
+               CAST(SUM(ndm) OVER w AS DOUBLE) AS s_ndm,
+               CAST(SUM(tr) OVER w AS DOUBLE) AS s_tr,
+               COUNT(pdm) OVER w AS n_dm
+        FROM dm
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {_ADX_TAPS - 1} PRECEDING AND CURRENT ROW)
+    ),
+    di AS (
+        SELECT event_type, bar_date, n_dm,
+               100.0 * s_pdm / s_tr AS di_plus,
+               100.0 * s_ndm / s_tr AS di_minus,
+               CASE WHEN s_pdm + s_ndm = 0 THEN CAST(0.0 AS DECIMAL(18,8))
+                    ELSE CAST(100.0 * abs(s_pdm - s_ndm) / (s_pdm + s_ndm)
+                         AS DECIMAL(18,8)) END AS dx_q
+        FROM sums WHERE n_dm >= {_ADX_TAPS} AND s_tr > 0
+    )
+    SELECT event_type, bar_date,
+           CAST(di_plus AS DOUBLE) AS di_plus,
+           CAST(di_minus AS DOUBLE) AS di_minus,
+           CAST(dx_q AS DOUBLE) AS dx,
+           CAST(SUM(dx_q) OVER w2 AS DOUBLE) / (COUNT(*) OVER w2) AS adx
+    FROM di
+    WINDOW w2 AS (PARTITION BY event_type ORDER BY bar_date
+                  ROWS BETWEEN {_ADX_TAPS - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Directional Index (Wilder 1978, SMA variant) over daily
+    bars: directional movement (+DM/-DM), 14-bar directional indicators
+    DI+/DI-, their normalized spread DX, and ADX as the 14-bar mean of
+    DX — the trend-STRENGTH gauge that tells a strategy whether
+    ts_macd/ts_theilsen trend signals are worth acting on (ADX < 20 =
+    no trend regardless of direction). Completes the Wilder set beside
+    ts_rsi and ts_atr.
+
+    Parity: +DM/-DM/TR are fixed IEEE compare/subtract trees on raw
+    picked bars, quantized to DECIMAL(18,6) so the 14-tap frame sums
+    are exact long-backed decimals; DI ratios divide identical doubles
+    (100.0 is binary-exact); DX = 100|a-b|/(a+b) is subtract/add/divide
+    on identical operands — no a*b+c shape, nothing FMA-contractable —
+    and quantizes to DECIMAL(18,8) ONLY so the ADX frame mean sums
+    exactly (rule 2b); warmup rows (fewer than 14 DMs) and zero-range
+    frames are excluded identically in both engines.
+
+    Scale shape: OHLC collapse absorbs ticks; all three window passes
+    (lag, DM sums, ADX mean) ride ONE (event_type) exchange over bar
+    rows with bounded frames. Flat at any tick rate.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "high", "low", "close"
+    )
+    w = "PARTITION BY event_type ORDER BY bar_date"
+    moves = bars.select(
+        "event_type",
+        "bar_date",
+        "high",
+        "low",
+        "close",
+        F.expr(f"lag(high) OVER ({w})").alias("ph"),
+        F.expr(f"lag(low) OVER ({w})").alias("pl"),
+        F.expr(f"lag(close) OVER ({w})").alias("pc"),
+    )
+    dm = moves.select(
+        "event_type",
+        "bar_date",
+        F.expr(
+            """CAST(CASE WHEN ph IS NULL THEN NULL
+               WHEN high - ph > pl - low AND high - ph > 0
+                   THEN high - ph ELSE 0 END AS DECIMAL(18,6))"""
+        ).alias("pdm"),
+        F.expr(
+            """CAST(CASE WHEN ph IS NULL THEN NULL
+               WHEN pl - low > high - ph AND pl - low > 0
+                   THEN pl - low ELSE 0 END AS DECIMAL(18,6))"""
+        ).alias("ndm"),
+        F.expr(
+            """CAST(CASE WHEN pc IS NULL THEN high - low
+               ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+               END AS DECIMAL(18,6))"""
+        ).alias("tr"),
+    )
+    wf = (
+        f"PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {_ADX_TAPS - 1} PRECEDING AND CURRENT ROW"
+    )
+    sums = dm.select(
+        "event_type",
+        "bar_date",
+        F.expr(f"CAST(SUM(pdm) OVER ({wf}) AS DOUBLE)").alias("s_pdm"),
+        F.expr(f"CAST(SUM(ndm) OVER ({wf}) AS DOUBLE)").alias("s_ndm"),
+        F.expr(f"CAST(SUM(tr) OVER ({wf}) AS DOUBLE)").alias("s_tr"),
+        F.expr(f"COUNT(pdm) OVER ({wf})").alias("n_dm"),
+    )
+    di = sums.filter(
+        F.expr(f"n_dm >= {_ADX_TAPS} AND s_tr > 0")
+    ).select(
+        "event_type",
+        "bar_date",
+        F.expr("100.0D * s_pdm / s_tr").alias("di_plus"),
+        F.expr("100.0D * s_ndm / s_tr").alias("di_minus"),
+        F.expr(
+            """CASE WHEN s_pdm + s_ndm = 0 THEN CAST(0.0 AS DECIMAL(18,8))
+               ELSE CAST(100.0D * abs(s_pdm - s_ndm) / (s_pdm + s_ndm)
+               AS DECIMAL(18,8)) END"""
+        ).alias("dx_q"),
+    )
+    return di.select(
+        "event_type",
+        "bar_date",
+        "di_plus",
+        "di_minus",
+        F.expr("CAST(dx_q AS DOUBLE)").alias("dx"),
+        F.expr(
+            f"CAST(SUM(dx_q) OVER ({wf}) AS DOUBLE) / (COUNT(*) OVER ({wf}))"
+        ).alias("adx"),
+    )

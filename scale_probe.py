@@ -457,6 +457,8 @@ FACT_KEYS = {
     "ts_spectral_entropy": ("events", "event_id", None),
     # two hourly grids + x7 shifted-hour equi-joins over grid rows
     "ts_lead_lag_xcorr": ("events", "event_id", None),
+    # OHLC collapse; three bounded-frame window passes on one exchange
+    "ts_adx": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
