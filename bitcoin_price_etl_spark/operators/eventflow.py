@@ -1178,3 +1178,76 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_revenue / cohort_size").alias("ltv_per_user"),
         )
     )
+
+
+@query(
+    "path_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+        SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n_trans, o.n_from,
+           CAST(t.n_trans AS DOUBLE) / o.n_from AS p_transition
+    FROM trans t JOIN outdeg o ON t.from_type = o.from_type
+    """,
+)
+def path_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current event type) estimated from every
+    consecutive pair in each user's (ts, event_id)-ordered history —
+    the behavior model behind next-action prediction, anomaly scoring
+    (improbable transitions), and simulation, giving path_analysis_
+    sessions' top-paths view its generative counterpart.
+
+    Parity: the (ts, event_id) total order makes lag() pick the same
+    predecessor in both engines; transition and out-degree counts are
+    exact integers; each probability is ONE correctly-rounded division
+    — bit-identical, nothing to quantize.
+
+    Scale shape: one user_id exchange for the lag window (the
+    ts_sessionize posture — event text never shuffles, only type/ts/id
+    triples), then a partial-aggregated groupBy onto the bounded
+    |types|^2 transition grid; out-degrees broadcast back. Flat in
+    event volume.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.expr(
+            """lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )"""
+        ).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_trans"))
+    )
+    outdeg = trans.groupBy("from_type").agg(
+        F.expr("CAST(SUM(n_trans) AS BIGINT)").alias("n_from")
+    )
+    return trans.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_from",
+        F.expr("CAST(n_trans AS DOUBLE) / n_from").alias("p_transition"),
+    )

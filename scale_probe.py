@@ -459,6 +459,8 @@ FACT_KEYS = {
     "ts_lead_lag_xcorr": ("events", "event_id", None),
     # OHLC collapse; three bounded-frame window passes on one exchange
     "ts_adx": ("events", "event_id", None),
+    # user-keyed lag window then the bounded |types|^2 transition grid
+    "path_markov_transitions": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
