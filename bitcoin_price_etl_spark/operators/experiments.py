@@ -458,3 +458,84 @@ def ab_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ratio - 1.96D * sqrt({var_delta})").alias("ci_lo"),
         F.expr(f"ratio + 1.96D * sqrt({var_delta})").alias("ci_hi"),
     )
+
+
+@query(
+    "ab_power_mde",
+    oracle=f"""
+    WITH units AS ({_USER_METRIC_DUCK}),
+    m AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(y AS DECIMAL(38,2)) * CAST(y AS DECIMAL(38,2)))
+                    AS DOUBLE) AS syy
+        FROM units GROUP BY variant
+    )
+    SELECT CAST(variant AS BIGINT) AS variant, n,
+           sy / n AS mean_y,
+           (syy - n * (sy / n) * (sy / n)) / (n - 1) AS var_y,
+           CAST(CAST(
+               (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+               * sqrt(2.0 * ((syy - n * (sy / n) * (sy / n)) / (n - 1)) / n)
+               AS DECIMAL(18,8)) AS DOUBLE) AS mde_abs,
+           CAST(CAST(
+               (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+               * sqrt(2.0 * ((syy - n * (sy / n) * (sy / n)) / (n - 1)) / n)
+               / (sy / n)
+               AS DECIMAL(18,8)) AS DOUBLE) AS mde_rel
+    FROM m
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha for
+    the per-user revenue metric, per variant: MDE = (z_a + z_b) *
+    sqrt(2 sigma^2 / n) — the experiment-DESIGN calculator every A/B
+    platform shows before launch ("with this traffic, what lift could
+    we even see?"), completing the readout suite (ab_ttest_welch
+    analyzes; this sizes).
+
+    Parity: moments are exact decimal sums; z constants are pinned
+    literals CAST to DOUBLE in the oracle (decimal-literal trap); the
+    variance expression is the ab_ratio_delta_ci mirrored chain, and
+    the final MDE — which multiplies a sum of constants by a sqrt (an
+    a*b shape adjacent to the variance's product-difference) —
+    QUANTIZES through DECIMAL(18,8) on both sides to blanket any
+    contraction of the inner n*(sy/n)*(sy/n) term (the ts_hurst_rs
+    class; var_y itself matched raw in ab_ratio_delta_ci, the quantize
+    here is defense in depth on the composed expression).
+
+    Scale shape: per-user collapse then two 3-number moment buffers —
+    control-plane arithmetic. Flat.
+    """
+    ev = load(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.expr(
+            """CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"""
+        ).alias("y"),
+    ).select(F.expr("user_id % 2").alias("variant"), "y")
+    m = units.groupBy("variant").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(CAST(y AS DECIMAL(38,2))) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(SUM(CAST(y AS DECIMAL(38,2)) * CAST(y AS DECIMAL(38,2)))"
+            " AS DOUBLE)"
+        ).alias("syy"),
+    )
+    mde_core = (
+        "(1.96D + 0.8416D)"
+        " * sqrt(2.0D * ((syy - n * (sy / n) * (sy / n)) / (n - 1)) / n)"
+    )
+    return m.select(
+        F.col("variant").cast("bigint").alias("variant"),
+        "n",
+        F.expr("sy / n").alias("mean_y"),
+        F.expr("(syy - n * (sy / n) * (sy / n)) / (n - 1)").alias("var_y"),
+        F.expr(f"CAST(CAST({mde_core} AS DECIMAL(18,8)) AS DOUBLE)").alias(
+            "mde_abs"
+        ),
+        F.expr(
+            f"CAST(CAST({mde_core} / (sy / n) AS DECIMAL(18,8)) AS DOUBLE)"
+        ).alias("mde_rel"),
+    )

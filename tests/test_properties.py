@@ -1237,6 +1237,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ts_lead_lag_xcorr",
     "ts_adx",
     "path_markov_transitions",
+    "ab_power_mde",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
