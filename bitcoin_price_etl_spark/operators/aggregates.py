@@ -1735,3 +1735,109 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'regular' END"""
         ).alias("segment"),
     )
+
+
+_MB_MIN_PAIR = 3  # minimum co-occurrence support (absolute orders)
+
+
+@query(
+    "agg_market_basket",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    totals AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM baskets
+    ),
+    item_n AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY l_partkey
+    ),
+    pair_n AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= {_MB_MIN_PAIR}
+    )
+    SELECT p.item_a, p.item_b, p.n_pair, ia.n_item AS n_a, ib.n_item AS n_b,
+           t.n_orders,
+           CAST(p.n_pair AS DOUBLE) / t.n_orders AS support,
+           CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence_ab,
+           CAST(p.n_pair * t.n_orders AS DOUBLE)
+               / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+    FROM pair_n p
+    JOIN item_n ia ON p.item_a = ia.l_partkey
+    JOIN item_n ib ON p.item_b = ib.l_partkey
+    CROSS JOIN totals t
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts: support,
+    confidence(A=>B), and lift for every part pair co-occurring in at
+    least 3 orders — the Apriori first-pass (Agrawal-Srikant 1994)
+    behind "frequently bought together", giving
+    graph_bipartite_projection's co-counts their probabilistic rule
+    semantics (lift > 1 = genuinely associated, not just popular).
+
+    Parity: basket/item/pair counts are exact integers; support and
+    confidence are single correctly-rounded divisions; lift computes
+    n_pair*n_orders and n_a*n_b as EXACT BIGINT products (well inside
+    2^63 at any realistic catalog) cast once each — one division of
+    identical operands, no FMA shape, nothing to quantize.
+
+    Scale shape: baskets dedupe collapses the fact table first; the
+    pair self-join keys on l_orderkey with fan-out bounded by basket
+    size (never catalog^2 — the graph_triangle_count discipline);
+    the support threshold keeps the rule set sparse as orders grow;
+    item counts broadcast onto the rules. Linear in order volume.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    totals = baskets.agg(
+        F.expr("CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)").alias("n_orders")
+    )
+    item_n = baskets.groupBy("l_partkey").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pair"))
+        .filter(F.col("n_pair") >= _MB_MIN_PAIR)
+    )
+    ia = item_n.select(
+        F.col("l_partkey").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item_n.select(
+        F.col("l_partkey").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_n.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.expr("CAST(n_pair AS DOUBLE) / n_orders").alias("support"),
+            F.expr("CAST(n_pair AS DOUBLE) / n_a").alias("confidence_ab"),
+            F.expr(
+                "CAST(n_pair * n_orders AS DOUBLE)"
+                " / CAST(n_a * n_b AS DOUBLE)"
+            ).alias("lift"),
+        )
+    )

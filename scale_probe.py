@@ -382,6 +382,13 @@ FACT_KEYS = {
         "l_orderkey",
         {"l_partkey": lambda col, i: col + 10_000_000 * i},
     ),
+    # copy-local baskets (partkey shift): rules grow linearly, the
+    # support threshold keeps each copy's rule set sparse
+    "agg_market_basket": (
+        "lineitem",
+        "l_orderkey",
+        {"l_partkey": lambda col, i: col + 10_000_000 * i},
+    ),
     # facts multiply while the versioned dim stays fixed: every version
     # chain is probed by mult x more orders — the residual-scan stress
     "join_scd2_pointintime": ("orders", "o_orderkey", None),
