@@ -1251,3 +1251,147 @@ def path_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from",
         F.expr("CAST(n_trans AS DOUBLE) / n_from").alias("p_transition"),
     )
+
+
+@query(
+    "pipeline_feature_store",
+    oracle=f"""
+    WITH order_f AS (
+        SELECT o_custkey AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS total_spend,
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_order_day
+        FROM orders GROUP BY o_custkey
+    ),
+    event_f AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_views,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(38,2))
+                    ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE)
+                   AS event_revenue
+        FROM events GROUP BY user_id
+    ),
+    session_f AS (
+        SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   SUM(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts)
+                               > {SESSION_GAP_SECONDS} * 1000000
+                       THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_ts
+                FROM events
+            )
+        ) GROUP BY user_id
+    )
+    SELECT e.user_id, e.n_events, e.n_views, e.n_clicks, e.n_purchases,
+           e.event_revenue, s.n_sessions,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(COALESCE(o.total_spend, 0.0) AS DOUBLE) AS total_spend,
+           e.n_purchases > 0 AS converted,
+           CASE WHEN e.n_clicks = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(e.n_purchases AS DOUBLE) / e.n_clicks
+           END AS purchase_per_click
+    FROM event_f e
+    JOIN session_f s ON e.user_id = s.user_id
+    LEFT JOIN order_f o ON e.user_id = o.user_id
+    """,
+)
+def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: ONE Catalyst plan assembling the
+    per-user ML feature vector — event volumes by type, decimal-exact
+    revenue, gap-based session count (the ts_sessionize discipline
+    inlined), order history joined across the warehouse, conversion
+    label, and a rate feature — the nightly batch that feeds churn/LTV
+    models, and the analytics-side sibling of pipeline_curate_corpus
+    (many certified operators composed into one declarative plan, not
+    a chain of materialized steps).
+
+    Parity: counts are exact; revenues are exact decimal sums; the
+    session count reuses the exact integer-microsecond gap rule; the
+    one rate feature is a single correctly-rounded division with an
+    integer-guarded zero branch. Nothing to quantize.
+
+    Scale shape: the event features and the session window BOTH key on
+    user_id — Catalyst reuses one user exchange for the window, the
+    aggregate, and the joins (ClusteredDistribution subset rule, the
+    eventflow module posture); the order features arrive partial-
+    aggregated on the customer key. Event payloads shuffle once.
+    """
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    order_f = o.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)"
+        ).alias("total_spend"),
+    )
+    event_f = ev.groupBy("user_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_views"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_clicks"),
+        F.expr(
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_purchases"),
+        F.expr(
+            """CAST(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(38,2))
+               ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE)"""
+        ).alias("event_revenue"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1
+    ).otherwise(0)
+    session_f = (
+        ev.withColumn(
+            "session_seq",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id")
+        .agg(F.expr("CAST(MAX(session_seq) AS BIGINT)").alias("n_sessions"))
+    )
+    return (
+        event_f.join(session_f, "user_id")
+        .join(order_f, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_views",
+            "n_clicks",
+            "n_purchases",
+            "event_revenue",
+            "n_sessions",
+            F.expr("COALESCE(n_orders, 0)").alias("n_orders"),
+            F.expr("CAST(COALESCE(total_spend, 0.0D) AS DOUBLE)").alias(
+                "total_spend"
+            ),
+            F.expr("n_purchases > 0").alias("converted"),
+            F.expr(
+                """CASE WHEN n_clicks = 0 THEN CAST(0.0D AS DOUBLE)
+                   ELSE CAST(n_purchases AS DOUBLE) / n_clicks END"""
+            ).alias("purchase_per_click"),
+        )
+    )

@@ -469,6 +469,8 @@ FACT_KEYS = {
     "ts_adx": ("events", "event_id", None),
     # user-keyed lag window then the bounded |types|^2 transition grid
     "path_markov_transitions": ("events", "event_id", None),
+    # one user exchange reused across window + aggregate + joins
+    "pipeline_feature_store": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),

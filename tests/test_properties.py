@@ -1239,6 +1239,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "path_markov_transitions",
     "ab_power_mde",
     "agg_market_basket",
+    "pipeline_feature_store",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
