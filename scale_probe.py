@@ -485,6 +485,9 @@ FACT_KEYS = {
 # shape — dims grow orders of magnitude slower than facts)
 DIM_COPY = {
     "join_scd2_pointintime": ("customer",),
+    # events scale while order history stays fixed — the realistic
+    # asymmetry (clickstream grows orders of magnitude faster)
+    "pipeline_feature_store": ("orders",),
 }
 
 
