@@ -1398,3 +1398,96 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rn").cast("bigint").alias("rank"),
     )
+
+
+@query(
+    "llm_embed_whitening",
+    oracle="""
+    WITH long AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)
+                   AS mean_v
+        FROM long GROUP BY pos
+    ),
+    centered AS (
+        SELECT l.vec_id, l.pos, l.v, m.mean_v, m.n,
+               CAST((l.v - m.mean_v) * (l.v - m.mean_v)
+                    AS DECIMAL(18,10)) AS dev2
+        FROM long l JOIN mu m ON l.pos = m.pos
+    ),
+    sigma AS (
+        SELECT pos, mean_v, n,
+               sqrt(CAST(SUM(dev2) AS DOUBLE) / (MAX(n) - 1)) AS sd
+        FROM centered GROUP BY pos, mean_v, n
+    )
+    SELECT l.vec_id, l.pos,
+           CAST((l.v - s.mean_v) / s.sd AS DOUBLE) AS white_val
+    FROM long l JOIN sigma s ON l.pos = s.pos
+    WHERE s.sd > 0
+    """,
+)
+def llm_embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION whitening of the embedding column: subtract each
+    coordinate's corpus mean and divide by its std — the retrieval
+    whitening trick (Su et al. 2021 "Whitening Sentence
+    Representations") that fixes anisotropic embedding spaces before
+    cosine search, complementing llm_embed_normalize's per-VECTOR L2
+    norm. Output in the registry's long no-arrays format
+    (vec_id, pos, white_val).
+
+    Parity: float coordinates cast exactly to double then quantize to
+    DECIMAL(18,8) for the exact per-dimension mean sums; variance uses
+    the CENTERED two-pass (per-element (v-mu)^2 quantized to
+    DECIMAL(18,10), exact decimal sums) — never sum-of-squares minus
+    n*mu^2, the FMA-contractable product-difference (ts_hurst_rs
+    class); the final (v - mu)/sd is a correctly-rounded chain on
+    identical operands. Zero-variance dimensions are dropped in both
+    engines.
+
+    Scale shape: one posexplode rides the scan map-side; the moment
+    passes partial-aggregate onto the DIMENSION grid (64 rows — tiny
+    at any corpus size) which broadcasts back twice. The corpus
+    explodes once per pass; at 100 TB the two passes merge into one
+    cached long frame (localCheckpoint, the _posting_with_df move).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "vf"),
+    ).select(
+        "vec_id",
+        F.expr("CAST(pos0 + 1 AS BIGINT)").alias("pos"),
+        F.expr("CAST(vf AS DOUBLE)").alias("v"),
+    )
+    mu = long.groupBy("pos").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)"
+        ).alias("mean_v"),
+    )
+    centered = long.join(F.broadcast(mu), "pos").select(
+        "pos",
+        "mean_v",
+        "n",
+        F.expr(
+            "CAST((v - mean_v) * (v - mean_v) AS DECIMAL(18,10))"
+        ).alias("dev2"),
+    )
+    sigma = centered.groupBy("pos", "mean_v", "n").agg(
+        F.expr("sqrt(CAST(SUM(dev2) AS DOUBLE) / (MAX(n) - 1))").alias("sd")
+    )
+    return (
+        long.join(F.broadcast(sigma.filter(F.col("sd") > 0)), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.expr("CAST((v - mean_v) / sd AS DOUBLE)").alias("white_val"),
+        )
+    )

@@ -3727,3 +3727,111 @@ def ts_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM(dx_q) OVER ({wf}) AS DOUBLE) / (COUNT(*) OVER ({wf}))"
         ).alias("adx"),
     )
+
+
+@query(
+    "ts_var_es",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    rets AS (
+        SELECT event_type, bar_date,
+               close / lag(close) OVER (
+                   PARTITION BY event_type ORDER BY bar_date
+               ) - 1.0 AS r
+        FROM bars
+        QUALIFY r IS NOT NULL
+    ),
+    ret_ranked AS (
+        SELECT event_type, r,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY r
+               ) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM rets
+    ),
+    var_pick AS (
+        SELECT event_type, n,
+               MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN r END) AS var_5
+        FROM ret_ranked GROUP BY event_type, n
+    )
+    SELECT k.event_type, k.n AS n_returns,
+           CAST(k.var_5 AS DOUBLE) AS var_5pct,
+           CAST(SUM(CASE WHEN t.r <= k.var_5
+                    THEN CAST(t.r AS DECIMAL(18,10))
+                    ELSE CAST(0 AS DECIMAL(18,10)) END) AS DOUBLE)
+               / SUM(CASE WHEN t.r <= k.var_5 THEN 1 ELSE 0 END)
+               AS es_5pct,
+           CAST(SUM(CASE WHEN t.r <= k.var_5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tail
+    FROM var_pick k JOIN rets t ON k.event_type = t.event_type
+    GROUP BY k.event_type, k.n, k.var_5
+    """,
+)
+def ts_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per series: the
+    5% worst daily simple return by EXACT nearest-rank selection, and
+    the mean of the tail at or beyond it — the risk pair every desk
+    reports (VaR says the threshold; ES says how bad the tail actually
+    is, the Basel-preferred coherent measure). Daily returns come from
+    the certified OHLC closes.
+
+    Parity: each return is one division and subtraction of identical
+    operands (bit-identical); the VaR pick uses the integer
+    nearest-rank arithmetic ((5n+99) DIV 100 — the agg_winsorized_mean
+    rule, never percentile interpolation); tail membership compares
+    identical doubles against the picked value; the ES mean QUANTIZES
+    each tail return to DECIMAL(18,10) for an exact decimal sum
+    (partial-agg order — rule 2b) divided by the exact tail count.
+
+    Scale shape: OHLC collapse absorbs ticks; the rank window rides the
+    per-series bar grid; the tail aggregation re-joins the picked
+    threshold (a |series|-row broadcast) onto the return grid. Flat.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    rets = bars.select(
+        "event_type",
+        F.expr(
+            """close / lag(close) OVER (
+                   PARTITION BY event_type ORDER BY bar_date
+               ) - 1.0D"""
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    ranked = rets.select(
+        "event_type",
+        "r",
+        F.expr(
+            "row_number() OVER (PARTITION BY event_type ORDER BY r)"
+        ).alias("rn"),
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("n"),
+    )
+    var_pick = ranked.groupBy("event_type", "n").agg(
+        F.expr("MAX(CASE WHEN rn = (5 * n + 99) DIV 100 THEN r END)").alias(
+            "var_5"
+        )
+    )
+    return (
+        rets.join(F.broadcast(var_pick), "event_type")
+        .groupBy("event_type", "n", "var_5")
+        .agg(
+            F.expr(
+                """CAST(SUM(CASE WHEN r <= var_5
+                   THEN CAST(r AS DECIMAL(18,10))
+                   ELSE CAST(0 AS DECIMAL(18,10)) END) AS DOUBLE)
+                   / SUM(CASE WHEN r <= var_5 THEN 1 ELSE 0 END)"""
+            ).alias("es_5pct"),
+            F.expr(
+                "CAST(SUM(CASE WHEN r <= var_5 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_tail"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_returns"),
+            F.expr("CAST(var_5 AS DOUBLE)").alias("var_5pct"),
+            "es_5pct",
+            "n_tail",
+        )
+    )

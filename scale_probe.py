@@ -133,6 +133,9 @@ EMB_KEYS = [
     # anchors multiply with the shifted vec_ids AND the corpus grows —
     # the probe measures the anchors x corpus broadcast scan shape
     "llm_hard_negatives",
+    # the 64-row dimension grid is fixed; both explode passes grow
+    # linearly and the moment joins broadcast
+    "llm_embed_whitening",
 ]
 
 
@@ -471,6 +474,8 @@ FACT_KEYS = {
     "path_markov_transitions": ("events", "event_id", None),
     # one user exchange reused across window + aggregate + joins
     "pipeline_feature_store": ("events", "event_id", None),
+    # OHLC collapse; rank window + broadcast threshold re-join on grids
+    "ts_var_es": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),

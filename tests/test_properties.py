@@ -1240,6 +1240,8 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ab_power_mde",
     "agg_market_basket",
     "pipeline_feature_store",
+    "ts_var_es",
+    "llm_embed_whitening",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
