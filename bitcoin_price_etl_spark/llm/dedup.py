@@ -999,3 +999,62 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+@query("llm_dedup_minhash_mllib", oracle=None)
+def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates via Spark MLlib's estimator
+    surface (pyspark.ml): HashingTF renders each document's word-shingle
+    set as a sparse binary vector, MinHashLSH (seed pinned) fits hash
+    tables, and approxSimilarityJoin emits candidate pairs under a
+    Jaccard-distance threshold — the SAME near-dup shape as
+    llm_dedup_near, expressed through the ML Pipeline API a user
+    migrating MLlib code brings with them (the registry's one
+    Transformer/Estimator pathway; everything else is DataFrame-native
+    by design — this key certifies the engine hosts that surface too).
+
+    Rows-only by design: MLlib's minhash permutations are internal to
+    the model (seeded, deterministic ACROSS RUNS, but not reproducible
+    in DuckDB SQL), and LSH recall below 1.0 makes candidate sets
+    non-derivable by an independent oracle. The EXACT-dup subset is
+    still cross-checked structurally: pairs at distance 0.0 must be
+    text-identical (asserted in tests/test_properties.py). The custom
+    engine-native twin llm_dedup_near carries the hash-green oracle.
+
+    Scale shape: identical to every banded-LSH path here — candidate
+    generation is a hash-bucket equi-join (approxSimilarityJoin lowers
+    to explode-on-hash + join), linear in corpus, never all-pairs;
+    distance re-scoring touches candidates only.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = RegexTokenizer(
+        inputCol="text", outputCol="words", pattern=" "
+    ).transform(d)
+    shingled = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(words) - 4, 1)),"
+            " i -> concat_ws(' ', slice(words, i, 5)))"
+        ).alias("shingles"),
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18,
+        binary=True,
+    ).transform(shingled)
+    tf = tf.filter(F.expr("size(shingles) > 0"))
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    ).fit(tf)
+    pairs = model.approxSimilarityJoin(
+        tf, tf, threshold=0.6, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.expr("CAST(jaccard_dist AS DOUBLE)").alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

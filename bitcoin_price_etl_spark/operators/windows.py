@@ -3835,3 +3835,96 @@ def ts_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tail",
         )
     )
+
+
+_PEAK_WING = 6  # prominence window: 6 hours each side
+
+
+@query(
+    "ts_peak_detection",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(value) AS y
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    ctx AS (
+        SELECT event_type, hr, y,
+               lag(y) OVER w AS y_prev,
+               lead(y) OVER w AS y_next,
+               MIN(y) OVER (w ROWS BETWEEN {_PEAK_WING} PRECEDING
+                            AND 1 PRECEDING) AS left_min,
+               MIN(y) OVER (w ROWS BETWEEN 1 FOLLOWING
+                            AND {_PEAK_WING} FOLLOWING) AS right_min
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr_str, y,
+           CAST(y - greatest(left_min, right_min) AS DOUBLE) AS prominence
+    FROM ctx
+    WHERE y_prev IS NOT NULL AND y_next IS NOT NULL
+      AND left_min IS NOT NULL AND right_min IS NOT NULL
+      AND y > y_prev AND y > y_next
+      AND y - greatest(left_min, right_min) > 0
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with windowed prominence over each hourly
+    series: a peak is strictly above both neighbors, and its prominence
+    is the rise above the higher of the two flanking 6-hour minima —
+    the spike-finder behind alerting ("traffic peaked at 14:00, 3.2
+    units above its surroundings") and event labeling, giving
+    ts_anomaly_mad's global outlier score a LOCAL, shape-aware
+    companion.
+
+    Parity: hourly means are decimal-exact; neighbors and flanking
+    minima are exact value PICKS over the (event_type, hr) total order
+    (hr is unique per series); the prominence is one subtraction of a
+    greatest() of identical doubles — all correctly-rounded IEEE,
+    nothing to quantize. Boundary rows (missing neighbor or wing) are
+    excluded identically in both engines.
+
+    Scale shape: the corpus collapses to the hourly grid first; all
+    four window functions share ONE (event_type) exchange with bounded
+    frames. Flat in event volume.
+    """
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value)"
+        ).alias("y")
+    )
+    w = "PARTITION BY event_type ORDER BY hr"
+    ctx = hourly.select(
+        "event_type",
+        "hr",
+        "y",
+        F.expr(f"lag(y) OVER ({w})").alias("y_prev"),
+        F.expr(f"lead(y) OVER ({w})").alias("y_next"),
+        F.expr(
+            f"""MIN(y) OVER ({w} ROWS BETWEEN {_PEAK_WING} PRECEDING
+                AND 1 PRECEDING)"""
+        ).alias("left_min"),
+        F.expr(
+            f"""MIN(y) OVER ({w} ROWS BETWEEN 1 FOLLOWING
+                AND {_PEAK_WING} FOLLOWING)"""
+        ).alias("right_min"),
+    )
+    return ctx.filter(
+        F.expr(
+            """y_prev IS NOT NULL AND y_next IS NOT NULL
+               AND left_min IS NOT NULL AND right_min IS NOT NULL
+               AND y > y_prev AND y > y_next
+               AND y - greatest(left_min, right_min) > 0"""
+        )
+    ).select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr_str"),
+        "y",
+        F.expr("CAST(y - greatest(left_min, right_min) AS DOUBLE)").alias(
+            "prominence"
+        ),
+    )

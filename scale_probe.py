@@ -476,6 +476,8 @@ FACT_KEYS = {
     "pipeline_feature_store": ("events", "event_id", None),
     # OHLC collapse; rank window + broadcast threshold re-join on grids
     "ts_var_es": ("events", "event_id", None),
+    # hourly grid collapse; four bounded frames on one exchange
+    "ts_peak_detection": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),

@@ -1242,6 +1242,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "pipeline_feature_store",
     "ts_var_es",
     "llm_embed_whitening",
+    "ts_peak_detection",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
@@ -1258,3 +1259,32 @@ def test_round4e_keys_shuffle_partition_invariant(spark, key):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert a == b
+
+
+def test_minhash_mllib_distances_match_exact_jaccard(spark):
+    """The MLlib pathway's reported Jaccard distances must agree with an
+    independently computed exact shingle Jaccard on every emitted pair
+    (HashingTF index collisions at 2^18 features can only nudge the
+    value, bounded here at 0.05), and every pair must clear the 0.6
+    distance threshold."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    pairs = load_all()["llm_dedup_minhash_mllib"].fn(spark, SF_SMOKE).collect()
+    assert len(pairs) > 0
+    d = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform("
+            " sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"
+        ).alias("s"),
+    )
+    sets = {r["doc_id"]: set(r["s"]) for r in sh.collect()}
+    for p in pairs:
+        a, b = sets[p["doc_a"]], sets[p["doc_b"]]
+        exact_j = len(a & b) / len(a | b)
+        assert p["jaccard_dist"] <= 0.6 + 1e-9
+        assert abs((1.0 - p["jaccard_dist"]) - exact_j) < 0.05, (
+            p["doc_a"], p["doc_b"], p["jaccard_dist"], exact_j,
+        )
