@@ -1356,3 +1356,79 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+_OOV_VOCAB_K = 20  # vocabulary: top-20 corpus terms by frequency
+
+
+@query(
+    "llm_oov_rate",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS c,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+            FROM words GROUP BY w
+        ) WHERE rn <= {_OOV_VOCAB_K}
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM words w LEFT JOIN vocab v ON w.w = v.w
+    GROUP BY w.doc_id
+    """,
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's top-20
+    terms: the tokenizer-coverage audit run before committing a
+    vocabulary (llm_vocab_build builds one; this measures what each
+    document would LOSE under it — high-OOV docs signal domain shift or
+    junk, and the corpus-level OOV curve sizes the vocab). The
+    fixed-K vocabulary pick is total-ordered (count DESC, term) so both
+    engines choose identical vocabularies even on tied frequencies.
+
+    Parity: token and OOV counts are exact integers from identical
+    whole-word splits; the rate is one correctly-rounded division.
+    Nothing to quantize.
+
+    Scale shape: one word explode rides the scan; the vocabulary is a
+    partial-aggregated top-K (WindowGroupLimit over the term grid)
+    BROADCAST back as a left join; the per-doc aggregate re-collapses
+    map-side. Two linear passes, no corpus shuffle on text.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "w",
+            F.expr("row_number() OVER (ORDER BY c DESC, w)").alias("rn"),
+        )
+        .filter(F.col("rn") <= _OOV_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_oov"),
+            F.expr(
+                "CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / COUNT(*)"
+            ).alias("oov_rate"),
+        )
+    )

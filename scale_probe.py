@@ -101,6 +101,8 @@ DOC_KEYS = [
     "llm_dp_noise",
     # bounded bin grid: only map-side partials grow
     "validate_psi_drift",
+    # word explode + broadcast vocab left-join: two linear passes
+    "llm_oov_rate",
     # zero-shuffle codegen projection: per-row constant cost
     "llm_domain_route",
     # x|query| map-side expand + tiny broadcast df + TakeOrdered top-k
