@@ -1432,3 +1432,106 @@ def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "llm_judge_agreement",
+    oracle="""
+    WITH judged AS (
+        SELECT doc_id,
+               len(list_filter(str_split(text, ' '),
+                   w -> w IN ('table', 'query', 'join', 'scan', 'index',
+                              'merge', 'filter'))) * 20
+                   >= len(str_split(text, ' ')) AS judge_a,
+               len(list_filter(str_split(text, ' '), w -> w = 'table')) >= 2
+                   AS judge_b
+        FROM documents
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN judge_a AND judge_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS both_pos,
+               CAST(SUM(CASE WHEN NOT judge_a AND NOT judge_b THEN 1 ELSE 0
+                    END) AS BIGINT) AS both_neg,
+               CAST(SUM(CASE WHEN judge_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a_pos,
+               CAST(SUM(CASE WHEN judge_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b_pos
+        FROM judged
+    )
+    SELECT n, both_pos, both_neg, a_pos, b_pos,
+           CAST(both_pos + both_neg AS DOUBLE) / n AS p_observed,
+           CAST(a_pos * b_pos + (n - a_pos) * (n - b_pos) AS DOUBLE)
+               / CAST(n * n AS DOUBLE) AS p_expected,
+           CAST(n * (both_pos + both_neg)
+                - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) AS DOUBLE)
+               / CAST(n * n
+                - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) AS DOUBLE)
+               AS cohens_kappa
+    FROM cells
+    """,
+)
+def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document judges (the
+    domain-density gate vs a keyword-count gate): chance-corrected
+    inter-rater agreement — the metric an LLM-judge pipeline reports
+    before trusting a cheap heuristic as a proxy for an expensive one
+    (raw agreement flatters judges that both just say 'yes'; kappa
+    subtracts the chance floor).
+
+    Parity: the contingency cells and both marginals are exact
+    integers; kappa's textbook form (po - pe)/(1 - pe) carries a
+    product-difference in doubles, so it is restated as
+    (n*agree - pe_num) / (n^2 - pe_num) with pe_num = a+b+ marginal
+    products — EXACT BIGINT arithmetic end to end, then ONE
+    correctly-rounded division. No quantization, no FMA exposure.
+
+    Scale shape: one zero-shuffle judged projection riding the scan,
+    collapsed to a single 5-counter row. Flat.
+    """
+    d = load(spark, sf_dir, "documents")
+    judged = d.select(
+        F.expr(
+            "size(filter(split(text, ' '),"
+            " w -> w IN ('table', 'query', 'join', 'scan', 'index',"
+            " 'merge', 'filter'))) * 20 >= size(split(text, ' '))"
+        ).alias("judge_a"),
+        F.expr(
+            "size(filter(split(text, ' '), w -> w = 'table')) >= 2"
+        ).alias("judge_b"),
+    )
+    cells = judged.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN judge_a AND judge_b THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("both_pos"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT judge_a AND NOT judge_b THEN 1 ELSE 0"
+            " END) AS BIGINT)"
+        ).alias("both_neg"),
+        F.expr(
+            "CAST(SUM(CASE WHEN judge_a THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("a_pos"),
+        F.expr(
+            "CAST(SUM(CASE WHEN judge_b THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("b_pos"),
+    )
+    return cells.select(
+        "n",
+        "both_pos",
+        "both_neg",
+        "a_pos",
+        "b_pos",
+        F.expr("CAST(both_pos + both_neg AS DOUBLE) / n").alias("p_observed"),
+        F.expr(
+            """CAST(a_pos * b_pos + (n - a_pos) * (n - b_pos) AS DOUBLE)
+               / CAST(n * n AS DOUBLE)"""
+        ).alias("p_expected"),
+        F.expr(
+            """CAST(n * (both_pos + both_neg)
+               - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) AS DOUBLE)
+               / CAST(n * n
+               - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) AS DOUBLE)"""
+        ).alias("cohens_kappa"),
+    )

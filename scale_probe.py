@@ -103,6 +103,8 @@ DOC_KEYS = [
     "validate_psi_drift",
     # word explode + broadcast vocab left-join: two linear passes
     "llm_oov_rate",
+    # zero-shuffle judged projection to a 5-counter row
+    "llm_judge_agreement",
     # zero-shuffle codegen projection: per-row constant cost
     "llm_domain_route",
     # x|query| map-side expand + tiny broadcast df + TakeOrdered top-k
