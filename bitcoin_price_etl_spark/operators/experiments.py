@@ -539,3 +539,109 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CAST({mde_core} / (sy / n) AS DECIMAL(18,8)) AS DOUBLE)"
         ).alias("mde_rel"),
     )
+
+
+@query(
+    "ab_ks_two_sample",
+    oracle=f"""
+    WITH units AS ({_USER_METRIC_DUCK}),
+    pts AS (
+        SELECT y,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER (
+                   ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER (
+                   ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER ()
+                   AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER ()
+                   AS BIGINT) AS n1
+        FROM units
+    ),
+    gaps AS (
+        SELECT n0, n1,
+               abs(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) AS gap
+        FROM pts
+    )
+    SELECT MAX(n0) AS n0, MAX(n1) AS n1,
+           CAST(MAX(gap) AS DOUBLE) AS ks_d,
+           CAST(CAST(1.358 AS DOUBLE)
+                * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)
+                       / (CAST(MAX(n0) AS DOUBLE) * MAX(n1)))
+                AS DOUBLE) AS crit_5pct,
+           CAST(MAX(gap) AS DOUBLE)
+               > CAST(1.358 AS DOUBLE)
+                 * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)
+                        / (CAST(MAX(n0) AS DOUBLE) * MAX(n1)))
+               AS reject_5pct
+    FROM gaps
+    """,
+)
+def ab_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on the per-user revenue
+    distributions of control vs treatment: D = max ECDF gap, compared
+    against the 5% asymptotic critical value 1.358*sqrt((n0+n1)/(n0*n1))
+    — the DISTRIBUTION-level A/B check that catches shape changes
+    (variance, tails, bimodality) a mean test like ab_ttest_welch is
+    blind to.
+
+    Note the ECDF gap is evaluated at every pooled observation with
+    cumulative counts that INCLUDE full tied-value runs — at tie tops
+    the gap equals the true sup over the run, and intermediate tie rows
+    can only produce smaller-or-equal gaps, so MAX is exact.
+
+    Parity: cumulative counts are exact integer window sums over the
+    pooled y order (ties collapse identically — the cumulative at any y
+    value is order-independent within the run because MAX only reads
+    run tops); each ECDF step is one correctly-rounded division; the
+    critical value's literals are CAST to DOUBLE in the oracle and its
+    sqrt chain has no FMA shape. Nothing to quantize.
+
+    Scale shape: the per-user collapse absorbs event volume; the pooled
+    cumulative rides the user grid single-partition (documented bound:
+    users-per-experiment; at 100 TB swap the exact ECDF for a binned
+    one — validate_psi_drift's grid — losing nothing at the 1e-3 D
+    resolution a readout needs). One exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.expr(
+            """CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"""
+        ).alias("y"),
+    ).select(F.expr("user_id % 2").alias("variant"), "y")
+    pts = units.select(
+        F.expr(
+            """CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER (
+               ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)"""
+        ).alias("c0"),
+        F.expr(
+            """CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER (
+               ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)"""
+        ).alias("c1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER ()"
+            " AS BIGINT)"
+        ).alias("n0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER ()"
+            " AS BIGINT)"
+        ).alias("n1"),
+    )
+    gaps = pts.select(
+        "n0",
+        "n1",
+        F.expr(
+            "abs(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)"
+        ).alias("gap"),
+    )
+    crit = (
+        "CAST(1.358D * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)"
+        " / (CAST(MAX(n0) AS DOUBLE) * MAX(n1))) AS DOUBLE)"
+    )
+    return gaps.agg(
+        F.expr("MAX(n0)").alias("n0"),
+        F.expr("MAX(n1)").alias("n1"),
+        F.expr("CAST(MAX(gap) AS DOUBLE)").alias("ks_d"),
+        F.expr(crit).alias("crit_5pct"),
+        F.expr(f"CAST(MAX(gap) AS DOUBLE) > {crit}").alias("reject_5pct"),
+    )

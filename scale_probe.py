@@ -369,6 +369,7 @@ FACT_KEYS = {
     "ab_ttest_welch": ("events", "event_id", None),
     "ab_cuped_adjust": ("events", "event_id", None),
     "ab_power_mde": ("events", "event_id", None),
+    "ab_ks_two_sample": ("events", "event_id", None),
     # the hourly pre-aggregate absorbs growth before the lag window
     "ts_forecast_backtest": ("events", "event_id", None),
     # partkey joins the copy shift so each copy carries its own
