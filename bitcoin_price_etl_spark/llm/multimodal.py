@@ -238,16 +238,40 @@ def with_image_payloads(df: DataFrame) -> DataFrame:
     )
 
 
+def multimodal_decode_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal full-fidelity decode frame (features as array<double>) —
+    consumed by tests and downstream feature engineering."""
+    d = load(spark, sf_dir, "documents")
+    mm = with_image_payloads(d)
+    return mm.mapInPandas(decode_image_batch, DECODED_SCHEMA)
+
+
 @query("llm_multimodal_decode", oracle=None)
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode pipeline over REAL image bytes: documents become
     4×4 PPM/BMP binaries (JVM-side synthesis) and the Python worker parses
     them with strict pure-Python format decoders — no injected fake
     (rows-only: array features have no SQL twin; dims/status invariants are
-    asserted in tests/test_multimodal.py)."""
-    d = load(spark, sf_dir, "documents")
-    mm = with_image_payloads(d)
-    return mm.mapInPandas(decode_image_batch, DECODED_SCHEMA)
+    asserted in tests/test_multimodal.py against the raw frame).
+
+    The REGISTRY boundary summarizes the feature vector (count + md5 of
+    its canonical string form) instead of emitting a raw array — the
+    no-arrays discipline (r2: the driver canonicalizer cannot hash list
+    cells); multimodal_decode_raw keeps the full array for callers."""
+    raw = multimodal_decode_raw(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        "content_hash",
+        "payload_len",
+        "width",
+        "height",
+        "decode_status",
+        F.expr("CAST(size(features) AS BIGINT)").alias("n_features"),
+        F.expr(
+            "md5(CAST(concat_ws(',',"
+            " transform(features, x -> CAST(x AS STRING))) AS BINARY))"
+        ).alias("features_md5"),
+    )
 
 
 FRAME_CHARS = 16
@@ -333,15 +357,9 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + rgb
 
 
-@query("llm_multimodal_resize", oracle=None)
-def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize over mapInPandas: decode the PPM/BMP payload with
-    the format parsers, nearest-neighbor resample to RESIZE_W×RESIZE_H,
-    re-encode as PPM (rows-only: binary outputs have no SQL twin; the
-    round-trip contract — every output payload decodes to exactly the
-    target dims with pixels drawn from the source — is asserted in
-    tests/test_multimodal.py). Undecodable payloads pass through as
-    quarantine rows, never task failures."""
+def multimodal_resize_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal full-fidelity resize frame (re-encoded PPM binaries) —
+    consumed by tests and downstream export."""
     d = load(spark, sf_dir, "documents")
     mm = with_image_payloads(d)
 
@@ -379,6 +397,30 @@ def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         "doc_id long, orig_w int, orig_h int, resized binary, "
         "resized_bytes long, status string",
+    )
+
+
+@query("llm_multimodal_resize", oracle=None)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over mapInPandas: decode the PPM/BMP payload with
+    the format parsers, nearest-neighbor resample to RESIZE_W×RESIZE_H,
+    re-encode as PPM (rows-only: binary outputs have no SQL twin; the
+    round-trip contract — every output payload decodes to exactly the
+    target dims with pixels drawn from the source — is asserted in
+    tests/test_multimodal.py against the raw frame). Undecodable payloads
+    pass through as quarantine rows, never task failures.
+
+    The REGISTRY boundary replaces the raw re-encoded binary with its md5
+    and length (the scan_binaryfile hash-at-the-edge discipline);
+    multimodal_resize_raw keeps the payload for callers."""
+    raw = multimodal_resize_raw(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        "orig_w",
+        "orig_h",
+        "resized_bytes",
+        "status",
+        F.expr("md5(resized)").alias("resized_md5"),
     )
 
 

@@ -84,7 +84,8 @@ def test_multimodal_resize_round_trips(spark):
     RESIZE_W x RESIZE_H, with pixels present in the source image."""
     from bitcoin_price_etl_spark.llm.multimodal import RESIZE_H, RESIZE_W
 
-    rows = load_all()["llm_multimodal_resize"].fn(spark, SF_SMOKE).collect()
+    from bitcoin_price_etl_spark.llm.multimodal import multimodal_resize_raw
+    rows = multimodal_resize_raw(spark, SF_SMOKE).collect()
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert len(rows) == docs
     for r in rows[:50]:
@@ -99,7 +100,8 @@ def test_multimodal_decode_end_to_end(spark):
     """Every document decodes through a REAL format parser: even doc_ids as
     PPM, odd as BMP; dims match, channel means match a from-scratch
     recomputation off md5(text)."""
-    d = load_all()["llm_multimodal_decode"].fn(spark, SF_SMOKE).collect()
+    from bitcoin_price_etl_spark.llm.multimodal import multimodal_decode_raw
+    d = multimodal_decode_raw(spark, SF_SMOKE).collect()
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert len(d) == docs
     assert {r.decode_status for r in d} == {"ppm-decoded", "bmp-decoded"}
