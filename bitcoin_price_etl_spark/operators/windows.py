@@ -3928,3 +3928,194 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prominence"
         ),
     )
+
+
+_ES_WING = 3  # event-study window: 3 days each side
+
+
+@query(
+    "ts_event_study_car",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    vols AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS bar_date,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS day_vol
+        FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    ),
+    rets AS (
+        SELECT b.event_type, b.bar_date, v.day_vol,
+               b.close / lag(b.close) OVER (
+                   PARTITION BY b.event_type ORDER BY b.bar_date
+               ) - 1.0 AS r,
+               row_number() OVER (
+                   PARTITION BY b.event_type ORDER BY b.bar_date
+               ) AS day_idx
+        FROM bars b JOIN vols v
+          ON b.event_type = v.event_type AND b.bar_date = v.bar_date
+        QUALIFY r IS NOT NULL
+    ),
+    vol_ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day_vol DESC, bar_date
+               ) AS vrn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM rets
+    ),
+    events_d AS (
+        SELECT event_type, day_idx AS event_idx
+        FROM vol_ranked WHERE vrn * 10 <= n
+    ),
+    mu AS (
+        SELECT event_type,
+               CAST(SUM(CAST(r AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*)
+                   AS mean_r
+        FROM rets GROUP BY event_type
+    ),
+    panel AS (
+        SELECT r.event_type,
+               CAST(r.day_idx - e.event_idx AS BIGINT) AS evt_offset,
+               CAST((r.r - m.mean_r) AS DECIMAL(18,10)) AS ar_q
+        FROM rets r
+        JOIN events_d e ON r.event_type = e.event_type
+         AND r.day_idx BETWEEN e.event_idx - {_ES_WING}
+                           AND e.event_idx + {_ES_WING}
+        JOIN mu m ON r.event_type = m.event_type
+    ),
+    by_offset AS (
+        SELECT event_type, evt_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(ar_q) AS DOUBLE) / COUNT(*) AS mean_ar
+        FROM panel GROUP BY event_type, evt_offset
+    ),
+    arrs AS (
+        SELECT event_type,
+               list_sort(list(struct_pack(
+                   o := evt_offset, m := mean_ar, n := n_obs))) AS a
+        FROM by_offset GROUP BY event_type
+    )
+    SELECT event_type,
+           a[i].o AS evt_offset,
+           a[i].n AS n_obs,
+           a[i].m AS mean_ar,
+           CAST(list_reduce(list_transform(list_slice(a, 1, i),
+                x -> x.m), (s, x) -> s + x) AS DOUBLE) AS car
+    FROM arrs, (SELECT unnest(range(1, 8)) AS i) idx
+    WHERE i <= len(a)
+    """,
+)
+def ts_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around high-volume days: mean abnormal return (vs the
+    series mean) at each offset in a +/-3-day window around top-decile
+    volume days, and the cumulative abnormal return path — the
+    MacKinlay (1997) design behind 'does X move the price', applied
+    here to volume shocks; the causal-analysis complement to
+    ts_lead_lag_xcorr's symmetric correlation scan.
+
+    Parity: returns are correctly-rounded chains on picked closes;
+    event days come from an EXACT integer rank rule (vrn*10 <= n —
+    total-ordered on (volume DESC, date)); abnormal returns quantize to
+    DECIMAL(18,10) before the exact panel sums (rule 2b); the CAR
+    cumulative folds the bounded 7-offset mean array SEQUENTIALLY in
+    offset order in both engines (Spark aggregate / DuckDB list_reduce
+    — the llm_sim_search discipline), because re-quantizing a computed
+    double mean hits the shortest-repr-vs-exact-binary double->decimal
+    divergence (the exprs.py hazard, observed here at 1 decimal ulp).
+
+    Scale shape: tick volume collapses to daily bars/volumes first; the
+    event join fans out a bounded 7-day window per event day over the
+    bar grid (equi-join on series + range on the integer day index —
+    never a cross join); the offset panel is a bounded (series x 7)
+    grid. Flat in tick volume.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    e = load(spark, sf_dir, "events")
+    vols = e.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("bar_date"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("day_vol")
+    )
+    rets = (
+        bars.join(vols, ["event_type", "bar_date"])
+        .select(
+            "event_type",
+            "bar_date",
+            "day_vol",
+            F.expr(
+                """close / lag(close) OVER (
+                       PARTITION BY event_type ORDER BY bar_date
+                   ) - 1.0D"""
+            ).alias("r"),
+            F.expr(
+                """row_number() OVER (
+                       PARTITION BY event_type ORDER BY bar_date
+                   )"""
+            ).alias("day_idx"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    vol_ranked = rets.select(
+        "*",
+        F.expr(
+            """row_number() OVER (
+                   PARTITION BY event_type ORDER BY day_vol DESC, bar_date
+               )"""
+        ).alias("vrn"),
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("n"),
+    )
+    events_d = vol_ranked.filter(F.expr("vrn * 10 <= n")).select(
+        "event_type", F.col("day_idx").alias("event_idx")
+    )
+    mu = rets.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CAST(r AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*)"
+        ).alias("mean_r")
+    )
+    panel = (
+        rets.join(F.broadcast(events_d), "event_type")
+        .filter(
+            F.expr(
+                f"day_idx BETWEEN event_idx - {_ES_WING}"
+                f" AND event_idx + {_ES_WING}"
+            )
+        )
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            F.expr("CAST(day_idx - event_idx AS BIGINT)").alias("evt_offset"),
+            F.expr("CAST((r - mean_r) AS DECIMAL(18,10))").alias("ar_q"),
+        )
+    )
+    by_offset = panel.groupBy("event_type", "evt_offset").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_obs"),
+        F.expr("CAST(SUM(ar_q) AS DOUBLE) / COUNT(*)").alias("mean_ar"),
+    )
+    arrs = by_offset.groupBy("event_type").agg(
+        F.expr(
+            "sort_array(collect_list("
+            "struct(evt_offset AS o, mean_ar AS m, n_obs AS n)))"
+        ).alias("a")
+    )
+    return arrs.select(
+        "event_type",
+        F.posexplode(F.expr("sequence(1, size(a))")).alias("i0", "i"),
+        "a",
+    ).select(
+        "event_type",
+        F.expr("a[i - 1].o").alias("evt_offset"),
+        F.expr("a[i - 1].n").alias("n_obs"),
+        F.expr("a[i - 1].m").alias("mean_ar"),
+        F.expr(
+            """CAST(aggregate(transform(slice(a, 1, i), x -> x.m),
+               0D, (s, x) -> s + x) AS DOUBLE)"""
+        ).alias("car"),
+    )

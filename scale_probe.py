@@ -483,6 +483,8 @@ FACT_KEYS = {
     "ts_var_es": ("events", "event_id", None),
     # hourly grid collapse; four bounded frames on one exchange
     "ts_peak_detection": ("events", "event_id", None),
+    # bar/volume grids; bounded 7-day event window join
+    "ts_event_study_car": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
