@@ -1491,3 +1491,171 @@ def llm_embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((v - mean_v) / sd AS DOUBLE)").alias("white_val"),
         )
     )
+
+
+@query(
+    "llm_cluster_eval",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+    ), scored AS (
+        SELECT e.vec_id, e.label, c.cid,
+               list_reduce(list_transform(list_zip(e.embedding, c.cvec),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (s, x) -> s + x) AS dist2
+        FROM embeddings e CROSS JOIN cent c
+    ), assigned AS (
+        SELECT vec_id, label, cid
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), cells AS (
+        SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n_cell
+        FROM assigned GROUP BY cid, label
+    ), tot AS (
+        SELECT cid, label, n_cell,
+               CAST(SUM(n_cell) OVER () AS BIGINT) AS n,
+               CAST(SUM(n_cell) OVER (PARTITION BY cid) AS BIGINT) AS n_c,
+               CAST(SUM(n_cell) OVER (PARTITION BY label) AS BIGINT) AS n_l
+        FROM cells
+    ), terms AS (
+        SELECT n,
+               CAST((CAST(n_cell AS DOUBLE) / n)
+                    * ln((CAST(n_cell AS DOUBLE) * n)
+                         / (CAST(n_c AS DOUBLE) * n_l))
+                    AS DECIMAL(18,10)) AS mi_term,
+               CAST(-(CAST(n_c AS DOUBLE) / n)
+                    * ln(CAST(n_c AS DOUBLE) / n) / COUNT(*)
+                        OVER (PARTITION BY cid)
+                    AS DECIMAL(18,10)) AS hc_term,
+               CAST(-(CAST(n_l AS DOUBLE) / n)
+                    * ln(CAST(n_l AS DOUBLE) / n) / COUNT(*)
+                        OVER (PARTITION BY label)
+                    AS DECIMAL(18,10)) AS hl_term
+        FROM tot
+    ), purity AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS hits FROM (
+            SELECT cid, MAX(n_cell) AS mx FROM cells GROUP BY cid
+        )
+    )
+    SELECT MAX(n) AS n,
+           CAST(CAST((SELECT hits FROM purity) AS DOUBLE) / MAX(n) AS DOUBLE)
+               AS purity,
+           CAST(SUM(mi_term) AS DOUBLE) AS mutual_info,
+           CAST(CAST(SUM(mi_term) AS DOUBLE)
+                / sqrt(CAST(SUM(hc_term) AS DOUBLE)
+                       * CAST(SUM(hl_term) AS DOUBLE))
+                AS DOUBLE) AS nmi
+    FROM terms
+    """,
+)
+def llm_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation of the k-means assignment against the label
+    column: PURITY (majority-label mass per cluster) and NORMALIZED
+    MUTUAL INFORMATION (geometric-mean normalization) — the two scores
+    every unsupervised-curation run reports before trusting clusters
+    for domain routing or semdedup (purity flatters many tiny clusters;
+    NMI penalizes them — report both).
+
+    Parity: contingency cells and marginals are exact integers; each
+    MI/entropy term carries libm ln and QUANTIZES through
+    DECIMAL(18,10) before exact decimal sums (the per-term rule; the
+    per-cell entropy shares divide by exact window counts so each
+    cluster's H contributes once); the final NMI divides by a sqrt of
+    a product — no a*b+c shape. Assignment ties break on (dist2, cid)
+    — total order.
+
+    Scale shape: the assignment is the certified llm_kmeans_assign
+    broadcast-argmin; the evaluation collapses to the bounded
+    (clusters x labels) contingency grid and everything downstream
+    rides grid rows. Flat in corpus size.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(embedding, cvec,"
+            " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("dist2"),
+    )
+    assigned = scored.select(
+        "vec_id",
+        "label",
+        "cid",
+        F.expr(
+            "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)"
+        ).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    cells = assigned.groupBy("cid", "label").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cell")
+    )
+    tot = cells.select(
+        "cid",
+        "label",
+        "n_cell",
+        F.expr("CAST(SUM(n_cell) OVER () AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(n_cell) OVER (PARTITION BY cid) AS BIGINT)").alias(
+            "n_c"
+        ),
+        F.expr(
+            "CAST(SUM(n_cell) OVER (PARTITION BY label) AS BIGINT)"
+        ).alias("n_l"),
+    )
+    terms = tot.select(
+        "n",
+        F.expr(
+            """CAST((CAST(n_cell AS DOUBLE) / n)
+               * ln((CAST(n_cell AS DOUBLE) * n)
+                    / (CAST(n_c AS DOUBLE) * n_l))
+               AS DECIMAL(18,10))"""
+        ).alias("mi_term"),
+        F.expr(
+            """CAST(-(CAST(n_c AS DOUBLE) / n)
+               * ln(CAST(n_c AS DOUBLE) / n) / COUNT(*)
+                   OVER (PARTITION BY cid)
+               AS DECIMAL(18,10))"""
+        ).alias("hc_term"),
+        F.expr(
+            """CAST(-(CAST(n_l AS DOUBLE) / n)
+               * ln(CAST(n_l AS DOUBLE) / n) / COUNT(*)
+                   OVER (PARTITION BY label)
+               AS DECIMAL(18,10))"""
+        ).alias("hl_term"),
+    )
+    purity = (
+        cells.groupBy("cid")
+        .agg(F.expr("MAX(n_cell)").alias("mx"))
+        .agg(F.expr("CAST(SUM(mx) AS BIGINT)").alias("hits"))
+    )
+    return (
+        terms.agg(
+            F.expr("MAX(n)").alias("n"),
+            F.expr("CAST(SUM(mi_term) AS DOUBLE)").alias("mutual_info"),
+            F.expr("CAST(SUM(hc_term) AS DOUBLE)").alias("hc"),
+            F.expr("CAST(SUM(hl_term) AS DOUBLE)").alias("hl"),
+        )
+        .crossJoin(F.broadcast(purity))
+        .select(
+            "n",
+            F.expr("CAST(CAST(hits AS DOUBLE) / n AS DOUBLE)").alias(
+                "purity"
+            ),
+            "mutual_info",
+            F.expr(
+                "CAST(mutual_info / sqrt(hc * hl) AS DOUBLE)"
+            ).alias("nmi"),
+        )
+    )

@@ -140,6 +140,9 @@ EMB_KEYS = [
     # the 64-row dimension grid is fixed; both explode passes grow
     # linearly and the moment joins broadcast
     "llm_embed_whitening",
+    # broadcast-argmin assignment then the bounded (clusters x labels)
+    # contingency grid
+    "llm_cluster_eval",
 ]
 
 

@@ -1247,6 +1247,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "llm_judge_agreement",
     "ab_ks_two_sample",
     "ts_event_study_car",
+    "llm_cluster_eval",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
