@@ -1659,3 +1659,101 @@ def llm_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+_OUTLIER_TOPK = 5
+
+
+@query(
+    "llm_label_outliers",
+    oracle=f"""
+    WITH long AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(CAST(AVG(x) AS DECIMAL(18,6)) AS DOUBLE) AS c
+        FROM long GROUP BY label, pos
+    ),
+    devs AS (
+        SELECT l.vec_id, l.label,
+               CAST((l.x - c.c) * (l.x - c.c) AS DECIMAL(18,10)) AS d2_q
+        FROM long l JOIN cent c ON l.label = c.label AND l.pos = c.pos
+    ),
+    dists AS (
+        SELECT vec_id, label,
+               CAST(SUM(d2_q) AS DOUBLE) AS dist2
+        FROM devs GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, dist2,
+           CAST(rn AS BIGINT) AS outlier_rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY label ORDER BY dist2 DESC, vec_id
+               ) AS rn
+        FROM dists
+    ) WHERE rn <= {_OUTLIER_TOPK}
+    """,
+)
+def llm_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel screening: the top-5 vectors FARTHEST from their own
+    label's centroid — the confident-learning-lite pass a labeled
+    corpus runs before training (points far from their class center
+    are the label errors and boundary junk worth human review),
+    composing the certified llm_embed_centroids means with per-label
+    outlier ranking.
+
+    Parity: centroids reuse the certified quantized-AVG form
+    (DECIMAL(18,6), identical in both engines); each per-dimension
+    squared deviation multiplies identical doubles and QUANTIZES to
+    DECIMAL(18,10) so the per-vector sums are exact decimal (rule 2b);
+    ranking orders by (dist2 DESC, vec_id) — a total order on exact
+    values.
+
+    Scale shape: one posexplode rides the scan; the centroid grid
+    (labels x 64 dims) broadcasts back; per-vector sums partial-agg on
+    vec_id; the top-5 runs as WindowGroupLimit per label. Linear scan,
+    bounded everything else.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr("CAST(pos0 + 1 AS BIGINT)").alias("pos"),
+        F.expr("CAST(xf AS DOUBLE)").alias("x"),
+    )
+    cent = long.groupBy("label", "pos").agg(
+        F.expr("CAST(CAST(AVG(x) AS DECIMAL(18,6)) AS DOUBLE)").alias("c")
+    )
+    devs = long.join(F.broadcast(cent), ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        F.expr("CAST((x - c) * (x - c) AS DECIMAL(18,10))").alias("d2_q"),
+    )
+    dists = devs.groupBy("vec_id", "label").agg(
+        F.expr("CAST(SUM(d2_q) AS DOUBLE)").alias("dist2")
+    )
+    return (
+        dists.select(
+            "*",
+            F.expr(
+                """row_number() OVER (
+                       PARTITION BY label ORDER BY dist2 DESC, vec_id
+                   )"""
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") <= _OUTLIER_TOPK)
+        .select(
+            "vec_id",
+            "label",
+            "dist2",
+            F.col("rn").cast("bigint").alias("outlier_rank"),
+        )
+    )

@@ -143,6 +143,8 @@ EMB_KEYS = [
     # broadcast-argmin assignment then the bounded (clusters x labels)
     # contingency grid
     "llm_cluster_eval",
+    # posexplode + broadcast centroid grid + WindowGroupLimit top-5
+    "llm_label_outliers",
 ]
 
 

@@ -1248,6 +1248,7 @@ def test_sink_salted_layout_one_dir_per_hex_prefix(spark):
     "ab_ks_two_sample",
     "ts_event_study_car",
     "llm_cluster_eval",
+    "llm_label_outliers",
 ])
 def test_round4e_keys_shuffle_partition_invariant(spark, key):
     """Round-4e determinism disciplines (decimal frame moments, per-term
