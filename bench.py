@@ -196,6 +196,8 @@ HEADLINE = [
     "ts_sax_symbolize",
     "ts_hurst_rs",
     "ts_lead_lag_xcorr",
+    "ts_rolling_beta",
+    "llm_tokenizer_fertility",
     "cohort_survival_km",
     "cohort_ltv_curve",
     "ab_ratio_delta_ci",

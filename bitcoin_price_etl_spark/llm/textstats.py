@@ -1535,3 +1535,64 @@ def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                - (a_pos * b_pos + (n - a_pos) * (n - b_pos)) AS DOUBLE)"""
         ).alias("cohens_kappa"),
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS words,
+               CAST(len(regexp_extract_all(text,
+                    '{BPE_PATTERN.replace(chr(92), chr(92))}')) AS BIGINT)
+                   AS toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(toks) AS DOUBLE) / CAST(SUM(words) AS DOUBLE)
+               AS fertility,
+           CAST(SUM(toks) AS DOUBLE) / COUNT(*) AS tokens_per_doc
+    FROM t GROUP BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-tokens-per-word under the
+    BPE-style pretokenizer (llm_token_bpe's certified regex) — THE
+    tokenizer-fairness metric (Rust et al. 2021, "How Good is Your
+    Tokenizer?"): languages with fertility far above English pay
+    proportionally more sequence length (= compute and context budget)
+    per word, and a multilingual corpus plan reweights or re-trains the
+    tokenizer based on exactly this table.
+
+    No reference precedent (north star, BASELINE.json). Both counts are
+    doc-local JVM regex/split ops inside the scan projection; the
+    per-lang rollup is ONE partial-agg grouped aggregation on a 5-row
+    key grid. Parity: counts are exact BIGINTs; fertility and
+    tokens_per_doc each divide identical exact integers as IEEE doubles
+    (correctly-rounded, no quantize needed).
+
+    Scale shape: map-side combine collapses each task to ≤|langs| rows
+    before the exchange — flat at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("toks"),
+    )
+    return t.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(words) AS BIGINT)").alias("total_words"),
+        F.expr("CAST(SUM(toks) AS BIGINT)").alias("total_tokens"),
+        F.expr(
+            "CAST(SUM(toks) AS DOUBLE) / CAST(SUM(words) AS DOUBLE)"
+        ).alias("fertility"),
+        F.expr("CAST(SUM(toks) AS DOUBLE) / COUNT(*)").alias(
+            "tokens_per_doc"
+        ),
+    )

@@ -4119,3 +4119,130 @@ def ts_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
                0D, (s, x) -> s + x) AS DOUBLE)"""
         ).alias("car"),
     )
+
+
+BETA_FRAME = 10
+_BETA_SCALE = 10000  # 1e4 fixed-point: DECIMAL(12,4)-exact close prices
+
+
+@query(
+    "ts_rolling_beta",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    px AS (
+        SELECT event_type, bar_date,
+               CAST(CAST(close AS DECIMAL(12,4)) * {_BETA_SCALE} AS BIGINT)
+                   AS close_i
+        FROM bars
+    ),
+    d AS (
+        SELECT event_type, bar_date,
+               close_i - lag(close_i) OVER (PARTITION BY event_type
+                                            ORDER BY bar_date) AS di
+        FROM px
+    ),
+    dd AS (SELECT event_type, bar_date, di FROM d WHERE di IS NOT NULL),
+    mkt AS (
+        SELECT bar_date, CAST(SUM(di) AS BIGINT) AS mi
+        FROM dd GROUP BY bar_date
+    ),
+    j AS (
+        SELECT dd.event_type, dd.bar_date, dd.di, mkt.mi
+        FROM dd JOIN mkt USING (bar_date)
+    ),
+    fr AS (
+        SELECT event_type, bar_date,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_bars,
+               CAST(SUM(di * mi) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(di) OVER w AS BIGINT) AS sx,
+               CAST(SUM(mi) OVER w AS BIGINT) AS sm,
+               CAST(SUM(mi * mi) OVER w AS BIGINT) AS smm
+        FROM j
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {BETA_FRAME - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT event_type, bar_date, n_bars,
+           CAST(n_bars * sxy - sx * sm AS BIGINT) AS beta_num,
+           CAST(n_bars * smm - sm * sm AS BIGINT) AS beta_den,
+           CASE WHEN n_bars * smm - sm * sm = 0 THEN NULL
+                ELSE CAST(n_bars * sxy - sx * sm AS DOUBLE)
+                     / CAST(n_bars * smm - sm * sm AS DOUBLE) END AS beta
+    FROM fr WHERE n_bars = {BETA_FRAME}
+    """,
+)
+def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling market beta per series: trailing-10-bar OLS slope of a
+    series' daily price moves against the total market move (the sum of
+    all series' moves that day) — the systematic-exposure gauge a quant
+    desk computes per instrument, here over the engine's daily bars
+    (composes the certified ts_resample_ohlc, like ts_atr).
+    win_rolling_beta is the within-entity sibling (price-on-quantity per
+    supplier); this one is CROSS-series — the regressor is a market
+    aggregate built from all series and joined back, which is what makes
+    it a different operator shape, not a re-keyed copy.
+
+    Beta is the uncentered-sums OLS form (n·Σxy − Σx·Σm) / (n·Σmm − (Σm)²)
+    over the trailing frame; only FULL frames emit (n = 10, BETA_FRAME), and a
+    zero-variance market frame yields NULL rather than a division blowup.
+
+    Parity: the llm_kmeans_train scaled-int64 discipline — closes quantize
+    through the exact DECIMAL(12,4) cast (fixture prices carry ≤2
+    decimals) onto a 1e4 fixed-point BIGINT grid, so diffs, the market
+    sum, every product, every frame sum, and both OLS sums are EXACT
+    integer arithmetic in both engines (magnitudes ≤ ~1e16 at 10× this
+    fixture — far inside int64); the single double division at the end
+    divides identical operands (correctly-rounded IEEE, no quantize
+    needed). beta_num/beta_den are emitted as exact BIGINTs so the hash
+    check is integer-exact on all but the final column.
+
+    Scale shape: the event corpus collapses to the (series × day) bar
+    grid FIRST (ts_resample_ohlc's one exchange); the market series is
+    one grouped agg on that bounded grid, joined back on bar_date (AQE
+    broadcasts it); the rolling frame is one bounded window per series.
+    Flat in event volume; linear in calendar span × series count.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type",
+        "bar_date",
+        F.expr(
+            f"CAST(CAST(close AS DECIMAL(12,4)) * {_BETA_SCALE} AS BIGINT)"
+        ).alias("close_i"),
+    )
+    d = bars.select(
+        "event_type",
+        "bar_date",
+        F.expr(
+            "close_i - lag(close_i) OVER (PARTITION BY event_type"
+            " ORDER BY bar_date)"
+        ).alias("di"),
+    ).filter(F.col("di").isNotNull())
+    mkt = d.groupBy("bar_date").agg(
+        F.expr("CAST(SUM(di) AS BIGINT)").alias("mi")
+    )
+    j = d.join(mkt, "bar_date").select("event_type", "bar_date", "di", "mi")
+    w = (
+        f"(PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {BETA_FRAME - 1} PRECEDING AND CURRENT ROW)"
+    )
+    fr = j.select(
+        "event_type",
+        "bar_date",
+        F.expr(f"CAST(COUNT(*) OVER {w} AS BIGINT)").alias("n_bars"),
+        F.expr(f"CAST(SUM(di * mi) OVER {w} AS BIGINT)").alias("sxy"),
+        F.expr(f"CAST(SUM(di) OVER {w} AS BIGINT)").alias("sx"),
+        F.expr(f"CAST(SUM(mi) OVER {w} AS BIGINT)").alias("sm"),
+        F.expr(f"CAST(SUM(mi * mi) OVER {w} AS BIGINT)").alias("smm"),
+    ).filter(F.col("n_bars") == BETA_FRAME)
+    return fr.select(
+        "event_type",
+        "bar_date",
+        "n_bars",
+        F.expr("CAST(n_bars * sxy - sx * sm AS BIGINT)").alias("beta_num"),
+        F.expr("CAST(n_bars * smm - sm * sm AS BIGINT)").alias("beta_den"),
+        F.expr(
+            """CASE WHEN n_bars * smm - sm * sm = 0 THEN NULL
+               ELSE CAST(n_bars * sxy - sx * sm AS DOUBLE)
+                    / CAST(n_bars * smm - sm * sm AS DOUBLE) END"""
+        ).alias("beta"),
+    )
