@@ -114,6 +114,9 @@ DOC_KEYS = [
     # salted write: volume grows linearly across 16 fixed prefixes; the
     # probe measures write+read-back+count end-to-end
     "sink_salted",
+    # regex/split counts ride the scan map-side; the 5-row lang grid
+    # absorbs growth through the partial agg
+    "llm_tokenizer_fertility",
 ]
 
 # embeddings-table keys: copies shift vec_id and keep vectors — per-row cost
@@ -490,6 +493,9 @@ FACT_KEYS = {
     "ts_peak_detection": ("events", "event_id", None),
     # bar/volume grids; bounded 7-day event window join
     "ts_event_study_car": ("events", "event_id", None),
+    # OHLC collapse absorbs tick growth; market agg + broadcast join and
+    # the 10-bar frames run on the bounded (series x day) grid
+    "ts_rolling_beta": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
