@@ -197,6 +197,9 @@ HEADLINE = [
     "ts_hurst_rs",
     "ts_lead_lag_xcorr",
     "ts_rolling_beta",
+    "ts_holt_linear",
+    "ts_gap_report",
+    "ts_runs_test",
     "llm_tokenizer_fertility",
     "cohort_survival_km",
     "cohort_ltv_curve",

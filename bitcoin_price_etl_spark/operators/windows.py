@@ -4246,3 +4246,386 @@ def ts_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / CAST(n_bars * smm - sm * sm AS DOUBLE) END"""
         ).alias("beta"),
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE {_BARS_ORACLE},
+    y AS (
+        SELECT event_type, close,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY bar_date) AS t
+        FROM bars
+    ),
+    n AS (SELECT event_type, CAST(MAX(t) AS BIGINT) AS n_bars
+          FROM y GROUP BY event_type),
+    hw AS (
+        SELECT y1.event_type, 1 AS t,
+               y1.close AS l,
+               y2.close - y1.close AS b
+        FROM y y1 JOIN y y2
+          ON y2.event_type = y1.event_type AND y2.t = 2
+        WHERE y1.t = 1
+        UNION ALL
+        SELECT h.event_type, h.t + 1,
+               CAST(0.5 AS DOUBLE) * ((yt.close + h.l) + h.b),
+               CAST(0.5 AS DOUBLE) * ((
+                   CAST(0.5 AS DOUBLE) * ((yt.close + h.l) + h.b)
+                   - h.l) + h.b)
+        FROM hw h
+        JOIN y yt ON yt.event_type = h.event_type AND yt.t = h.t + 1
+        JOIN n ON n.event_type = h.event_type
+        WHERE h.t < n.n_bars
+    )
+    SELECT hw.event_type, n.n_bars,
+           hw.l AS level, hw.b AS trend,
+           hw.l + hw.b AS forecast_1,
+           ((((((hw.l + hw.b) + hw.b) + hw.b) + hw.b) + hw.b) + hw.b)
+               + hw.b AS forecast_7
+    FROM hw JOIN n ON n.event_type = hw.event_type
+    WHERE hw.t = n.n_bars
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per series (level + trend) over
+    the daily bars, with 1-step and 7-step-ahead forecasts — the
+    trend-aware upgrade of ts_ewma's single smoothing, and the simplest
+    forecast ts_forecast_backtest's seasonal-naive baseline is meant to
+    be beaten by.
+
+    Smoothing constants are PINNED DYADIC (alpha = beta = 0.5), which
+    collapses both recursions to single-multiply-by-0.5 forms:
+    l_t = 0.5*((y_t + l_{{t-1}}) + b_{{t-1}}),
+    b_t = 0.5*((l_t - l_{{t-1}}) + b_{{t-1}}).
+    Multiplying by 0.5 is EXACT in IEEE (power of two), every addition
+    is correctly rounded on identical operands with pinned parentheses,
+    and no sum-of-two-products shape exists for DuckDB to FMA-contract
+    (the ts_hurst_rs class) — so the sequential recursion is
+    bit-identical across engines with zero quantization. The 7-step
+    forecast is an explicit add-chain for the same reason (l + 7*b is
+    an a*b+c FMA shape; seven pinned adds are not). The 0.5 literal is
+    CAST to DOUBLE in the oracle (DuckDB's bare-literal DECIMAL trap,
+    ts_volatility_ohlc).
+
+    Engine side runs the recursion as a sequential fold over each
+    series' sorted bounded bar array (the ts_event_study_car
+    discipline: 30 daily closes per series — a bounded frame, not a
+    corpus collect); the oracle runs the SAME arithmetic as a
+    recursive CTE (the sql_recursive_cte pattern), making the two
+    implementations structurally independent.
+
+    Scale shape: the event corpus collapses to the (series x day) bar
+    grid first (one exchange); the fold is per-series map work on a
+    calendar-bounded array. Flat in event volume; linear in calendar
+    span. Init l_1 = y_1, b_1 = y_2 - y_1; series with fewer than 2
+    bars are dropped in both engines (the init join).
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    arr = bars.groupBy("event_type").agg(
+        F.expr(
+            "sort_array(collect_list(struct(bar_date, close)))"
+        ).alias("a")
+    )
+    new_l = "CAST(0.5 AS DOUBLE) * ((y.close + acc.l) + acc.b)"
+    folded = arr.filter(F.expr("size(a) >= 2")).select(
+        "event_type",
+        F.expr("CAST(size(a) AS BIGINT)").alias("n_bars"),
+        F.expr(
+            f"""aggregate(
+                slice(a, 2, size(a) - 1),
+                named_struct('l', a[0].close,
+                             'b', a[1].close - a[0].close),
+                (acc, y) -> named_struct(
+                    'l', {new_l},
+                    'b', CAST(0.5 AS DOUBLE) * (({new_l} - acc.l) + acc.b)
+                ))"""
+        ).alias("hw"),
+    )
+    return folded.select(
+        "event_type",
+        "n_bars",
+        F.expr("hw.l").alias("level"),
+        F.expr("hw.b").alias("trend"),
+        F.expr("hw.l + hw.b").alias("forecast_1"),
+        F.expr(
+            "((((((hw.l + hw.b) + hw.b) + hw.b) + hw.b) + hw.b) + hw.b)"
+            " + hw.b"
+        ).alias("forecast_7"),
+    )
+
+
+@query(
+    "ts_gap_report",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS h
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT event_type, MIN(h) AS mn, MAX(h) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n_observed
+        FROM obs GROUP BY event_type
+    ),
+    expected AS (
+        SELECT b.event_type,
+               unnest(generate_series(b.mn, b.mx,
+                                      INTERVAL '1 hour')) AS h
+        FROM bounds b
+    ),
+    missing AS (
+        SELECT e.event_type, e.h,
+               date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', e.h)
+                   AS hi
+        FROM expected e
+        LEFT JOIN obs o
+          ON o.event_type = e.event_type AND o.h = e.h
+        WHERE o.h IS NULL
+    ),
+    runs AS (
+        SELECT event_type,
+               hi - ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY hi) AS island,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_missing
+        FROM missing
+    ),
+    islands AS (
+        SELECT event_type, island, MAX(n_missing) AS n_missing,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY event_type, island
+    ),
+    gap_stats AS (
+        SELECT event_type, MAX(n_missing) AS n_missing,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               MAX(run_len) AS max_gap_hours
+        FROM islands GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(1 + date_diff('hour', b.mn, b.mx) AS BIGINT)
+               AS n_expected,
+           b.n_observed,
+           COALESCE(g.n_missing, CAST(0 AS BIGINT)) AS n_missing,
+           COALESCE(g.n_gaps, CAST(0 AS BIGINT)) AS n_gaps,
+           COALESCE(g.max_gap_hours, CAST(0 AS BIGINT)) AS max_gap_hours,
+           CAST(b.n_observed AS DOUBLE)
+               / CAST(1 + date_diff('hour', b.mn, b.mx) AS DOUBLE)
+               AS completeness
+    FROM bounds b LEFT JOIN gap_stats g ON g.event_type = b.event_type
+    """,
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-completeness audit: per series, the expected hourly grid
+    between its first and last observation vs the hours actually seen —
+    missing-hour count, number of gaps, LONGEST consecutive gap
+    (the win_gaps_islands technique applied to the missing set), and a
+    completeness ratio. The monitoring twin of ts_interpolate_linear:
+    that operator repairs holes, this one reports them — the freshness/
+    completeness check the reference's hourly poll pipeline needs when a
+    scheduler outage silently drops polls (its catchup=False stance
+    makes missed hours permanent).
+
+    Parity: everything is exact timestamp/integer arithmetic — grid
+    sizes, anti-join survivors, island run lengths — and completeness
+    divides identical exact BIGINTs once (correctly-rounded IEEE).
+
+    Scale shape: the corpus collapses to the distinct (series, hour)
+    grid FIRST (one partial-agg exchange; the exchange carries grid
+    rows, never events); the expected grid explodes off the 5-row
+    bounds frame, bounded by calendar span; the anti-join and the
+    islands window run on grid-sized inputs. Flat in event volume,
+    linear in calendar span.
+    """
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    bounds = obs.groupBy("event_type").agg(
+        F.expr("MIN(h)").alias("mn"),
+        F.expr("MAX(h)").alias("mx"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_observed"),
+    )
+    expected = bounds.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(mn, mx, interval 1 hour)")
+        ).alias("h"),
+    )
+    missing = (
+        expected.join(obs, ["event_type", "h"], "left_anti")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(unix_timestamp(h) AS BIGINT) DIV 3600"
+            ).alias("hi"),
+        )
+    )
+    runs = missing.select(
+        "event_type",
+        F.expr(
+            """hi - ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY hi)"""
+        ).alias("island"),
+        F.expr(
+            "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("n_missing"),
+    )
+    islands = runs.groupBy("event_type", "island").agg(
+        F.expr("MAX(n_missing)").alias("n_missing"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("run_len"),
+    )
+    gap_stats = islands.groupBy("event_type").agg(
+        F.expr("MAX(n_missing)").alias("n_missing"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_gaps"),
+        F.expr("MAX(run_len)").alias("max_gap_hours"),
+    )
+    n_exp = "CAST(1 + (CAST(unix_timestamp(mx) AS BIGINT) DIV 3600" \
+            " - CAST(unix_timestamp(mn) AS BIGINT) DIV 3600) AS BIGINT)"
+    return (
+        bounds.join(F.broadcast(gap_stats), "event_type", "left")
+        .select(
+            "event_type",
+            F.expr(n_exp).alias("n_expected"),
+            "n_observed",
+            F.expr("COALESCE(n_missing, CAST(0 AS BIGINT))").alias(
+                "n_missing"
+            ),
+            F.expr("COALESCE(n_gaps, CAST(0 AS BIGINT))").alias("n_gaps"),
+            F.expr(
+                "COALESCE(max_gap_hours, CAST(0 AS BIGINT))"
+            ).alias("max_gap_hours"),
+            F.expr(
+                f"CAST(n_observed AS DOUBLE) / CAST({n_exp} AS DOUBLE)"
+            ).alias("completeness"),
+        )
+    )
+
+
+@query(
+    "ts_runs_test",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    d AS (
+        SELECT event_type, bar_date,
+               CASE WHEN close > lag(close) OVER w THEN 1
+                    WHEN close < lag(close) OVER w THEN -1
+                    ELSE 0 END AS sgn,
+               lag(close) OVER w AS pc
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date)
+    ),
+    s AS (
+        SELECT event_type, bar_date, sgn,
+               lag(sgn) OVER (PARTITION BY event_type
+                              ORDER BY bar_date) AS prev_sgn
+        FROM d WHERE pc IS NOT NULL AND sgn <> 0
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+               CAST(SUM(CASE WHEN prev_sgn IS NULL
+                             OR sgn <> prev_sgn THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_runs
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_up, n_down, n_runs,
+           CAST(1 AS DOUBLE)
+               + CAST(2 * n_up * n_down AS DOUBLE)
+                 / CAST(n_up + n_down AS DOUBLE) AS expected_runs,
+           (CAST(n_runs AS DOUBLE)
+            - (CAST(1 AS DOUBLE)
+               + CAST(2 * n_up * n_down AS DOUBLE)
+                 / CAST(n_up + n_down AS DOUBLE)))
+           / sqrt(CAST(2 * n_up * n_down
+                       * (2 * n_up * n_down - n_up - n_down) AS DOUBLE)
+                  / CAST((n_up + n_down) * (n_up + n_down)
+                         * (n_up + n_down - 1) AS DOUBLE)) AS z_score
+    FROM agg
+    WHERE n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per series: are the daily up/down moves
+    random, or do they streak (momentum) / alternate (mean-reversion)?
+    Counts sign runs in the daily-bar move sequence and reports the
+    normal-approximation z-score against the randomness null — the
+    randomness screen that complements ts_autocorr (linear dependence)
+    and ts_mann_kendall (monotone trend) with a nonparametric
+    sign-pattern test. Flat days (close unchanged) are excluded, the
+    standard tie treatment.
+
+    Parity: run/up/down counts are exact integer window+agg arithmetic;
+    E[R] and Var[R] are ratios of EXACT BIGINT products (n = 30 bars —
+    tiny magnitudes), each evaluated as ONE division of identical
+    operands; z composes subtract / sqrt / divide on identical doubles —
+    every step correctly-rounded IEEE on both engines, and no
+    sum-of-products shape exists to FMA-contract (the denominators are
+    single CAST-to-double divisions, pinned parentheses).
+
+    Scale shape: the corpus collapses to the (series x day) bar grid
+    first; the sign/lag windows and the final agg run on the bounded
+    grid. Flat in event volume; linear in calendar span.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type", "bar_date", "close"
+    )
+    d = bars.select(
+        "event_type",
+        "bar_date",
+        F.expr(
+            """CASE WHEN close > lag(close) OVER (PARTITION BY event_type
+                        ORDER BY bar_date) THEN 1
+                    WHEN close < lag(close) OVER (PARTITION BY event_type
+                        ORDER BY bar_date) THEN -1
+                    ELSE 0 END"""
+        ).alias("sgn"),
+        F.expr(
+            "lag(close) OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("pc"),
+    )
+    s = d.filter("pc IS NOT NULL AND sgn <> 0").select(
+        "event_type",
+        "bar_date",
+        "sgn",
+        F.expr(
+            "lag(sgn) OVER (PARTITION BY event_type ORDER BY bar_date)"
+        ).alias("prev_sgn"),
+    )
+    agg = s.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_up"),
+        F.expr(
+            "CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_down"),
+        F.expr(
+            """CAST(SUM(CASE WHEN prev_sgn IS NULL
+                         OR sgn <> prev_sgn THEN 1 ELSE 0 END) AS BIGINT)"""
+        ).alias("n_runs"),
+    )
+    return agg.filter("n_up > 0 AND n_down > 0 AND n_up + n_down > 1").select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.expr(
+            """CAST(1 AS DOUBLE)
+               + CAST(2 * n_up * n_down AS DOUBLE)
+                 / CAST(n_up + n_down AS DOUBLE)"""
+        ).alias("expected_runs"),
+        F.expr(
+            """(CAST(n_runs AS DOUBLE)
+                - (CAST(1 AS DOUBLE)
+                   + CAST(2 * n_up * n_down AS DOUBLE)
+                     / CAST(n_up + n_down AS DOUBLE)))
+               / sqrt(CAST(2 * n_up * n_down
+                           * (2 * n_up * n_down - n_up - n_down) AS DOUBLE)
+                      / CAST((n_up + n_down) * (n_up + n_down)
+                             * (n_up + n_down - 1) AS DOUBLE))"""
+        ).alias("z_score"),
+    )

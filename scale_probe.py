@@ -496,6 +496,15 @@ FACT_KEYS = {
     # OHLC collapse absorbs tick growth; market agg + broadcast join and
     # the 10-bar frames run on the bounded (series x day) grid
     "ts_rolling_beta": ("events", "event_id", None),
+    # OHLC collapse; the Holt fold is per-series map work on a
+    # calendar-bounded array
+    "ts_holt_linear": ("events", "event_id", None),
+    # distinct (series, hour) grid collapse; expected-grid explode and
+    # islands window are calendar-bounded
+    "ts_gap_report": ("events", "event_id", None),
+    # OHLC collapse; sign/lag windows and the moment agg run on the
+    # bounded bar grid
+    "ts_runs_test": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
