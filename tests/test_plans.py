@@ -539,3 +539,49 @@ def test_pipe_syntax_plans_like_ansi(spark):
     assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
     assert "HashAggregate" in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rolling_beta_market_join_broadcasts(spark):
+    """ts_rolling_beta's market re-attach must be a BroadcastHashJoin on
+    the bounded day grid (never a shuffle join, never a BNLJ), and all
+    rolling-frame windows must be partitioned (per-series) — a bare
+    unpartitioned frame would serialize the whole grid through one task."""
+    plan = plan_of(q(spark, "ts_rolling_beta"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    wins = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert wins and all("event_type" in l for l in wins), (
+        "every window frame must partition by event_type:\n" + plan
+    )
+
+
+def test_gap_report_antijoin_is_hashed(spark):
+    """ts_gap_report's missing-hour resolution must be a hash anti-join
+    on (event_type, hour) — not a nested-loop — and the gaps-islands
+    window must stay partitioned per series."""
+    plan = plan_of(q(spark, "ts_gap_report"))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    wins = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert wins and all("event_type" in l for l in wins), plan
+
+
+def test_holt_fold_stays_map_side(spark):
+    """ts_holt_linear's recursion must run as a map-side array fold on the
+    grouped bar arrays: no join, no window beyond the bar construction,
+    and exactly the bar-grid exchanges (a per-row recursion would show up
+    as extra exchanges or a driver-side loop)."""
+    plan = plan_of(q(spark, "ts_holt_linear"))
+    assert "aggregate(" in plan, "the sequential fold must be in-plan"
+    assert "Join" not in plan
+    ex = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(ex) <= 2, "holt must not add exchanges beyond the bar grid:\n" + plan
