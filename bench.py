@@ -200,6 +200,7 @@ HEADLINE = [
     "ts_holt_linear",
     "ts_gap_report",
     "ts_runs_test",
+    "ts_sma_crossover_backtest",
     "llm_tokenizer_fertility",
     "cohort_survival_km",
     "cohort_ltv_curve",

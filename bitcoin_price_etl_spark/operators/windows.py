@@ -4629,3 +4629,124 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * (n_up + n_down - 1) AS DOUBLE))"""
         ).alias("z_score"),
     )
+
+
+SMA_TAPS = 5
+
+
+@query(
+    "ts_sma_crossover_backtest",
+    oracle=f"""
+    WITH {_BARS_ORACLE},
+    px AS (
+        SELECT event_type, bar_date,
+               CAST(CAST(close AS DECIMAL(12,4)) * {_BETA_SCALE} AS BIGINT)
+                   AS close_i,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY bar_date) AS t
+        FROM bars
+    ),
+    sig AS (
+        SELECT event_type, bar_date, t, close_i,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+               CAST(SUM(close_i) OVER w AS BIGINT) AS sma_sum,
+               lead(close_i) OVER (PARTITION BY event_type
+                                   ORDER BY bar_date) - close_i
+                   AS next_move
+        FROM px
+        WINDOW w AS (PARTITION BY event_type ORDER BY bar_date
+                     ROWS BETWEEN {SMA_TAPS - 1} PRECEDING
+                     AND CURRENT ROW)
+    ),
+    pos AS (
+        SELECT event_type, next_move,
+               CASE WHEN n_frame = {SMA_TAPS}
+                         AND {SMA_TAPS} * close_i > sma_sum
+                    THEN 1 ELSE 0 END AS long_pos
+        FROM sig WHERE next_move IS NOT NULL
+    ),
+    pnl AS (
+        SELECT event_type,
+               CAST(SUM(long_pos * next_move) AS BIGINT)
+                   AS strat_pnl_cents,
+               CAST(SUM(next_move) AS BIGINT) AS hold_pnl_cents,
+               CAST(SUM(long_pos) AS BIGINT) AS n_long_days,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM pos GROUP BY event_type
+    )
+    SELECT event_type, n_days, n_long_days,
+           strat_pnl_cents, hold_pnl_cents,
+           CAST(strat_pnl_cents - hold_pnl_cents AS BIGINT)
+               AS excess_cents
+    FROM pnl
+    """,
+)
+def ts_sma_crossover_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA-crossover strategy backtest per series, as ONE Catalyst plan on
+    the daily bars: hold long on any day the close sits above its
+    trailing-5-bar simple moving average, earn the NEXT day's move while
+    long, and compare against buy-and-hold — the canonical first momentum
+    backtest a quant runs on the reference's price series, composed
+    entirely from certified primitives (OHLC bars, bounded frames, lead).
+
+    EVERYTHING is exact integer arithmetic on the ts_rolling_beta cents
+    grid: the crossover signal avoids the SMA division entirely
+    (5*close > frame_sum is the same predicate on exact BIGINTs), the
+    held move is an exact lead-difference, and both PnL legs are exact
+    BIGINT sums — the checked output contains no floating point at all.
+    Warmup days (frame < 5 bars) and the last day (no next move) are
+    flat by construction in both engines.
+
+    Scale shape: one corpus collapse to the (series x day) bar grid,
+    then one window pass (frame sum + lead share the partition sort) and
+    one grouped agg on the grid. Flat in event volume; linear in
+    calendar span.
+    """
+    bars = ts_resample_ohlc(spark, sf_dir).select(
+        "event_type",
+        "bar_date",
+        F.expr(
+            f"CAST(CAST(close AS DECIMAL(12,4)) * {_BETA_SCALE} AS BIGINT)"
+        ).alias("close_i"),
+    )
+    w = (
+        f"(PARTITION BY event_type ORDER BY bar_date "
+        f"ROWS BETWEEN {SMA_TAPS - 1} PRECEDING AND CURRENT ROW)"
+    )
+    sig = bars.select(
+        "event_type",
+        F.expr(f"CAST(COUNT(*) OVER {w} AS BIGINT)").alias("n_frame"),
+        F.expr(f"CAST(SUM(close_i) OVER {w} AS BIGINT)").alias("sma_sum"),
+        "close_i",
+        F.expr(
+            """lead(close_i) OVER (PARTITION BY event_type
+               ORDER BY bar_date) - close_i"""
+        ).alias("next_move"),
+    )
+    pos = sig.filter(F.col("next_move").isNotNull()).select(
+        "event_type",
+        "next_move",
+        F.expr(
+            f"""CASE WHEN n_frame = {SMA_TAPS}
+                     AND {SMA_TAPS} * close_i > sma_sum
+                THEN 1 ELSE 0 END"""
+        ).alias("long_pos"),
+    )
+    pnl = pos.groupBy("event_type").agg(
+        F.expr("CAST(SUM(long_pos * next_move) AS BIGINT)").alias(
+            "strat_pnl_cents"
+        ),
+        F.expr("CAST(SUM(next_move) AS BIGINT)").alias("hold_pnl_cents"),
+        F.expr("CAST(SUM(long_pos) AS BIGINT)").alias("n_long_days"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_days"),
+    )
+    return pnl.select(
+        "event_type",
+        "n_days",
+        "n_long_days",
+        "strat_pnl_cents",
+        "hold_pnl_cents",
+        F.expr(
+            "CAST(strat_pnl_cents - hold_pnl_cents AS BIGINT)"
+        ).alias("excess_cents"),
+    )

@@ -505,6 +505,9 @@ FACT_KEYS = {
     # OHLC collapse; sign/lag windows and the moment agg run on the
     # bounded bar grid
     "ts_runs_test": ("events", "event_id", None),
+    # OHLC collapse; ONE shared window pass (frame sum + lead) and one
+    # grouped agg on the bounded bar grid
+    "ts_sma_crossover_backtest": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
