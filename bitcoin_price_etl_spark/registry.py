@@ -96,7 +96,67 @@ def _load_verified_extra() -> frozenset[str]:
         return frozenset()
 
 
-DRIVER_VERIFIED: frozenset[str] = _VERIFIED_R01 | _load_verified_extra()
+# Certifications explicitly revoked because the key's SEMANTICS changed
+# after the driver row was recorded: green rows in CORRECTNESS files up to
+# and including the named round do NOT count for these keys (they must
+# re-certify in a later window). Mirrors the manual disavowals the merge
+# workflow applied by editing driver_verified.json.
+DISAVOWED_THROUGH: dict[str, int] = {
+    # r1 row was a vacuous unbounded NOT EXISTS (re-certified r3)
+    "join_anti": 1,
+    # cosine gate changed 0.5 -> 0.35 after its r2 row (ADVICE r3)
+    "llm_dedup_embed": 2,
+}
+
+
+def _load_correctness_autofold() -> frozenset[str]:
+    """Auto-fold every driver CORRECTNESS_r*.json in the repo root into the
+    verified set at import time — same green-row rule as
+    tools/merge_verified (full rows+schema+hash pass, or the rows-only
+    maximal check). This removes the round-over-round process hazard the
+    round-3 VERDICT flagged: even if a round ends without running the
+    merge tool, ordered_keys() still rotates fresh keys into the next
+    driver window instead of re-certifying the same head. The merge tool
+    remains the durable record (driver_verified.json survives CORRECTNESS
+    files being pruned); the union below makes them equivalent."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    keys: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for key, row in rows.items():
+            if rnd <= DISAVOWED_THROUGH.get(key, -1):
+                continue
+            if not isinstance(row, dict):
+                continue
+            full_pass = (
+                row.get("rows_match") and row.get("schema_match")
+                and row.get("hash_match") and not row.get("err")
+            )
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if full_pass or rows_only:
+                keys.add(key)
+    return frozenset(keys)
+
+
+DRIVER_VERIFIED: frozenset[str] = (
+    _VERIFIED_R01 | _load_verified_extra() | _load_correctness_autofold()
+)
 
 # Explicit head of the round's verification window, most-important-first.
 # Round 4: r03 was merged (146 verified), so the window rotates to the

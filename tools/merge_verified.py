@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -22,9 +23,13 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 OUT = os.path.join(PKG, "driver_verified.json")
 
 
-def green_keys(correctness: dict) -> set[str]:
+def green_keys(correctness: dict, rnd: int = 0) -> set[str]:
+    from bitcoin_price_etl_spark.registry import DISAVOWED_THROUGH
+
     out = set()
     for key, row in correctness.items():
+        if rnd <= DISAVOWED_THROUGH.get(key, -1):
+            continue
         full_pass = (
             row.get("rows_match") and row.get("schema_match")
             and row.get("hash_match") and not row.get("err")
@@ -44,8 +49,10 @@ def main() -> None:
             existing = set(json.load(f))
     added: set[str] = set()
     for path in sys.argv[1:]:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         with open(path) as f:
-            added |= green_keys(json.load(f))
+            added |= green_keys(json.load(f), rnd)
     merged = sorted(existing | added)
     with open(OUT, "w") as f:
         json.dump(merged, f, indent=1)
