@@ -201,6 +201,7 @@ HEADLINE = [
     "ts_gap_report",
     "ts_runs_test",
     "ts_sma_crossover_backtest",
+    "agg_target_encode",
     "llm_tokenizer_fertility",
     "cohort_survival_km",
     "cohort_ltv_curve",

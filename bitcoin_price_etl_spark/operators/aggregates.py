@@ -1841,3 +1841,75 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+TARGET_ENCODE_SMOOTHING = 10
+
+
+@query(
+    "agg_target_encode",
+    oracle=f"""
+    WITH cat AS (
+        SELECT event_type,
+               CAST(COUNT(value) AS BIGINT) AS n_c,
+               SUM(CAST(value AS DECIMAL(38,4))) AS sum_c
+        FROM events GROUP BY event_type
+    ),
+    g_all AS (
+        SELECT CAST(COUNT(value) AS BIGINT) AS n_g,
+               SUM(CAST(value AS DECIMAL(38,4))) AS sum_g
+        FROM events
+    )
+    SELECT c.event_type, c.n_c,
+           CAST(c.sum_c AS DOUBLE) / c.n_c AS raw_mean,
+           CAST(g.sum_g AS DOUBLE) / g.n_g AS global_mean,
+           CAST(CAST(c.sum_c * g.n_g
+                     + {TARGET_ENCODE_SMOOTHING} * g.sum_g AS DOUBLE)
+                / CAST(g.n_g * (c.n_c + {TARGET_ENCODE_SMOOTHING})
+                       AS DOUBLE) AS DOUBLE) AS encoded
+    FROM cat c CROSS JOIN g_all g
+    """,
+)
+def agg_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-smoothed target encoding of a categorical column — the
+    standard tabular-ML encoder (replace each category with a
+    prior-shrunk mean of the target): enc = (sum_c + m*global_mean)
+    / (n_c + m) with pinned smoothing m = 10, so rare categories shrink
+    toward the global mean instead of memorizing noise. Complements
+    pipeline_feature_store's per-entity features with the per-CATEGORY
+    encoder map (the artifact a training pipeline broadcasts back onto
+    the fact table at scoring time).
+
+    Parity by exact rational restatement (the ts_rolling_beta stance):
+    enc = (sum_c*n_g + m*sum_g) / (n_g*(n_c + m)) keeps the numerator an
+    EXACT decimal (decimal sums x BIGINT counts) and the denominator an
+    exact BIGINT, leaving one final identical-operand double division —
+    the a + m*g FMA shape that a naive smoothed-mean formula would hand
+    DuckDB never exists. raw_mean/global_mean divide exact decimal sums
+    by exact counts (the davg discipline).
+
+    Scale shape: ONE grouped partial-agg over the fact table plus a
+    1-row global aggregate broadcast back (the join_cross_scalar
+    pattern) — two scans collapse map-side; the encoder map is
+    |categories| rows. Flat at any fact volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    cat = ev.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(value) AS BIGINT)").alias("n_c"),
+        F.expr(f"SUM(CAST(value AS {DEC}))").alias("sum_c"),
+    )
+    glob = ev.agg(
+        F.expr("CAST(COUNT(value) AS BIGINT)").alias("n_g"),
+        F.expr(f"SUM(CAST(value AS {DEC}))").alias("sum_g"),
+    )
+    m = TARGET_ENCODE_SMOOTHING
+    return cat.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_c",
+        F.expr("CAST(sum_c AS DOUBLE) / n_c").alias("raw_mean"),
+        F.expr("CAST(sum_g AS DOUBLE) / n_g").alias("global_mean"),
+        F.expr(
+            f"""CAST(CAST(sum_c * n_g + {m} * sum_g AS DOUBLE)
+                / CAST(n_g * (n_c + {m}) AS DOUBLE) AS DOUBLE)"""
+        ).alias("encoded"),
+    )

@@ -508,6 +508,9 @@ FACT_KEYS = {
     # OHLC collapse; ONE shared window pass (frame sum + lead) and one
     # grouped agg on the bounded bar grid
     "ts_sma_crossover_backtest": ("events", "event_id", None),
+    # one grouped partial-agg + a 1-row global broadcast: the encoder
+    # map is |categories| rows at any fact volume
+    "agg_target_encode": ("events", "event_id", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
