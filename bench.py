@@ -202,6 +202,9 @@ HEADLINE = [
     "ts_runs_test",
     "ts_sma_crossover_backtest",
     "agg_target_encode",
+    "join_existence_flag",
+    "scan_dpp_join",
+    "join_runtime_bloom",
     "llm_tokenizer_fertility",
     "cohort_survival_km",
     "cohort_ltv_curve",

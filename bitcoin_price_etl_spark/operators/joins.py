@@ -873,3 +873,120 @@ def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("bigint").alias("p_size"),
         )
     )
+
+
+_EXISTENCE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'O')
+            THEN TRUE ELSE FALSE END AS has_open_order,
+       c_custkey IN (SELECT o_custkey FROM orders
+                     WHERE o_totalprice > 200000.0) AS has_big_order
+FROM customer c
+"""
+
+
+@query(
+    "join_existence_flag",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderstatus = 'O')
+                THEN TRUE ELSE FALSE END AS has_open_order,
+           c_custkey IN (SELECT o_custkey FROM orders
+                         WHERE o_totalprice > 200000.0) AS has_big_order
+    FROM customer c
+    """,
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag joins: EXISTS and IN subqueries in the PROJECTION
+    (not the WHERE clause), so every left row survives and carries a
+    boolean mark — the segmentation shape behind "tag customers with
+    has_open_order / has_big_order" columns. This is a DISTINCT physical
+    join from join_semi/join_anti: Catalyst plans a mark in the join
+    (ExistenceJoin-style exists#N flags in the hash join) instead of
+    filtering rows, a shape no other registry key exercises.
+
+    Parity: both flags are exact boolean marks over equi-matches and an
+    exact-comparison predicate (o_totalprice > 200000.0 on raw doubles
+    — identical comparison in both engines); no arithmetic at all in
+    the checked output.
+
+    Scale shape: both subquery sides collapse to DISTINCT custkeys
+    before joining (the optimizer's aggregate-below-join rewrite), and
+    the flag joins broadcast the collapsed key sets against the customer
+    scan at any realistic dim/fact ratio. The customer table is never
+    duplicated or re-scanned per flag.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTENCE_SQL)
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # thresholds are directional: the CREATION side must be SMALLER than
+    # its threshold (keep roomy), the APPLICATION side LARGER than its
+    # scan-size threshold (default 10GB — drop to 1 byte so the shape
+    # this key exists for is demonstrable at fixture scale)
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+        "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "1",
+    # force a shuffle join: broadcast joins never need the runtime filter
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "join_runtime_bloom",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_retailprice > 950.0
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the non-partitioned sibling of
+    scan_dpp_join: when a shuffle join's build side carries a selective
+    filter (premium parts), Catalyst injects a bloom filter of the
+    surviving join keys into the probe side's scan stage
+    (might_contain(...) below the exchange), so a 100 TB fact drops
+    non-matching rows BEFORE shuffling them — the shuffle carries ~the
+    selectivity fraction instead of the whole table.
+
+    The query itself is conf-clean (the driver's vanilla session plans
+    it as an ordinary join; at production scan sizes Spark's default
+    thresholds inject the filter on their own). The injected-filter
+    plan shape is certified by tests/test_plans.py, which lowers the
+    fixture-size thresholds in _BLOOM_CONFS around the plan build and
+    restores them — correctness is bloom-transparent either way (false
+    positives only pass extra rows that the join then drops), so the
+    oracle is the plain join. Payload parity: exact counts + the
+    standard decimal sum; the price predicate compares raw doubles
+    identically.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice") > 950.0
+    ).select("p_partkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))"
+                " AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )

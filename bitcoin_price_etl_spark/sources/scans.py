@@ -621,3 +621,69 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("line_md5"),
     )
+
+
+@query(
+    "scan_dpp_join",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+        FROM events
+        WHERE day(ts) % 7 = 1
+    )
+    SELECT e.event_date, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+    FROM (SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type, value
+          FROM events) e
+    JOIN dim ON dim.event_date = e.event_date
+    GROUP BY e.event_date, e.event_type
+    """,
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the date-partitioned fact layout
+    (scan_partition_pruned's serving format) joined to a SELECTIVELY
+    FILTERED date dimension — Catalyst injects the dim's surviving keys
+    into the fact scan's PartitionFilters at RUNTIME (dynamicpruning#N,
+    reusing the broadcast), so only the matching day directories are
+    even opened. scan_partition_pruned proves STATIC pruning (literal
+    predicate); this key proves the join-driven variant — the shape that
+    makes star-schema queries touch 1/Nth of a 100 TB fact without any
+    literal date in the query text. Plan-asserted in tests/test_plans.py.
+
+    The dim derives deterministically from the source (distinct dates
+    with day-of-month % 7 = 1, ~1/7th of the calendar) so the pruning is
+    genuinely selective at every SF; the oracle recomputes the same join
+    from the unpartitioned view, proving the layout+pruning round-trip
+    loses nothing. Payload parity: exact counts and the standard decimal
+    sum discipline.
+    """
+    from bitcoin_price_etl_spark.paths import delete_path, sink_path
+
+    ev = load(spark, sf_dir, "events")
+    target = sink_path("partitioned/events_dpp")
+    delete_path(spark, target)
+    ev.select(
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    ).write.partitionBy("event_date").parquet(target)
+    fact = spark.read.parquet(target)
+    dim = (
+        ev.filter(F.expr("day(ts) % 7 = 1"))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .distinct()
+    )
+    # partition-column type inference reads event_date back as DATE; the
+    # string cast pins it (the sink_training_shards lesson, ADVICE r3)
+    fact = fact.withColumn("event_date", F.col("event_date").cast("string"))
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )

@@ -511,6 +511,16 @@ FACT_KEYS = {
     # one grouped partial-agg + a 1-row global broadcast: the encoder
     # map is |categories| rows at any fact volume
     "agg_target_encode": ("events", "event_id", None),
+    # both flag subqueries collapse to key sets and broadcast against
+    # the single customer scan; fact growth only grows the collapses
+    "join_existence_flag": ("orders", "o_orderkey", None),
+    # partitioned re-stage + runtime-pruned join: write volume grows
+    # linearly, the pruned read still opens ~1/7th of day directories
+    "scan_dpp_join": ("events", "event_id", None),
+    # shuffle join against a fixed filtered dim: with the runtime bloom
+    # injected (production thresholds) the shuffle carries only the
+    # selectivity fraction of the scaled fact
+    "join_runtime_bloom": ("lineitem", "l_orderkey", None),
     # user-keyed firsts + join-back reuse one exchange; the weekly grid
     # absorbs growth before the cumulative window
     "cohort_ltv_curve": ("events", "event_id", None),
@@ -525,6 +535,11 @@ FACT_KEYS = {
 # shape — dims grow orders of magnitude slower than facts)
 DIM_COPY = {
     "join_scd2_pointintime": ("customer",),
+    # lineitem scales while the part dim stays fixed
+    "join_runtime_bloom": ("part",),
+    # orders scale while the customer dim stays fixed — the flags'
+    # collapsed key sets grow with the fact, the probe side does not
+    "join_existence_flag": ("customer",),
     # events scale while order history stays fixed — the realistic
     # asymmetry (clickstream grows orders of magnitude faster)
     "pipeline_feature_store": ("orders",),

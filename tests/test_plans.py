@@ -585,3 +585,55 @@ def test_holt_fold_stays_map_side(spark):
         if l.strip().startswith("(") and ") Exchange" in l
     ]
     assert len(ex) <= 2, "holt must not add exchanges beyond the bar grid:\n" + plan
+
+
+def test_existence_flag_plans_mark_joins(spark):
+    """join_existence_flag must plan BOTH subquery flags as ExistenceJoin
+    marks inside broadcast hash joins — one customer scan carrying
+    exists#N flags — never as per-flag re-scans, outer-join rewrites, or
+    a BNLJ."""
+    plan = plan_of(q(spark, "join_existence_flag"))
+    assert plan.count("ExistenceJoin(exists#") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = [
+        l for l in plan.splitlines() if ") Scan parquet" in l
+    ]
+    assert len(scans) == 3, (
+        "exactly 3 scans (customer once + one per flag subquery):\n" + plan
+    )
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """scan_dpp_join's fact scan must carry a dynamicpruningexpression in
+    its PartitionFilters — the join-driven pruning that makes star
+    queries touch 1/Nth of a partitioned 100 TB fact. A drift to a plain
+    post-scan filter (reading every day directory) silently loses the
+    layout's entire benefit."""
+    plan = plan_of(q(spark, "scan_dpp_join"))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("dynamicpruning" in l for l in pf), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_might_contain(spark):
+    """Under production-representative thresholds (lowered to fixture
+    scale via _BLOOM_CONFS, then restored), join_runtime_bloom's probe
+    side must carry an injected might_contain(bloom) filter below the
+    shuffle — the runtime row-pruning shape that keeps a selective
+    shuffle join from moving the whole fact table."""
+    from bitcoin_price_etl_spark.operators.joins import _BLOOM_CONFS
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = plan_of(q(spark, "join_runtime_bloom"))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
