@@ -948,8 +948,13 @@ _BLOOM_CONFS = {
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
                AS sum_price
     FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_retailprice > 950.0
+    JOIN (SELECT p.p_partkey
+          FROM part p,
+               (SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx
+                FROM part) b
+          WHERE p.p_retailprice
+                > b.mn + CAST(0.9 AS DOUBLE) * (b.mx - b.mn)) p
+      ON p.p_partkey = l.l_partkey
     GROUP BY l.l_returnflag
     """,
 )
@@ -970,14 +975,25 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     restores them — correctness is bloom-transparent either way (false
     positives only pass extra rows that the join then drops), so the
     oracle is the plain join. Payload parity: exact counts + the
-    standard decimal sum; the price predicate compares raw doubles
-    identically.
+    standard decimal sum; the premium-part gate is the subquery_in_agg
+    relative threshold (top decile of the observed price band — a fixed
+    cutoff is vacuous at some SF ceilings), a single IEEE comparison on
+    identically-computed operands.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_returnflag", "l_extendedprice"
     )
-    p = load(spark, sf_dir, "part").filter(
-        F.col("p_retailprice") > 950.0
+    part = load(spark, sf_dir, "part")
+    # control-plane: a 2-value band collect so the build side stays a
+    # SIMPLE selective scan filter — InjectRuntimeFilter rejects build
+    # sides carrying joins/aggregates, so the threshold must be a
+    # literal. Python float arithmetic is the same IEEE double chain as
+    # the oracle's CAST(0.9 AS DOUBLE) expression — identical threshold.
+    mn, mx = part.agg(
+        F.expr("min(p_retailprice)"), F.expr("max(p_retailprice)")
+    ).collect()[0]
+    p = part.filter(
+        F.col("p_retailprice") > F.lit(mn + 0.9 * (mx - mn))
     ).select("p_partkey")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
