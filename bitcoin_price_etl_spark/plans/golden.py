@@ -144,8 +144,48 @@ def golden_pipeline(spark: SparkSession) -> DataFrame:
     )
 
 
-@query("pipeline_golden", oracle=None)
+# DuckDB twin of the golden frame (VERDICT r4 item 8): the pipeline's
+# inputs are DETERMINISTIC literals (synth_bpi_documents' fixed ramp
+# usd = 17000.0 + 13.25*h for h in 0..23, one OER doc with IDR 15600.5,
+# pinned BATCH_TIME), so the expected 15-column output is re-derivable in
+# pure SQL with no tables — hash-class evidence for the reference-fidelity
+# chain instead of rows-only. Float parity is exact by construction: every
+# checked double is either bit-exact (17000.0 + 13.25*h — all operands and
+# results exactly representable) or ONE correctly-rounded IEEE multiply on
+# identical operands (usd*0.82, usd*0.94, usd*15600.5), identical across
+# engines with no quantization needed; the oracle forces DOUBLE arithmetic
+# up front so DuckDB's decimal-literal inference can't change the path.
+_GOLDEN_ORACLE = """
+WITH base AS (
+    SELECT CAST(h AS BIGINT) AS h,
+           CAST(17000.0 AS DOUBLE) + CAST(13.25 AS DOUBLE) * h AS usd
+    FROM range(0, 24) t(h)
+)
+SELECT
+    '2022-12-18 ' || printf('%02d', h) || ':00:00' AS time_updated,
+    '2022-12-18 ' || printf('%02d', h) || ':00:00' AS time_updated_iso,
+    'synthetic replay fixture' AS disclaimer,
+    'Bitcoin' AS chart_name,
+    'USD' AS bpi_usd_code,
+    'United States Dollar' AS bpi_usd_description,
+    CAST(usd AS DOUBLE) AS bpi_usd_rate_float,
+    'GBP' AS bpi_gbp_code,
+    'British Pound Sterling' AS bpi_gbp_description,
+    CAST(usd * CAST(0.82 AS DOUBLE) AS DOUBLE) AS bpi_gbp_rate_float,
+    'EUR' AS bpi_eur_code,
+    'Euro' AS bpi_eur_description,
+    CAST(usd * CAST(0.94 AS DOUBLE) AS DOUBLE) AS bpi_eur_rate_float,
+    CAST(usd * CAST(15600.5 AS DOUBLE) AS DOUBLE) AS bpi_idr_rate_float,
+    '2022-12-18 23:59:59' AS last_updated
+FROM base
+"""
+
+
+@query("pipeline_golden", oracle=_GOLDEN_ORACLE)
 def pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only: inputs are replay fixtures, not driver
-    views). Exact field-by-field assertions live in tests/test_golden.py."""
+    """Registry entry. Inputs are replay fixtures (not driver views), but
+    the fixtures are deterministic literals, so a table-free DuckDB twin
+    re-derives the expected golden frame and the driver gets hash-class
+    evidence (upgraded from rows-only, VERDICT r4 item 8). Exact
+    field-by-field assertions additionally live in tests/test_golden.py."""
     return golden_pipeline(spark)

@@ -106,6 +106,9 @@ DISAVOWED_THROUGH: dict[str, int] = {
     "join_anti": 1,
     # cosine gate changed 0.5 -> 0.35 after its r2 row (ADVICE r3)
     "llm_dedup_embed": 2,
+    # r4 row was rows-only; upgraded to a table-free DuckDB oracle in r5
+    # (VERDICT r4 item 8) — must re-certify at hash class
+    "pipeline_golden": 4,
 }
 
 
@@ -159,46 +162,52 @@ DRIVER_VERIFIED: frozenset[str] = (
 )
 
 # Explicit head of the round's verification window, most-important-first.
-# Round 4: r03 was merged (146 verified), so the window rotates to the
-# 59-key never-verified tail — every oracle-bearing key first (hash match
-# is the strongest evidence class), then the rows-only keys ordered by
-# user surface. llm_dedup_embed was un-verified per ADVICE r3 (its cosine
-# gate changed post-certification) and must re-certify. Keys added this
-# session land after this head automatically (ordered_keys insertion
-# order) and rotate into the r5 window. Already-verified keys are
-# filtered out by ordered_keys(), so stale entries here are harmless.
+# Round 5 is a DRAIN round (VERDICT r4): the backlog of never-driver-
+# verified keys is 125 of 320, the window certifies ~50/round, and
+# registry growth is FROZEN except for the four keys VERDICT items 4/8
+# require (the hist/binned scale-safe siblings + the golden oracle
+# upgrade). Head order = VERDICT item 1's widest-surface-first rotation:
+# golden + new siblings (+ their exact forms, certifying side by side),
+# the two scale-cliff fixes, the validate_* data-quality family, ab_*
+# experiment stats, graph_*, the VERDICT-named LLM tail, then ALL NINE
+# rows-only stragglers (item 2 — rows+schema is their maximal check),
+# then ts_* indicator representatives. Keys past the ~50 cut and the
+# un-listed pending tail rotate into r6 via ordered_keys() insertion
+# order. Already-verified keys are filtered out by ordered_keys(), so
+# stale entries here are harmless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # analytics wave (round-3 additions, widest user surface)
-    "table_profile_stats", "agg_skew_kurt", "agg_bitmap_distinct",
-    "agg_approx_percentile", "agg_linreg", "win_pareto_abc",
-    "ts_resample_ohlc", "ts_vwap", "ts_anomaly_mad",
-    "ts_interpolate_linear", "funnel_windowed", "join_fuzzy_blocked",
-    "join_asof_nearest",
-    # sink / physical-layout tier
-    "sink_scd2", "sink_zorder_layout", "sink_merge_upsert",
-    "join_bucketed_colocated",
-    # SQL + scalar stragglers
-    "sql_recursive_cte", "fn_url", "fn_try_safe", "fn_variant",
-    "fn_encode", "fn_regex", "scan_corrupt_records",
-    "stream_stateful_counts", "source_rest_authed",
-    # re-certification: semantics changed after its r2 row (ADVICE r3)
-    "llm_dedup_embed",
-    # LLM-pipeline oracle-bearing tail
-    "llm_tfidf", "llm_domain_cap", "llm_quality_ensemble",
-    "pipeline_curate_corpus", "llm_mask_tokens", "llm_sample_weighted",
-    "llm_split_train_eval", "llm_chunk_documents", "llm_embed_quantize",
-    "llm_lang_id", "llm_fingerprint", "llm_token_bpe",
-    "llm_repetition_filter", "llm_unigram_logprob", "llm_data_card",
-    "llm_contamination_report", "llm_multimodal_frames",
-    "llm_multimodal_audio",
-    # UDF trio
-    "udf_grouped_agg", "udf_mapinarrow", "udf_mapinpandas",
-    # rows-only keys: the driver check is rows+schema only — their
-    # maximal check; get it on the record (VERDICT r3 item 4)
-    "pipeline_golden", "llm_sim_search_fast", "llm_sim_search_lsh",
-    "llm_sim_search_ivf", "llm_sim_search_recall", "llm_dedup_simhash",
+    # reference-fidelity golden pipeline, rows-only -> oracle (item 8)
+    "pipeline_golden",
+    # scale-safe siblings of the single-partition-sort forms (item 4)
+    "agg_weighted_median_hist", "agg_winsorized_mean_hist", "ab_ks_binned",
+    # their exact forms certify alongside (perf-weak list, same oracles)
+    "agg_weighted_median", "agg_winsorized_mean", "ab_ks_two_sample",
+    # the two scale-cliff fixes (items 5, 6; oracles unchanged/lockstep)
+    "graph_bipartite_projection", "ts_autocorr",
+    # data-quality validate_* family (widest user surface)
+    "validate_expectations", "validate_observe_metrics",
+    "validate_referential_integrity", "validate_pk_uniqueness",
+    "validate_volume_anomaly", "validate_psi_drift", "validate_benford",
+    "validate_k_anonymity",
+    # experiment stats
+    "ab_srm_check", "ab_ttest_welch", "ab_cuped_adjust",
+    "ab_ratio_delta_ci", "ab_power_mde",
+    # graph suite
+    "graph_pagerank", "graph_triangle_count", "graph_khop_reach",
+    "graph_assortativity",
+    # LLM oracle-bearing tail (VERDICT-named first)
+    "llm_semdedup", "llm_bm25_rank", "llm_kmeans_train", "llm_containment",
+    # rows-only stragglers (item 2)
+    "llm_dedup_simhash", "llm_dedup_minhash_mllib",
     "llm_multimodal_decode", "llm_multimodal_resize",
-    "source_rest_datasource", "sink_salted", "sink_compact_small_files",
+    "llm_sim_search_lsh", "llm_sim_search_ivf", "llm_sim_search_recall",
+    "source_rest_datasource", "sink_compact_small_files",
+    # ts indicator suite representatives + analytics tail
+    "ts_rsi", "ts_macd", "ts_bollinger", "ts_stochastic", "ts_atr",
+    "ts_obv", "ts_max_drawdown", "ts_theilsen", "ts_mann_kendall",
+    "ts_seasonal_decompose", "ts_cusum_changepoint",
+    "win_rolling_beta", "win_interval_concurrency", "agg_corr_matrix",
+    "table_checksum", "agg_heavy_hitters", "agg_gini",
 )
 
 
