@@ -1233,9 +1233,10 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local one. Group cardinality (3 flags here) never matters —
     at 100 TB with high-cardinality keys it is the identical plan; a
     single SKEWED group is the known hard case (one partition sorts that
-    group) and the documented swap is the two-pass histogram-bisect
-    (coarse bucket counts → exact pass inside the median bucket), same
-    shape as approx_percentile's internal strategy.
+    group) and the swap is the two-pass histogram-bisect (coarse bucket
+    counts → exact pass inside the median bucket), CERTIFIED as the
+    sibling key agg_weighted_median_hist (same oracle — identical
+    statistic); this exact form stays as the parity reference.
 
     Parity: weights are integral quantities summed as doubles in window
     ROW order — the frame order is pinned by the deterministic
@@ -1270,6 +1271,120 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").alias("weighted_median_price"),
             F.min("tw").alias("total_weight"),
         )
+    )
+
+
+# Histogram-bisect bucket width for the *_hist scale twins: the price
+# domain (~900-110000) yields ~1100 buckets regardless of row count, so
+# the per-group window rides the DOMAIN-bounded bucket grid, never the
+# data. The width is a resolution/second-pass-size dial, not a
+# correctness dial — the second pass inside the boundary bucket restores
+# the exact statistic at any width.
+HIST_BUCKET_WIDTH = 100.0
+
+
+@query(
+    "agg_weighted_median_hist",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DOUBLE) AS price,
+               CAST(l_quantity AS DOUBLE) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price,
+               SUM(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM base
+    )
+    SELECT l_returnflag,
+           CAST(min(price) AS DOUBLE) AS weighted_median_price,
+           CAST(min(tw) AS DOUBLE) AS total_weight
+    FROM cum WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median via histogram-bisect — the 100 TB-safe sibling of
+    agg_weighted_median (VERDICT r4 item 4), same EXACT statistic, so the
+    oracle is the exact form's SQL verbatim: matching it proves
+    bisect ≡ full-sort. agg_weighted_median's docstring names this swap as
+    the answer to its known hard case (one skewed group forces a full
+    per-group sort); here the sort never happens.
+
+    Two passes, neither sorting data:
+    1. bucket pass — FLOOR(price/W) buckets, one partial-aggregated
+       groupBy (the exchange carries one row per (group × bucket × task)),
+       then a running-weight window over the DOMAIN-bounded bucket grid
+       (~1.1k buckets at any SF) finds the bucket containing the weighted
+       midpoint and the cumulative weight before it;
+    2. boundary pass — only rows landing in that one bucket per group
+       (a broadcast semi-filter; bucket occupancy is |rows|·W/domain,
+       ~0.1% here) get the exact within-bucket crossing via a window over
+       that tiny slice.
+
+    A true approx form (t-digest / approx_percentile bounds) cannot be
+    hash-certified cross-engine — the sketches are engine-specific — so
+    the certifiable scale twin keeps exactness and moves the cost bound
+    from O(rows log rows) per group to O(rows) + O(buckets log buckets).
+
+    Parity: weights are integer-valued doubles (exact, associative at any
+    partial-agg order); tw/2 is a power-of-two division; the crossing
+    price is tie-insensitive (all rows of the crossing run share one
+    price), so bucket-local cumulative order cannot change the answer."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    b = li.withColumn(
+        "b", F.floor(F.col("price") / F.lit(HIST_BUCKET_WIDTH)).cast("bigint")
+    )
+    # pass 1: bucket weights -> running weight over the bucket grid
+    bw = b.groupBy("l_returnflag", "b").agg(F.sum("w").alias("bw"))
+    wg = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cumb = bw.select(
+        "l_returnflag",
+        "b",
+        F.sum("bw").over(wg).alias("cumw"),
+        F.sum("bw").over(wt).alias("tw"),
+    )
+    picked = cumb.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cumw") >= F.col("tw") / 2, F.col("b"))).alias(
+            "med_b"
+        ),
+        F.coalesce(
+            F.max(F.when(F.col("cumw") < F.col("tw") / 2, F.col("cumw"))),
+            F.lit(0.0),
+        ).alias("c_prev"),
+        F.max("tw").alias("tw"),
+    )
+    # pass 2: exact crossing inside the one median bucket per group
+    cand = b.join(F.broadcast(picked), "l_returnflag").filter(
+        F.col("b") == F.col("med_b")
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crossed = cand.withColumn("cw_in", F.sum("w").over(win)).filter(
+        F.col("c_prev") + F.col("cw_in") >= F.col("tw") / 2
+    )
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("price").alias("weighted_median_price"),
+        F.min("tw").alias("total_weight"),
     )
 
 
@@ -1465,11 +1580,10 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash-partitioned window pass per group computes
     ranks and broadcasts the two bound values down the partition, then a
     partial-aggregated groupBy finishes. Low-cardinality group keys make
-    the window partitions wide — at 100 TB the same statistic would come
-    from the two-pass form (approx_percentile bounds at 1e-6 relative
-    error + a conditional agg, both already certified separately as
-    agg_approx_percentile / agg_conditional); this operator is the exact
-    small-group form.
+    the window partitions wide — at 100 TB the same statistic comes from
+    the two-pass histogram-bisect form, CERTIFIED as the sibling key
+    agg_winsorized_mean_hist (same oracle — identical statistic); this
+    operator is the exact small-group parity reference.
     """
     li = load(spark, sf_dir, "lineitem")
     ranked = li.select(
@@ -1504,6 +1618,145 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)"
         ).alias("raw_mean"),
+    )
+
+
+@query(
+    "agg_winsorized_mean_hist",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT *,
+               MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN price END)
+                   OVER (PARTITION BY l_returnflag) AS p_lo,
+               MAX(CASE WHEN rn = n - (5 * n + 99) // 100 + 1 THEN price END)
+                   OVER (PARTITION BY l_returnflag) AS p_hi
+        FROM ranked
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(p_lo) AS DOUBLE) AS p_lo,
+           CAST(MAX(p_hi) AS DOUBLE) AS p_hi,
+           CAST(SUM(CAST(LEAST(GREATEST(price, p_lo), p_hi)
+                    AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS winsorized_mean,
+           CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS raw_mean
+    FROM bounds GROUP BY l_returnflag
+    """,
+)
+def agg_winsorized_mean_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean via histogram-bisect rank selection — the
+    100 TB-safe sibling of agg_winsorized_mean (VERDICT r4 item 4), same
+    EXACT statistic, oracle = the exact form's SQL verbatim (matching it
+    proves bisect ≡ full-rank-sort). The exact form's docstring names this
+    two-pass swap; a true approx_percentile bound cannot be
+    hash-certified cross-engine (engine-specific sketches), so the
+    certifiable scale twin keeps exactness.
+
+    Three domain-bounded passes, no per-group row sort anywhere:
+    1. bucket pass — FLOOR(price/W) occupancy counts (partial-aggregated
+       groupBy), running count over the ~1.1k-bucket grid locates, for
+       each of the two nearest-rank targets ceil(0.05n) and
+       n-ceil(0.05n)+1, the bucket containing that rank and the count of
+       rows before it;
+    2. boundary pass — rows in those (≤2 per group) buckets only get a
+       within-bucket row_number to extract the exact rank values p_lo /
+       p_hi (rank arithmetic in exact integers, the (5n+99) DIV 100 rule
+       shared with the exact form);
+    3. clip pass — one conditional partial-aggregated scan computes the
+       winsorized and raw means against the broadcast 3-row bounds frame.
+
+    Parity: rank targets are exact integer arithmetic on counts; the
+    value AT a rank is deterministic under ties (equal-price rows are
+    interchangeable); both means fold through DECIMAL(38,4) so partial-agg
+    order can't move them; final divisions see identical operands."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    )
+    b = li.withColumn(
+        "b", F.floor(F.col("price") / F.lit(HIST_BUCKET_WIDTH)).cast("bigint")
+    )
+    # pass 1: bucket occupancy -> running counts over the bucket grid
+    bc = b.groupBy("l_returnflag", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cumb = bc.select(
+        "l_returnflag",
+        "b",
+        F.sum("cnt").over(wg).alias("cum"),
+        F.sum("cnt").over(wt).alias("n"),
+    ).withColumn("r_lo", F.expr("(5 * n + 99) DIV 100")).withColumn(
+        "r_hi", F.expr("n - (5 * n + 99) DIV 100 + 1")
+    )
+    picked = cumb.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.max("r_lo").alias("r_lo"),
+        F.max("r_hi").alias("r_hi"),
+        F.min(F.when(F.col("cum") >= F.col("r_lo"), F.col("b"))).alias("b_lo"),
+        F.coalesce(
+            F.max(F.when(F.col("cum") < F.col("r_lo"), F.col("cum"))),
+            F.lit(0),
+        ).alias("cprev_lo"),
+        F.min(F.when(F.col("cum") >= F.col("r_hi"), F.col("b"))).alias("b_hi"),
+        F.coalesce(
+            F.max(F.when(F.col("cum") < F.col("r_hi"), F.col("cum"))),
+            F.lit(0),
+        ).alias("cprev_hi"),
+    )
+    # pass 2: exact rank values from inside the two boundary buckets
+    cand = b.join(F.broadcast(picked), "l_returnflag").filter(
+        (F.col("b") == F.col("b_lo")) | (F.col("b") == F.col("b_hi"))
+    )
+    win = Window.partitionBy("l_returnflag", "b").orderBy("price")
+    hit = cand.withColumn("rn", F.row_number().over(win))
+    bounds = hit.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                (F.col("b") == F.col("b_lo"))
+                & (F.col("rn") == F.col("r_lo") - F.col("cprev_lo")),
+                F.col("price"),
+            )
+        ).alias("p_lo"),
+        F.max(
+            F.when(
+                (F.col("b") == F.col("b_hi"))
+                & (F.col("rn") == F.col("r_hi") - F.col("cprev_hi")),
+                F.col("price"),
+            )
+        ).alias("p_hi"),
+        F.max("n_rows").alias("n_rows"),
+    )
+    # pass 3: conditional clip aggregate against the broadcast bounds
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(MAX(n_rows) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(MAX(p_lo) AS DOUBLE)").alias("p_lo"),
+            F.expr("CAST(MAX(p_hi) AS DOUBLE)").alias("p_hi"),
+            F.expr(
+                """CAST(SUM(CAST(LEAST(GREATEST(price, p_lo), p_hi)
+                   AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)"""
+            ).alias("winsorized_mean"),
+            F.expr(
+                "CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("raw_mean"),
+        )
     )
 
 

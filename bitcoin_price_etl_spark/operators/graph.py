@@ -440,30 +440,40 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     bought by a million customers emits 10¹² pairs. The engine applies
     the llm_dedup_ngram posting-cap discipline: each part's customer
     posting is truncated to its {BIPROJ_CAP} lowest custkeys by a
-    row_number window BEFORE the self-equi-join, bounding pair fan-out at
+    dense_rank window BEFORE the self-equi-join, bounding pair fan-out at
     cap²·|parts| (deterministic truncation = deterministic result, and
     the cap is the recall dial exactly as in the dedup family). Pair
     counting partial-combines map-side; the min-common gate prunes the
     reducer output. At 100 TB the cap moves to a weighted-sample posting
     (keep the cap² bound, debias the counts) — same plan.
 
-    Parity: distinct/row_number/count on exact integers with a total
-    (part, cust) order — no floats anywhere."""
+    The r4 probe flagged the original shape's (part, cust) DISTINCT
+    exchange as the one input-proportional shuffle (VERDICT r4 item 5).
+    Fixed by fusing dedup into the cap: dense_rank over the RAW pair
+    multiset ranks distinct custs directly (ties share a rank), so the
+    bulk data crosses the wire ONCE — hash-partitioned by part for the
+    window — and the post-cap dedup's groupBy(part, cust) reuses that
+    partitioning (part ⊆ {{part, cust}} satisfies its clustered
+    distribution: zero additional exchange, and it dedups only the
+    cap-survivor slice instead of the full multiset).
+
+    Parity: dense_rank ≤ cap selects exactly the {BIPROJ_CAP} lowest
+    DISTINCT custkeys per part — the same set the oracle's
+    distinct-then-row_number picks; everything downstream is exact
+    integer counting — no floats anywhere."""
     from pyspark.sql import Window
 
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    bp = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
-        )
-        .distinct()
+    bp = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("l_partkey").alias("part"), F.col("o_custkey").alias("cust")
     )
     w = Window.partitionBy("part").orderBy("cust")
     capped = (
-        bp.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BIPROJ_CAP)
+        bp.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= BIPROJ_CAP)
+        .groupBy("part", "cust")  # exchange-free: reuses part partitioning
+        .agg(F.count(F.lit(1)).alias("_dup"))
         .select("part", "cust")
         .localCheckpoint()
     )

@@ -358,8 +358,8 @@ FACT_KEYS = {
     # orders scale while customer stays fixed: every customer's change
     # list grows mult× — the hot-key stress on the max_by collapse
     "cdc_apply_changes": ("orders", "o_orderkey", None),
-    # every series gets mult× rows: the per-series window sort and the
-    # six moment buffers absorb the growth; lag pairs grow linearly
+    # the hourly pre-aggregate absorbs growth before the lag window
+    # (r5 rework: the grid, not the raw events, feeds the window)
     "ts_autocorr": ("events", "event_id", None),
     # the hourly pre-aggregate absorbs the growth before the window
     "ts_cusum_changepoint": ("events", "event_id", None),
@@ -459,6 +459,14 @@ FACT_KEYS = {
     # 3 fixed groups absorb mult× rows through the rank window — the
     # agg_weighted_median hostile shape, plus two decimal sums
     "agg_winsorized_mean": ("lineitem", "l_orderkey", None),
+    # round-5 scale twins: the bucket grids are domain-bounded, so the
+    # windows see ~1.1k rows per group at ANY mult — the probes must
+    # come out flat where the exact forms above grow with the sort
+    "agg_weighted_median_hist": ("lineitem", "l_orderkey", None),
+    "agg_winsorized_mean_hist": ("lineitem", "l_orderkey", None),
+    # per-user collapse then an ~80-bin domain grid: both partial-agg
+    # stages absorb mult× events before the single bounded window
+    "ab_ks_binned": ("events", "event_id", None),
     # OHLC partial agg absorbs tick growth before the 20-tap frames
     "ts_volatility_ohlc": ("events", "event_id", None),
     # count-paired multiset intersection: (key, count) pairs shuffle,
