@@ -72,10 +72,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is semantics, not error; redistribution adds one scalar
     broadcast per iteration when wanted).
 
-    Scale shape: the edge list partitions ONCE on src; each iteration is
-    edge⋈rank (src-keyed, rank frame is |V| rows — broadcastable far
-    longer than edges fit anywhere) + a dst-keyed partial-aggregated sum
-    + a left join back to nodes. Fixed iteration count unrolls into one
+    Scale shape: out-degree attaches to the edge list ONCE before the
+    loop (r5: the first shape re-joined outdeg every iteration — 5
+    redundant broadcast builds); each iteration is then a single
+    edge⋈rank join (rank frame is |V| rows — broadcastable far longer
+    than edges fit anywhere) + a dst-keyed partial-aggregated sum + a
+    left join back to nodes. Fixed iteration count unrolls into one
     declarative plan per iteration with a localCheckpoint between rounds
     (plan-growth control, same move as llm_dedup_cluster's propagation
     loop). A 100 TB edge list runs the identical loop with persist-to-
@@ -110,17 +112,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # attach out-degree to the edge frame ONCE — every iteration needs
+    # rank[src]/deg[src], so carrying deg on the edge row saves one
+    # broadcast join per iteration (same values, same oracle)
+    edge_deg = edges.join(outdeg, "src").localCheckpoint()
     r = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(PR_ITERS):
-        contrib = (
-            edges.join(r, edges.src == r.node)
-            .join(outdeg, "src")
-            .select(
-                "dst",
-                (F.col("rank") / F.col("deg"))
-                .cast("decimal(38,12)")
-                .alias("c"),
-            )
+        contrib = edge_deg.join(r, edge_deg.src == r.node).select(
+            "dst",
+            (F.col("rank") / F.col("deg"))
+            .cast("decimal(38,12)")
+            .alias("c"),
         )
         sums = contrib.groupBy("dst").agg(
             F.expr("CAST(SUM(c) AS DOUBLE)").alias("s")
