@@ -559,17 +559,23 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    # edges feeds FIVE consumers (du, dv, the moment probe, and deg's two
+    # union branches): checkpoint so the self-join + support aggregate
+    # run once (the triangle-count discipline — without this the plan
+    # re-derived the pipeline per consumer: 14 scans, r5 plan audit)
     edges = (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= TRI_MIN_SUPPORT)
         .select("u", "v")
+        .localCheckpoint()
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.expr("CAST(count(*) AS BIGINT)").alias("d"))
+        .localCheckpoint()
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
