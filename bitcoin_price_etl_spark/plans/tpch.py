@@ -1033,6 +1033,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+        # eligible feeds both minc and the winner join-back: checkpoint
+        # so the partsupp synthesis + dim joins run once (r5 plan audit)
+        .localCheckpoint()
     )
     minc = (
         eligible.groupBy("ps_partkey")
@@ -1117,7 +1120,13 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val"),
         )
     )
-    grouped = eligible.groupBy("ps_partkey").agg(dsum("val", "value"))
+    # grouped feeds both the threshold scalar and the filter: checkpoint
+    # so the partsupp synthesis + dim joins run once (r5 plan audit)
+    grouped = (
+        eligible.groupBy("ps_partkey")
+        .agg(dsum("val", "value"))
+        .localCheckpoint()
+    )
     thresh = grouped.agg(
         F.expr(
             "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)"
