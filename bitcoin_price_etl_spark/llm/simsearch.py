@@ -1599,8 +1599,13 @@ def llm_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid)"
         ).alias("rn"),
     ).filter(F.col("rn") == 1)
-    cells = assigned.groupBy("cid", "label").agg(
-        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cell")
+    # cells (the K x label contingency grid) feeds BOTH the entropy terms
+    # and the purity aggregate: checkpoint so the K x N distance scoring
+    # behind it runs once instead of twice (r5 plan audit)
+    cells = (
+        assigned.groupBy("cid", "label")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cell"))
+        .localCheckpoint()
     )
     tot = cells.select(
         "cid",

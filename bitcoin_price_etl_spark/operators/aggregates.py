@@ -2073,7 +2073,12 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     item counts broadcast onto the rules. Linear in order volume.
     """
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # baskets feeds FIVE consumers (totals, item counts, both self-join
+    # sides): checkpoint so the scan + dedup exchange run once instead
+    # of once per consumer (r5 plan audit: 5 lineitem scans -> 1)
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
     totals = baskets.agg(
         F.expr("CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)").alias("n_orders")
     )

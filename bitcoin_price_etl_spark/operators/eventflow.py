@@ -130,7 +130,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins shuffle no event text, only (user_id, ts) pairs. The funnel is
     sequential by definition (stage N needs stage N-1's timestamp), so
     three narrow user-keyed frames — not a per-event window over the
-    whole stream — is the minimal-state formulation.
+    whole stream — is the minimal-state formulation. The stage frames
+    t1/t2 each feed TWO consumers (the next stage and the final join),
+    so they checkpoint — without that the plan re-derived every upstream
+    stage per consumer and scanned events six times instead of once per
+    stage (r5 plan audit).
 
     Parity: stage times are raw min(ts) picks; rates are single IEEE
     divisions of small integer counts — bit-identical across engines, no
@@ -141,6 +145,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts1"))
+        .localCheckpoint()
     )
     t2 = (
         ev.filter(F.col("event_type") == "click")
@@ -148,6 +153,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("ts1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts2"))
+        .localCheckpoint()
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")

@@ -2977,13 +2977,21 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ts_resample_ohlc(spark, sf_dir).select(
         "event_type", "bar_date", "close"
     )
-    capped = bars.select(
-        "event_type",
-        "close",
-        F.expr(
-            "row_number() OVER (PARTITION BY event_type ORDER BY bar_date)"
-        ).alias("rn"),
-    ).filter(F.col("rn") <= _MK_CAP)
+    # capped (a ≤128-bar grid) feeds FOUR consumers (both self-join
+    # sides, n, ties): checkpoint so the tick-absorbing OHLC collapse
+    # runs once instead of once per consumer (r5 plan audit: 4 -> 1)
+    capped = (
+        bars.select(
+            "event_type",
+            "close",
+            F.expr(
+                "row_number() OVER"
+                " (PARTITION BY event_type ORDER BY bar_date)"
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") <= _MK_CAP)
+        .localCheckpoint()
+    )
     a, b = capped.alias("a"), capped.alias("b")
     s = (
         a.join(
@@ -4049,6 +4057,10 @@ def ts_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("day_vol")
     )
+    # rets (a bounded daily-bar grid) feeds THREE consumers — the event
+    # ranking, the series mean, and the offset panel: checkpoint so the
+    # two event-stream aggregations behind it run once instead of once
+    # per consumer (r5 plan audit: 6 event scans -> 2)
     rets = (
         bars.join(vols, ["event_type", "bar_date"])
         .select(
@@ -4067,6 +4079,7 @@ def ts_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_idx"),
         )
         .filter(F.col("r").isNotNull())
+        .localCheckpoint()
     )
     vol_ranked = rets.select(
         "*",
