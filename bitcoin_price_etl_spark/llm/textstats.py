@@ -346,7 +346,15 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
         ).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the scoring
+    # join: checkpoint so tokenization (the regexp explode over all text)
+    # runs once instead of twice (r5 plan audit); at warehouse scale the
+    # same frame persists to disk
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -867,10 +875,19 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     train = tok.filter(F.col("doc_id") % PPX_EVAL_MOD != PPX_EVAL_REM)
-    model = train.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    nv = train.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-        F.broadcast(model.agg(F.count(F.lit(1)).alias("v")))
-    ).select((F.col("n") + F.col("v")).cast("double").alias("nv"))
+    # the vocab-sized model feeds the smoothing denominator AND the eval
+    # join: checkpoint it, and fold the train token count out of the raw
+    # stream algebraically (n = SUM(c) over the model — same exact
+    # integer), so tokenization runs twice total (model build + eval
+    # scoring) instead of four times (r5 plan audit)
+    model = (
+        train.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    nv = model.agg(
+        (F.sum("c") + F.count(F.lit(1))).cast("double").alias("nv")
+    )
     ev = (
         tok.filter(F.col("doc_id") % PPX_EVAL_MOD == PPX_EVAL_REM)
         .join(model, "term", "left")
@@ -1317,6 +1334,10 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(size(filter(split(text, ' '), w -> w = term)) AS BIGINT)"
         ).alias("f"),
     )
+    # tf feeds BOTH the document-frequency aggregate and the scoring
+    # join: checkpoint so the per-term text filter-count runs once
+    # instead of twice (r5 plan audit)
+    tf = tf.localCheckpoint()
     df = tf.groupBy("term").agg(
         F.expr(
             "CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT)"

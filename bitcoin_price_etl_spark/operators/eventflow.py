@@ -218,9 +218,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division of small ints — all exact.
     """
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    # firsts feeds both the cohort sizes and the activity join-back:
+    # checkpoint so the first-touch collapse scans events once
+    # (r5 plan audit: 3 event scans -> 2)
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    ).localCheckpoint()
     sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
     activity = ev.join(firsts, "user_id").select(
         "cohort_week",
@@ -1134,9 +1137,12 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle twice.
     """
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    # firsts feeds both the cohort sizes and the revenue join-back:
+    # checkpoint so the first-touch collapse scans events once
+    # (r5 plan audit: 3 event scans -> 2)
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    ).localCheckpoint()
     sizes = firsts.groupBy("cohort_week").agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("cohort_size")
     )

@@ -3553,6 +3553,11 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value)"
         ).alias("y")
     )
+    # hourly (a bounded grid) feeds both series branches, and pairs
+    # feeds both the means and the centered moments: checkpoint each so
+    # the event stream is scanned once and the lag fan-out built once
+    # (r5 plan audit: 4 event scans -> 1)
+    hourly = hourly.localCheckpoint()
     xs = hourly.filter(F.col("event_type") == _XCORR_A).select(
         "hr", F.col("y").alias("x")
     )
@@ -3567,8 +3572,10 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y_hr"
         ),
     )
-    pairs = xs_l.join(ys.withColumnRenamed("hr", "y_hr"), "y_hr").select(
-        "lag", "x", "y"
+    pairs = (
+        xs_l.join(ys.withColumnRenamed("hr", "y_hr"), "y_hr")
+        .select("lag", "x", "y")
+        .localCheckpoint()
     )
     means = pairs.groupBy("lag").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
