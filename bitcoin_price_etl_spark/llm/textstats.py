@@ -436,8 +436,14 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
         ).alias("term"),
     )
-    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # cnt (vocab-sized) feeds the scoring join, and the corpus total
+    # folds out of it algebraically (n = SUM(c), same exact integer) —
+    # checkpoint cnt so tokenization runs twice (count build + scoring)
+    # instead of three times (r5 plan audit)
+    cnt = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    tot = cnt.agg(F.sum("c").alias("n"))
     per = tok.join(cnt, "term").crossJoin(F.broadcast(tot))
     return (
         per.groupBy("doc_id")
@@ -976,7 +982,12 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select(F.split("text", " ").alias("t"))
     uni = tok.select(F.explode("t").alias("w"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 (vocab-sized) feeds both the vocab scalar and the smoothing
+    # join: checkpoint so the unigram tokenize-aggregate runs once
+    # (r5 plan audit: 3 corpus scans -> 2)
+    c1 = (
+        uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
+    )
     vocab = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     bg = tok.filter(F.size("t") >= 2).select(
         F.explode(

@@ -509,10 +509,14 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    # dev feeds both the MAD aggregate and the scoring pass — MAD is
+    # inherently two passes over the deviations, so checkpoint them once
+    # (r5 plan audit: 4 event scans -> 2; at warehouse scale this is the
+    # persist-deviations-to-disk shape)
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "event_id", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
-    )
+    ).localCheckpoint()
     mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
     scored = dev.join(F.broadcast(mad), "event_type").select(
         "event_type",
@@ -4466,9 +4470,12 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in calendar span.
     """
     ev = load(spark, sf_dir, "events")
+    # obs (the distinct hourly grid) feeds both the bounds aggregate and
+    # the anti-join probe: checkpoint so the event stream collapses once
+    # (r5 plan audit: 3 event scans -> 1)
     obs = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).distinct()
+    ).distinct().localCheckpoint()
     bounds = obs.groupBy("event_type").agg(
         F.expr("MIN(h)").alias("mn"),
         F.expr("MAX(h)").alias("mx"),
