@@ -131,10 +131,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential by definition (stage N needs stage N-1's timestamp), so
     three narrow user-keyed frames — not a per-event window over the
     whole stream — is the minimal-state formulation. The stage frames
-    t1/t2 each feed TWO consumers (the next stage and the final join),
-    so they checkpoint — without that the plan re-derived every upstream
-    stage per consumer and scanned events six times instead of once per
-    stage (r5 plan audit).
+    t1/t2 each feed two consumers, so the plan re-reads the pushed-
+    filter event scan per consumer (6 narrow scans); checkpointing them
+    instead was MEASURED WORSE at bench scale (r5: 1.57x vs a 1.27x
+    load band — three sequential materialization barriers beat six
+    column-pruned scans that pipeline in one DAG). At warehouse scale
+    the stage frames would persist to disk asynchronously instead.
 
     Parity: stage times are raw min(ts) picks; rates are single IEEE
     divisions of small integer counts — bit-identical across engines, no
@@ -145,7 +147,6 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts1"))
-        .localCheckpoint()
     )
     t2 = (
         ev.filter(F.col("event_type") == "click")
@@ -153,7 +154,6 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("ts1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts2"))
-        .localCheckpoint()
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
