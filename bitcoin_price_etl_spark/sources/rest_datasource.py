@@ -28,6 +28,14 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql import types as T
 
+# Module-level import (NOT deferred inside read()): a runtime
+# `from bitcoin_price_etl_spark...` executed on a worker requires the
+# package on the worker's sys.path, which fails when the driver process
+# was launched outside the repo (round-5 vanilla-session catch). As a
+# captured global of a pickle-by-value module (see package __init__),
+# the function ships inside the serialized reader instead.
+from bitcoin_price_etl_spark.sources.scans import synth_bpi_documents
+
 SNAPSHOT_SCHEMA = T.StructType(
     [
         T.StructField("snapshot_id", T.IntegerType()),
@@ -66,8 +74,6 @@ class BpiRestReader(DataSourceReader):
         return [InputPartition(i) for i in range(0, self.snapshots, 8)]
 
     def read(self, partition):
-        from bitcoin_price_etl_spark.sources.scans import synth_bpi_documents
-
         docs = synth_bpi_documents(self.snapshots)
         start = partition.value
         for i in range(start, min(start + 8, self.snapshots)):
@@ -104,8 +110,6 @@ class BpiRestStreamReader(SimpleDataSourceStreamReader):
         return {"idx": 0}
 
     def _rows(self, start: int, end: int):
-        from bitcoin_price_etl_spark.sources.scans import synth_bpi_documents
-
         docs = synth_bpi_documents(self.snapshots)
         out = []
         for i in range(start, end):

@@ -66,3 +66,28 @@ def test_compaction_preserves_rows_and_reduces_files(spark, monkeypatch):
     for r in rows:
         assert r.files_after < r.files_before
         assert r.n_rows > 0
+
+
+def test_package_registered_pickle_by_value():
+    """Worker-portability pin (r5): UDFs and the Python DataSource class
+    must serialize BY VALUE so Spark python workers never need the repo
+    on their own sys.path (a driver launched outside the repo spawns
+    workers without it — llm_multimodal_decode/resize and
+    source_rest_datasource failed exactly that way). The package
+    __init__ registers the root module with pyspark's vendored
+    cloudpickle; registration of the root covers every submodule."""
+    from pyspark import cloudpickle
+
+    import bitcoin_price_etl_spark as pkg
+
+    assert "bitcoin_price_etl_spark" in set(
+        cloudpickle.list_registry_pickle_by_value()
+    ), "package must be registered for pickle-by-value (see __init__.py)"
+    # and the registration survives a round-trip of a module-level fn
+    from bitcoin_price_etl_spark.sources.scans import synth_bpi_documents
+
+    blob = cloudpickle.dumps(synth_bpi_documents)
+    assert b"bitcoin_price_etl_spark" not in blob or len(blob) > 200, (
+        "function should carry its code, not just a module reference"
+    )
+    assert pkg is not None
