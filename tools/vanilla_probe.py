@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Driver-environment simulation: run registry keys on a BARE SparkSession
+from a working directory OUTSIDE the repo, with the repo reachable only via
+a driver-side sys.path insert — the harshest launch shape a harness can use.
+
+This is the probe that caught the round-5 worker-portability bug (UDF
+helpers and the Python DataSource pickling by reference, so python workers
+needed the repo on their own sys.path). The in-repo pytest suite can never
+see that class: its workers inherit the repo CWD.
+
+Usage (from anywhere):
+    python /root/repo/tools/vanilla_probe.py [--start N] [--count M] [--keys a,b]
+Compares oracle-bearing keys differentially against DuckDB at sf0.01
+(exact, order-insensitive, column-name-sorted — the driver's check) and
+runs rows-only keys for execution + stable schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--count", type=int, default=10_000)
+    ap.add_argument("--keys", default="")
+    args = ap.parse_args()
+
+    # simulate the hostile launch: cwd outside the repo, path insert only
+    os.chdir("/tmp")
+    sys.path.insert(0, REPO)
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as m
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs, osql = m.queries(), m.oracle_sql()
+    keys = (
+        [k for k in args.keys.split(",") if k]
+        or list(qs)[args.start:args.start + args.count]
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    ok = 0
+    bad: list[tuple[str, str]] = []
+    for k in keys:
+        try:
+            sdf = qs[k](spark, SF)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+            if k not in osql:
+                assert scols, f"{k}: empty schema"
+                ok += 1
+                print(f"{k}: rows-only OK ({len(srows)} rows)", flush=True)
+                continue
+            res = con.sql(osql[k])
+            drows = res.fetchall()
+            dcols = sorted(res.columns)
+            order = {c: i for i, c in enumerate(sdf.columns)}
+            dorder = {c: i for i, c in enumerate(res.columns)}
+            sn = sorted(
+                (tuple(r[order[c]] for c in scols) for r in srows), key=repr
+            )
+            dn = sorted(
+                (tuple(r[dorder[c]] for c in dcols) for r in drows), key=repr
+            )
+            if scols == dcols and len(sn) == len(dn) and sn == dn:
+                ok += 1
+                print(f"{k}: EXACT-EQ ({len(sn)} rows)", flush=True)
+            else:
+                bad.append((k, "mismatch"))
+                print(f"{k}: MISMATCH", flush=True)
+        except Exception as ex:  # noqa: BLE001 - probe must keep going
+            bad.append((k, type(ex).__name__))
+            print(f"{k}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
+    print(f"SUMMARY ok={ok} bad={len(bad)} {bad}")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
