@@ -54,3 +54,37 @@ def test_check_column_matches_oracle_presence():
             f"{key}: doc says {check!r} but registry oracle is "
             f"{'present' if has_oracle else 'absent'}"
         )
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """The driver stores only the last 2000 chars of bench stdout and
+    parses the final JSON line out of that window (BENCH_r04 lesson:
+    a 4.5 KB line came back `parsed: null`). Simulate the final line
+    with worst-case realistic timings and assert it stays inside
+    bench._COMPACT_BUDGET, so adding keys to DRIVER_COMPACT can never
+    silently overflow the window."""
+    import json
+
+    import bench
+
+    assert set(bench.DRIVER_COMPACT) <= set(bench.HEADLINE), (
+        "DRIVER_COMPACT must be a subset of HEADLINE"
+    )
+    # worst realistic width: three integer digits + three decimals each
+    timings = {k: 999.999 for k in bench.HEADLINE}
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings[k] for k in bench.DRIVER_COMPACT), 3),
+        "unit": "sec",
+        "queries": {k: timings[k] for k in bench.DRIVER_COMPACT},
+        "sf": 0.1,
+        "full_total": round(sum(timings.values()), 3),
+        "n_full": len(timings),
+        "runs": 5,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= bench._COMPACT_BUDGET, (
+        f"compact line {len(line)} B exceeds {bench._COMPACT_BUDGET} B — "
+        "trim DRIVER_COMPACT (the runtime trims defensively, but the "
+        "curated list should fit outright)"
+    )
