@@ -162,52 +162,48 @@ DRIVER_VERIFIED: frozenset[str] = (
 )
 
 # Explicit head of the round's verification window, most-important-first.
-# Round 5 is a DRAIN round (VERDICT r4): the backlog of never-driver-
-# verified keys is 125 of 320, the window certifies ~50/round, and
-# registry growth is FROZEN except for the four keys VERDICT items 4/8
-# require (the hist/binned scale-safe siblings + the golden oracle
-# upgrade). Head order = VERDICT item 1's widest-surface-first rotation:
-# golden + new siblings (+ their exact forms, certifying side by side),
-# the two scale-cliff fixes, the validate_* data-quality family, ab_*
-# experiment stats, graph_*, the VERDICT-named LLM tail, then ALL NINE
-# rows-only stragglers (item 2 — rows+schema is their maximal check),
-# then ts_* indicator representatives. Keys past the ~50 cut and the
-# un-listed pending tail rotate into r6 via ordered_keys() insertion
-# order. Already-verified keys are filtered out by ordered_keys(), so
-# stale entries here are harmless.
+# Round 6 continues the drain (VERDICT r5 item 1): backlog is 79 of 323
+# never-driver-verified keys, the window certifies ~50/round, and the
+# registry is FROZEN (no new keys this round). Head order = VERDICT
+# item 1's widest-surface-first rotation: the ts_* indicator/analysis
+# tail (~21 keys), the llm curation/analysis tail (24), eventflow/
+# cohort/path, then the fn_/sql_/sink_/join_/agg_ long tail. All 79
+# pending keys are listed so the ~29 past the window cut land at the
+# exact front of the r7 window. Already-verified keys are filtered out
+# by ordered_keys(), so stale entries here are harmless.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # reference-fidelity golden pipeline, rows-only -> oracle (item 8)
-    "pipeline_golden",
-    # scale-safe siblings of the single-partition-sort forms (item 4)
-    "agg_weighted_median_hist", "agg_winsorized_mean_hist", "ab_ks_binned",
-    # their exact forms certify alongside (perf-weak list, same oracles)
-    "agg_weighted_median", "agg_winsorized_mean", "ab_ks_two_sample",
-    # the two scale-cliff fixes (items 5, 6; oracles unchanged/lockstep)
-    "graph_bipartite_projection", "ts_autocorr",
-    # data-quality validate_* family (widest user surface)
-    "validate_expectations", "validate_observe_metrics",
-    "validate_referential_integrity", "validate_pk_uniqueness",
-    "validate_volume_anomaly", "validate_psi_drift", "validate_benford",
-    "validate_k_anonymity",
-    # experiment stats
-    "ab_srm_check", "ab_ttest_welch", "ab_cuped_adjust",
-    "ab_ratio_delta_ci", "ab_power_mde",
-    # graph suite
-    "graph_pagerank", "graph_triangle_count", "graph_khop_reach",
-    "graph_assortativity",
-    # LLM oracle-bearing tail (VERDICT-named first)
-    "llm_semdedup", "llm_bm25_rank", "llm_kmeans_train", "llm_containment",
-    # rows-only stragglers (item 2)
-    "llm_dedup_simhash", "llm_dedup_minhash_mllib",
-    "llm_multimodal_decode", "llm_multimodal_resize",
-    "llm_sim_search_lsh", "llm_sim_search_ivf", "llm_sim_search_recall",
-    "source_rest_datasource", "sink_compact_small_files",
-    # ts indicator suite representatives + analytics tail
-    "ts_rsi", "ts_macd", "ts_bollinger", "ts_stochastic", "ts_atr",
-    "ts_obv", "ts_max_drawdown", "ts_theilsen", "ts_mann_kendall",
-    "ts_seasonal_decompose", "ts_cusum_changepoint",
+    # ts_* indicator/analysis tail (operators/windows.py)
+    "ts_keltner", "ts_ichimoku", "ts_adx", "ts_candle_patterns", "ts_volatility_ohlc",
+    "ts_var_es", "ts_periodogram", "ts_spectral_entropy", "ts_hurst_rs",
+    "ts_sax_symbolize", "ts_lead_lag_xcorr", "ts_peak_detection",
+    "ts_event_study_car", "ts_rolling_beta", "ts_holt_linear",
+    "ts_gap_report", "ts_runs_test", "ts_sma_crossover_backtest",
+    "ts_downsample_m4", "ts_forecast_backtest", "ts_sessionize_fragments",
+    # llm curation/analysis tail (llm/{curation,textstats,simsearch}.py)
+    "llm_lang_entropy", "llm_perplexity_filter", "llm_bigram_lm",
+    "llm_decontaminate_bloom", "llm_hard_negatives", "llm_training_examples",
+    "llm_preference_pairs", "llm_sft_format", "llm_span_corruption",
+    "llm_dataset_diff", "llm_dp_noise", "llm_template_mine",
+    "llm_ngram_novelty", "llm_multimodal_phash", "llm_embed_drift",
+    "llm_embed_whitening", "llm_cluster_eval", "llm_label_outliers",
+    "llm_bpe_merge_step", "llm_diversity_index", "llm_domain_route",
+    "llm_oov_rate", "llm_judge_agreement", "llm_tokenizer_fertility",
+    # eventflow / cohort / path family (operators/eventflow.py)
+    "funnel_windowed_salted", "attribution_channels",
+    "path_analysis_sessions", "path_markov_transitions",
+    "cohort_survival_km", "cohort_ltv_curve",
+    # ---- ~50-key window cut lands around here; rest heads the r7 window
+    # fn_/sql_ long tail
+    "fn_xml", "fn_ip", "fn_geohash", "sql_parameterized", "sql_pipe_syntax",
+    # win/agg long tail
     "win_rolling_beta", "win_interval_concurrency", "agg_corr_matrix",
-    "table_checksum", "agg_heavy_hitters", "agg_gini",
+    "table_checksum", "agg_heavy_hitters", "agg_gini", "agg_theil_index",
+    "agg_rfm_segmentation", "agg_market_basket", "agg_target_encode",
+    # join/scan/sink/cdc/pipeline long tail
+    "join_scd2_pointintime", "join_spatial_grid", "join_skyline_pareto",
+    "join_existence_flag", "join_runtime_bloom", "set_intersect_all",
+    "scan_text", "scan_dpp_join", "sink_salted", "cdc_apply_changes",
+    "sink_snapshot_publish", "sink_export_jsonl", "pipeline_feature_store",
 )
 
 
