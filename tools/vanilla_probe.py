@@ -10,9 +10,18 @@ see that class: its workers inherit the repo CWD.
 
 Usage (from anywhere):
     python /root/repo/tools/vanilla_probe.py [--start N] [--count M] [--keys a,b]
+                                             [--record PATH]
 Compares oracle-bearing keys differentially against DuckDB at sf0.01
 (exact, order-insensitive, column-name-sorted — the driver's check) and
 runs rows-only keys for execution + stable schema.
+
+--record PATH writes a JSON artifact (per-key class/status + summary).
+This is the ROUND-CLOSE GATE (VERDICT r5 item 2): before ending a round,
+run the FULL registry with --record PROBE_r{N}.json and commit the record
+next to the driver's CORRECTNESS files — see VERIFY_ROUND.md. The local
+pytest parity suite defaults to sf0.001; this probe is the recorded
+sf0.01 (driver-scale) evidence for every key, not just the ~50 the
+driver window certifies per round.
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ def main() -> None:
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--count", type=int, default=10_000)
     ap.add_argument("--keys", default="")
+    ap.add_argument("--record", default="", help="write JSON record here")
     args = ap.parse_args()
 
     # simulate the hostile launch: cwd outside the repo, path insert only
@@ -61,6 +71,7 @@ def main() -> None:
 
     ok = 0
     bad: list[tuple[str, str]] = []
+    record: dict[str, dict] = {}
     for k in keys:
         try:
             sdf = qs[k](spark, SF)
@@ -69,6 +80,8 @@ def main() -> None:
             if k not in osql:
                 assert scols, f"{k}: empty schema"
                 ok += 1
+                record[k] = {"class": "rows_only", "status": "ok",
+                             "spark_rows": len(srows)}
                 print(f"{k}: rows-only OK ({len(srows)} rows)", flush=True)
                 continue
             res = con.sql(osql[k])
@@ -84,14 +97,36 @@ def main() -> None:
             )
             if scols == dcols and len(sn) == len(dn) and sn == dn:
                 ok += 1
+                record[k] = {"class": "oracle", "status": "exact_eq",
+                             "spark_rows": len(sn)}
                 print(f"{k}: EXACT-EQ ({len(sn)} rows)", flush=True)
             else:
                 bad.append((k, "mismatch"))
+                record[k] = {"class": "oracle", "status": "mismatch",
+                             "spark_rows": len(sn), "oracle_rows": len(dn)}
                 print(f"{k}: MISMATCH", flush=True)
         except Exception as ex:  # noqa: BLE001 - probe must keep going
             bad.append((k, type(ex).__name__))
+            record[k] = {"class": "oracle" if k in osql else "rows_only",
+                         "status": f"error:{type(ex).__name__}"}
             print(f"{k}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
     print(f"SUMMARY ok={ok} bad={len(bad)} {bad}")
+    if args.record:
+        import json
+
+        with open(args.record, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF,
+                    "n_keys": len(keys),
+                    "ok": ok,
+                    "bad": len(bad),
+                    "keys": record,
+                },
+                f,
+                indent=1,
+            )
+        print(f"record written: {args.record}")
     spark.stop()
     sys.exit(1 if bad else 0)
 
