@@ -1294,3 +1294,22 @@ def test_minhash_mllib_distances_match_exact_jaccard(spark):
         assert abs((1.0 - p["jaccard_dist"]) - exact_j) < 0.05, (
             p["doc_a"], p["doc_b"], p["jaccard_dist"], exact_j,
         )
+
+
+def test_ann_recall_floor_vs_exact(spark):
+    """Quantitative ANN quality gate (VERDICT r5 item 5): recall@10 of the
+    LSH and IVF approximate paths against exact brute-force cosine must
+    hold a floor, so an index-parameter regression (band widths, nprobe,
+    centroid count) is caught as a FAILURE, not just noticed as a slower
+    row in the probe table. Floors sit one k-th (0.1) below the measured
+    values on the fixture — lsh 0.3, ivf 0.5 at BOTH sf0.001 and sf0.01
+    (gaussian-noise embeddings, the hardest ANN regime; see the
+    llm_sim_search_recall docstring for why these absolute numbers are
+    the data's fault, not the index's)."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    rows = load_all()["llm_sim_search_recall"].fn(spark, SF_SMOKE).collect()
+    got = {r["method"]: r["recall_at_k"] for r in rows}
+    assert set(got) == {"lsh", "ivf"}
+    assert got["lsh"] >= 0.2, f"lsh recall@10 regressed: {got['lsh']}"
+    assert got["ivf"] >= 0.4, f"ivf recall@10 regressed: {got['ivf']}"
