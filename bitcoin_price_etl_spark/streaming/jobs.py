@@ -247,3 +247,46 @@ def stream_stream_join_job(
         .option("checkpointLocation", ckpt)
     )
     return _with_trigger(writer, None).start()
+
+
+def idempotent_foreachbatch_job(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    sink: str,
+    ckpt: str,
+    crash_after_batch: int | None = None,
+) -> StreamingQuery:
+    """The crash-safe form of the R18+R19 append lifecycle
+    (bpi_etl_bigquery.py:277-291 WRITE_APPEND; slides p.6 graceful
+    recovery / idempotent re-run): foreachBatch writes each micro-batch to
+    its OWN batch_id partition with overwrite, so a batch replayed after a
+    crash that landed between the sink write and the checkpoint commit
+    overwrites its own output instead of appending a duplicate — the
+    standard idempotent foreachBatch recipe, and the reason blind
+    `mode("append")` inside foreachBatch is only at-least-once.
+
+    maxFilesPerTrigger=1 keeps one source file per micro-batch so tests
+    can crash between batches deterministically. crash_after_batch=N
+    raises AFTER batch N's sink write completes but BEFORE Spark commits
+    the epoch — the exact window where naive appends double-write.
+    """
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .select("event_id", "event_type", "value")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        if crash_after_batch is not None and batch_id >= crash_after_batch:
+            raise RuntimeError("injected crash after sink write, pre-commit")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
