@@ -25,5 +25,16 @@ try:  # pragma: no cover - trivially exercised by every UDF test
     from pyspark import cloudpickle as _cloudpickle
 
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except Exception:  # noqa: BLE001 - portability guard must never block import
-    pass
+except (ImportError, AttributeError) as _ex:
+    # A pyspark build without register_pickle_by_value silently loses the
+    # worker-portability guarantee (the round-5 ModuleNotFoundError class
+    # returns) — downgrade loudly, never block import (ADVICE r5).
+    import warnings as _warnings
+
+    _warnings.warn(
+        "bitcoin_price_etl_spark: pickle-by-value registration unavailable "
+        f"({_ex!r}); UDFs will pickle by reference and Python workers must "
+        "have the repo on their own sys.path",
+        RuntimeWarning,
+        stacklevel=2,
+    )

@@ -8,6 +8,33 @@ Config rationale (SURVEY.md §4 "Config posture for 100 TB"):
 - Arrow enabled for any pandas interchange (vectorized UDF path).
 - Shuffle partitions default to local core count; on a real cluster this is
   set to ~2-3× total cores (or left to AQE coalescing from a high initial).
+
+Multi-consumer staging policy — localCheckpoint vs persist (ADVICE r5,
+central statement; the ~53 `.localCheckpoint()` sites across operators
+reference this):
+
+The engine stages multi-consumer / iterative frames (posting lists,
+frontier sets, per-iteration graph state) with EAGER `localCheckpoint()`.
+What that buys and costs:
+
+- BUYS: lineage truncation (iterative plans stop growing — pagerank/k-hop
+  would otherwise double the plan per round) and a single materialization
+  shared by all consumers (A/B-measured per site; one sweep candidate was
+  REVERTED when three barriers lost to pipelined rescans — funnel_conversion,
+  git c14d6f4).
+- COSTS: (1) the job runs at DataFrame-CONSTRUCTION time, so even
+  schema-only consumers pay full execution; (2) blocks are executor-local
+  and NON-REPLICATED, so on a multi-executor cluster losing an executor
+  makes downstream actions fail-fast rather than recompute (lineage is
+  gone).
+
+On local[N] (this harness: one JVM, no executor loss) the costs are nil
+and localCheckpoint is strictly the right tool. At warehouse scale,
+swap sites on long-running jobs to `persist(StorageLevel.DISK_ONLY)` +
+a count() barrier (recomputable, spill-backed, survives executor loss)
+or `checkpoint()` to a reliable store for multi-hour lineage cuts —
+several operator docstrings note the swap inline. The semantics of every
+operator are unchanged by the swap; only failure-recovery economics move.
 """
 
 from __future__ import annotations

@@ -83,11 +83,18 @@ def test_package_registered_pickle_by_value():
     assert "bitcoin_price_etl_spark" in set(
         cloudpickle.list_registry_pickle_by_value()
     ), "package must be registered for pickle-by-value (see __init__.py)"
-    # and the registration survives a round-trip of a module-level fn
+    # and the registration survives a round-trip of a module-level fn:
+    # a by-VALUE pickle ships the function's code object, so the blob must
+    # carry its raw bytecode and be far larger than a by-reference pickle
+    # (~100 B of module+qualname). ADVICE r5: assert the strong property
+    # directly, not a size heuristic a fat by-reference blob could pass.
     from bitcoin_price_etl_spark.sources.scans import synth_bpi_documents
 
     blob = cloudpickle.dumps(synth_bpi_documents)
-    assert b"bitcoin_price_etl_spark" not in blob or len(blob) > 200, (
-        "function should carry its code, not just a module reference"
+    co_code = synth_bpi_documents.__code__.co_code
+    assert co_code in blob, (
+        "by-value pickle must embed the function's code object bytes — "
+        "a module-reference pickle was shipped instead"
     )
+    assert len(blob) > 1000, f"blob suspiciously small ({len(blob)} B)"
     assert pkg is not None
