@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.01"
@@ -73,6 +74,7 @@ def main() -> None:
     bad: list[tuple[str, str]] = []
     record: dict[str, dict] = {}
     for k in keys:
+        t0 = time.perf_counter()
         try:
             sdf = qs[k](spark, SF)
             srows = sdf.collect()
@@ -81,7 +83,8 @@ def main() -> None:
                 assert scols, f"{k}: empty schema"
                 ok += 1
                 record[k] = {"class": "rows_only", "status": "ok",
-                             "spark_rows": len(srows)}
+                             "spark_rows": len(srows),
+                             "sec": round(time.perf_counter() - t0, 3)}
                 print(f"{k}: rows-only OK ({len(srows)} rows)", flush=True)
                 continue
             res = con.sql(osql[k])
@@ -98,17 +101,20 @@ def main() -> None:
             if scols == dcols and len(sn) == len(dn) and sn == dn:
                 ok += 1
                 record[k] = {"class": "oracle", "status": "exact_eq",
-                             "spark_rows": len(sn)}
+                             "spark_rows": len(sn),
+                             "sec": round(time.perf_counter() - t0, 3)}
                 print(f"{k}: EXACT-EQ ({len(sn)} rows)", flush=True)
             else:
                 bad.append((k, "mismatch"))
                 record[k] = {"class": "oracle", "status": "mismatch",
-                             "spark_rows": len(sn), "oracle_rows": len(dn)}
+                             "spark_rows": len(sn), "oracle_rows": len(dn),
+                             "sec": round(time.perf_counter() - t0, 3)}
                 print(f"{k}: MISMATCH", flush=True)
         except Exception as ex:  # noqa: BLE001 - probe must keep going
             bad.append((k, type(ex).__name__))
             record[k] = {"class": "oracle" if k in osql else "rows_only",
-                         "status": f"error:{type(ex).__name__}"}
+                         "status": f"error:{type(ex).__name__}",
+                         "sec": round(time.perf_counter() - t0, 3)}
             print(f"{k}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
     print(f"SUMMARY ok={ok} bad={len(bad)} {bad}")
     if args.record:
