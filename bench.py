@@ -348,7 +348,9 @@ def main() -> None:
     # JSON line under budget) under any future refactor. ADVICE r5.
     fallback = {
         "metric": "headline_total_wall",
-        "value": full_total,
+        # value == sum(queries) is the artifact invariant; empty map -> 0.0
+        # (full_total still carries the whole-headline number)
+        "value": 0.0,
         "unit": "sec",
         "queries": {},
         "sf": float(sf),

@@ -25,10 +25,14 @@ try:  # pragma: no cover - trivially exercised by every UDF test
     from pyspark import cloudpickle as _cloudpickle
 
     _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-except (ImportError, AttributeError) as _ex:
-    # A pyspark build without register_pickle_by_value silently loses the
-    # worker-portability guarantee (the round-5 ModuleNotFoundError class
-    # returns) — downgrade loudly, never block import (ADVICE r5).
+except Exception as _ex:  # noqa: BLE001 - guard must never block import
+    # Any registration failure (no register_pickle_by_value attr, a
+    # vendored-cloudpickle ValueError on exotic import machinery, ...)
+    # silently loses the worker-portability guarantee (the round-5
+    # ModuleNotFoundError class returns) — downgrade loudly, never block
+    # import (ADVICE r5: the loudness is the point, not the narrowing;
+    # a narrowed except would turn an unanticipated failure mode into an
+    # import crash, the exact outcome this guard exists to prevent).
     import warnings as _warnings
 
     _warnings.warn(

@@ -1305,10 +1305,13 @@ def test_ann_recall_floor_vs_exact(spark):
     values on the fixture — lsh 0.3, ivf 0.5 at BOTH sf0.001 and sf0.01
     (gaussian-noise embeddings, the hardest ANN regime; see the
     llm_sim_search_recall docstring for why these absolute numbers are
-    the data's fault, not the index's)."""
+    the data's fault, not the index's). Runs at SF_CORRECT so the
+    SPARK_GRAFT_TEST_SF_DIR=sf0.01 escalation audits the gate at the
+    driver's scale, where a banding/nprobe regression could hide."""
     from bitcoin_price_etl_spark.registry import load_all
+    from tests.conftest import SF_CORRECT
 
-    rows = load_all()["llm_sim_search_recall"].fn(spark, SF_SMOKE).collect()
+    rows = load_all()["llm_sim_search_recall"].fn(spark, SF_CORRECT).collect()
     got = {r["method"]: r["recall_at_k"] for r in rows}
     assert set(got) == {"lsh", "ivf"}
     assert got["lsh"] >= 0.2, f"lsh recall@10 regressed: {got['lsh']}"

@@ -338,10 +338,13 @@ def test_kill_and_resume_foreachbatch_exactly_once(spark):
         spark, src, raw.schema, sink, ckpt, crash_after_batch=1
     )
     try:
-        q.awaitTermination(180)
-    except Exception:
-        pass  # StreamingQueryException is the expected outcome
-    assert q.exception() is not None, "injected crash did not surface"
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass  # StreamingQueryException is the expected outcome
+        assert q.exception() is not None, "injected crash did not surface"
+    finally:
+        q.stop()  # never leak a running stream into the shared fixture
     written_after_crash = {
         r.event_id for r in spark.read.parquet(sink).collect()
     }
@@ -351,7 +354,10 @@ def test_kill_and_resume_foreachbatch_exactly_once(spark):
 
     # run 2: resume from the same checkpoint, no crash
     q2 = jobs.idempotent_foreachbatch_job(spark, src, raw.schema, sink, ckpt)
-    q2.awaitTermination(180)
+    try:
+        q2.awaitTermination(180)
+    finally:
+        q2.stop()
     out = spark.read.parquet(sink).collect()
     got = [r.event_id for r in out]
     assert len(got) == len(set(got)) == n_src, (

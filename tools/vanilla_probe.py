@@ -125,6 +125,17 @@ def main() -> None:
                 {
                     "sf_dir": SF,
                     "n_keys": len(keys),
+                    "n_registry": len(qs),
+                    # a partial record must be self-identifying: the
+                    # round-close gate (VERIFY_ROUND.md) requires
+                    # full_registry == true, so a --keys/--start/--count
+                    # subset run can never masquerade as the gate artifact
+                    "full_registry": len(keys) == len(qs),
+                    "args": {
+                        "start": args.start,
+                        "count": args.count,
+                        "keys": args.keys,
+                    },
                     "ok": ok,
                     "bad": len(bad),
                     "keys": record,
