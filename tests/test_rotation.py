@@ -86,3 +86,20 @@ def test_disavowed_keys_rotate_back_into_window():
             continue  # re-certified by a later round — done
         assert key in DRIVER_PRIORITY, key
         assert ok.index(key) < 50, (key, ok.index(key))
+
+
+def test_committed_probe_records_are_full_and_clean():
+    """Any PROBE_r*.json committed at the repo root is round-close gate
+    evidence (VERIFY_ROUND.md): it must be a FULL-registry run
+    (full_registry flag, n_keys == n_registry) with zero bad keys —
+    a partial or red record must never be committed as the gate."""
+    import glob
+
+    for path in glob.glob(os.path.join(ROOT, "PROBE_r*.json")):
+        with open(path) as f:
+            rec = json.load(f)
+        name = os.path.basename(path)
+        assert rec.get("full_registry") is True, f"{name}: partial record"
+        assert rec["n_keys"] == rec["n_registry"], name
+        assert rec["bad"] == 0, f"{name}: has red keys"
+        assert rec["ok"] == rec["n_keys"], name
