@@ -70,6 +70,11 @@ def main() -> None:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+    # warm the JVM/scan path once so the first key's recorded `sec` is the
+    # key's own cost, not session spin-up (PROBE_r06 first-key read 7.5 s
+    # for a 0.6 s operator before this)
+    spark.read.parquet(f"{SF}/region.parquet").collect()
+
     ok = 0
     bad: list[tuple[str, str]] = []
     record: dict[str, dict] = {}
