@@ -634,10 +634,16 @@ def attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr(f"INTERVAL {ATTRIB_WINDOW_SECONDS} SECOND")
         ),
     ).select("p.label_id", "t.channel", "t.tts", "t.touch_id")
-    # the touch-pair frame feeds BOTH label-keyed aggregates below —
-    # checkpoint it once (the llm_dedup_ngram shared-frame stance) so
-    # the band join and its four event scans don't run twice
-    pairs = pairs.localCheckpoint()
+    # The touch-pair frame feeds BOTH label-keyed aggregates below, but do
+    # NOT checkpoint it: the frame is density-quadratic (64x rows at 8x
+    # event density) while the band join that produces it is cheap —
+    # materializing it lost the A/B at BOTH scales (1x: 1.38 vs 1.05 s;
+    # 8x: 6.2 vs 2.5 s, and worse under accumulated block pressure), the
+    # same verdict as funnel_conversion's reverted checkpoint (r5). The
+    # two consumers recompute the join; their partial aggs absorb the
+    # pair volume map-side. The llm_dedup_ngram shared-frame stance
+    # applies only when the shared frame is expensive to build and small
+    # to store — here it is the opposite on both counts.
     pick = F.struct("tts", "touch_id")
     per_purchase = pairs.groupBy("label_id").agg(
         F.max_by("channel", pick).alias("last_channel"),
