@@ -294,6 +294,15 @@ def main() -> None:
         ).save()
 
     def run_once(key: str) -> float:
+        # Drop Python refs to prior queries' DataFrames BEFORE timing so
+        # the ContextCleaner can release their localCheckpoint blocks —
+        # otherwise a long session accumulates executor-local blocks and
+        # late-position queries pay eviction/GC pressure that reads as a
+        # plan regression (the round-6 probe-sweep lesson: a 4.6x outlier
+        # vanished to 1.1x in a fresh session).
+        import gc
+
+        gc.collect()
         fn = registry[key].fn
         if key in PYWORKER_PREWARM:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

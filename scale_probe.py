@@ -607,6 +607,12 @@ def main() -> None:
                 sf_dir = str(SCRATCH / f"x{mult}")
                 ts = []
                 for _ in range(args.runs):
+                    # release prior frames' localCheckpoint blocks before
+                    # timing (round-6 lesson: accumulated executor-local
+                    # blocks make late-position keys read as regressions)
+                    import gc
+
+                    gc.collect()
                     t0 = time.perf_counter()
                     reg[key].fn(spark, sf_dir).write.format("noop").mode(
                         "overwrite"

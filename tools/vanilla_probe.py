@@ -78,7 +78,12 @@ def main() -> None:
     ok = 0
     bad: list[tuple[str, str]] = []
     record: dict[str, dict] = {}
+    import gc
+
     for k in keys:
+        # release prior keys' localCheckpoint blocks so late-position
+        # `sec` readings aren't inflated by accumulated block pressure
+        gc.collect()
         t0 = time.perf_counter()
         try:
             sdf = qs[k](spark, SF)
