@@ -31,6 +31,8 @@ SCRATCH = Path("/tmp/spark_graft_scale_probe")
 
 DOC_KEYS = [
     "llm_dedup_exact",
+    # round-6 deep probe: the full MinHash/LSH near-dup path end-to-end
+    "llm_dedup_near",
     "llm_dedup_ngram",
     "llm_dedup_cluster",
     "llm_sample_hash",
@@ -125,6 +127,8 @@ DOC_KEYS = [
 EMB_KEYS = [
     "llm_embed_centroids",
     "llm_embed_quantize",
+    # round-6 deep probe: the exact brute-force top-k beside its LSH twin
+    "llm_sim_search",
     "llm_sim_search_lsh",
     "llm_kmeans_assign",
     "llm_embed_pq",
@@ -318,6 +322,18 @@ FACT_KEYS = {
     "sink_scd2": ("customer", "c_custkey", None),
     # write volume grows mult x; the commit critical section stays O(1)
     "sink_snapshot_publish": ("customer", "c_custkey", None),
+    # round-6 deep-probe additions: the headline family representatives
+    # (bench.DRIVER_COMPACT heads) probed at 1x/8x/32x for the
+    # would-it-survive-100x record — scan/agg/window ride the scaled
+    # fact; the broadcast join scales its probe side while the dims
+    # stay fixed (DIM_COPY); the events keys share the event_id shift
+    "scan_parquet": ("lineitem", "l_orderkey", None),
+    "agg_hash": ("lineitem", "l_orderkey", None),
+    "win_rank": ("orders", "o_orderkey", None),
+    "join_broadcast": ("customer", "c_custkey", None),
+    "join_asof": ("events", "event_id", None),
+    "flagship_hourly_enriched": ("events", "event_id", None),
+    "stream_tumbling": ("events", "event_id", None),
     # event_id-shifted copies keep user_id/ts, so every user's window and
     # every time bin get mult× rows — exactly the hot-partition stress
     # sessionize/cohort sorts and the binned join's per-bin candidate
@@ -551,6 +567,9 @@ DIM_COPY = {
     # events scale while order history stays fixed — the realistic
     # asymmetry (clickstream grows orders of magnitude faster)
     "pipeline_feature_store": ("orders",),
+    # customers scale while the nation/region dims stay fixed — the
+    # broadcast build side stays broadcast-sized at any fact volume
+    "join_broadcast": ("nation", "region"),
 }
 
 
