@@ -580,6 +580,18 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--keys", default="", help="comma list; default all")
+    ap.add_argument(
+        "--growth",
+        choices=("density", "users"),
+        default="density",
+        help="density (default): pk-shifted copies pile mult x rows onto "
+        "every user/group — the hot-key stress, under which pair-producing "
+        "joins emit mult^2 output BY DEFINITION. users: copies also shift "
+        "user_id (copy-local populations, constant per-user density) — "
+        "the realistic corpus-growth axis, under which the round-6 "
+        "counter-probe measured the quadratic-class keys flat "
+        "(attribution 0.9x, training_examples 1.0x at 8x).",
+    )
     args = ap.parse_args()
 
     from bitcoin_price_etl_spark.registry import load_all
@@ -596,6 +608,20 @@ def main() -> None:
     fact_tables = {
         FACT_KEYS[k][0]: FACT_KEYS[k] for k in selected if k in FACT_KEYS
     }.values()
+    if args.growth == "users":
+        fact_tables = [
+            (
+                table,
+                pk,
+                dict(
+                    (extra or {}),
+                    user_id=lambda col, i: col + 10_000_000 * i,
+                )
+                if table == "events"
+                else extra,
+            )
+            for table, pk, extra in fact_tables
+        ]
     need_tpch = any(k in TPCH_KEYS for k in selected)
     try:
         for mult in mults:
