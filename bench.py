@@ -23,6 +23,7 @@ warm median), making the headline number mostly a startup measurement.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -300,8 +301,6 @@ def main() -> None:
         # late-position queries pay eviction/GC pressure that reads as a
         # plan regression (the round-6 probe-sweep lesson: a 4.6x outlier
         # vanished to 1.1x in a fresh session).
-        import gc
-
         gc.collect()
         fn = registry[key].fn
         if key in PYWORKER_PREWARM:

@@ -19,6 +19,7 @@ retain it for inspection.
 from __future__ import annotations
 
 import argparse
+import gc
 import shutil
 import statistics
 import sys
@@ -248,6 +249,10 @@ def build_scaled_fact(spark, src_dir: str, mult: int, out_dir: Path,
 # hot-dimension stress a growing fact table actually produces. All other
 # tables are copied through unscaled.
 TPCH_KEYS = [
+    # needs the join-consistent orderkey shift (loads BOTH lineitem and
+    # orders) — round-6 deep-probe addition; in TPCH_KEYS, not FACT_KEYS,
+    # so `--keys join_shuffle` alone stages both tables correctly
+    "join_shuffle",
     "tpch_q1_full",
     "tpch_q3",
     "tpch_q5",
@@ -605,10 +610,48 @@ def main() -> None:
     need_docs = any(k in DOC_KEYS for k in selected)
     need_embs = any(k in EMB_KEYS for k in selected)
 
-    fact_tables = {
-        FACT_KEYS[k][0]: FACT_KEYS[k] for k in selected if k in FACT_KEYS
-    }.values()
+    # One staged file per table per run: selected keys that want the SAME
+    # table with DIFFERENT scaling specs (pk or extra column shifts)
+    # cannot coexist — last-wins would silently probe one of them against
+    # the wrong workload shape (e.g. graph_triangle_count's partkey-shift
+    # dropped by scan_parquet's plain spec = the degenerate all-pairs
+    # graph its FACT_KEYS comment warns about). Detect and refuse.
+    by_table: dict[str, tuple] = {}
+    spec_keys: dict[str, str] = {}
+    for k in selected:
+        if k not in FACT_KEYS:
+            continue
+        table, pk, extra = FACT_KEYS[k]
+        spec = (pk, tuple(sorted((extra or {}).keys())))
+        if table in by_table:
+            prev_spec = (
+                by_table[table][1],
+                tuple(sorted((by_table[table][2] or {}).keys())),
+            )
+            if spec != prev_spec:
+                raise SystemExit(
+                    f"conflicting scale specs for table {table!r}: "
+                    f"{spec_keys[table]} wants {prev_spec}, {k} wants "
+                    f"{spec} — probe these keys in separate runs"
+                )
+        else:
+            by_table[table] = FACT_KEYS[k]
+            spec_keys[table] = k
+    fact_tables = list(by_table.values())
     if args.growth == "users":
+        # the users axis shifts user_id on the EVENTS fact only; keys
+        # reading any other table are measured on the density axis no
+        # matter what this flag says — refuse rather than mislabel
+        non_events = [
+            k for k in selected
+            if k in FACT_KEYS and FACT_KEYS[k][0] != "events"
+        ]
+        if non_events:
+            raise SystemExit(
+                "--growth users only applies to events-fact keys; "
+                f"these selected keys read other tables: {non_events} — "
+                "run them separately on the density axis"
+            )
         fact_tables = [
             (
                 table,
@@ -616,9 +659,7 @@ def main() -> None:
                 dict(
                     (extra or {}),
                     user_id=lambda col, i: col + 10_000_000 * i,
-                )
-                if table == "events"
-                else extra,
+                ),
             )
             for table, pk, extra in fact_tables
         ]
@@ -655,8 +696,6 @@ def main() -> None:
                     # release prior frames' localCheckpoint blocks before
                     # timing (round-6 lesson: accumulated executor-local
                     # blocks make late-position keys read as regressions)
-                    import gc
-
                     gc.collect()
                     t0 = time.perf_counter()
                     reg[key].fn(spark, sf_dir).write.format("noop").mode(

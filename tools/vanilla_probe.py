@@ -27,6 +27,7 @@ driver window certifies per round.
 from __future__ import annotations
 
 import argparse
+import gc
 import os
 import sys
 import time
@@ -78,8 +79,6 @@ def main() -> None:
     ok = 0
     bad: list[tuple[str, str]] = []
     record: dict[str, dict] = {}
-    import gc
-
     for k in keys:
         # release prior keys' localCheckpoint blocks so late-position
         # `sec` readings aren't inflated by accumulated block pressure
