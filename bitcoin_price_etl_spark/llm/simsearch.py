@@ -813,6 +813,14 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.30  # within-cell cosine above this = semantic duplicate
+# K scales with the corpus so avg cell size stays ~this constant and the
+# Σ cell² pair probe stays LINEAR in corpus size (the SemDeDup paper's
+# prescription, previously only a docstring note: fixed K=8 measured
+# 3.2 s → 87 s at 1×→8× corpus — pairs grow n²/K). 5000/625 = 8, so K
+# is exactly KMEANS_K at every fixture scale (sf0.001/0.01/0.1) — the
+# certified sf0.01 output and the sf0.1 bench row are bit-unchanged;
+# only larger corpora get more cells.
+SEMDEDUP_CELL_TARGET = 625
 
 
 @query(
@@ -820,7 +828,10 @@ SEMDEDUP_TAU = 0.30  # within-cell cosine above this = semantic duplicate
     oracle=f"""
     WITH cent AS (
         SELECT vec_id AS cid, embedding AS cvec
-        FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+        FROM embeddings ORDER BY vec_id
+        LIMIT (SELECT GREATEST({KMEANS_K},
+                               COUNT(*) // {SEMDEDUP_CELL_TARGET})
+               FROM embeddings)
     ), scored AS (
         SELECT e.vec_id, e.embedding, c.cid,
                list_reduce(list_transform(list_zip(e.embedding, c.cvec),
@@ -867,18 +878,27 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     works on unlabeled corpora). Centroids broadcast (K rows); the
     assignment argmin combines map-side; the within-cell pair probe is a
     cell-keyed self-equi-join feeding a LEFT SEMI (exists) — the corpus
-    embedding payload shuffles once, on the cell key. At 100 TB, K grows
-    to keep max-cell bounded and the same plan holds.
+    embedding payload shuffles once, on the cell key. K GROWS WITH THE
+    CORPUS (max(KMEANS_K, n // SEMDEDUP_CELL_TARGET), mirrored in the
+    oracle's computed LIMIT) so average cell size stays ~625 and the
+    Σ cell² probe stays linear — the r6 probe measured fixed K=8 at
+    3.2→87 s over 1×→8× corpus (pairs ∝ n²/K); with scaled K the same
+    axis reads linear. n comes from a parquet metadata count — one
+    control-plane job at build time, same class as the centroid
+    broadcast.
 
     Parity: assignment + cosine reuse the bit-exact sequential-fold
     discipline of llm_kmeans_assign / llm_dedup_embed; the kept flag is a
     boolean EXISTS over exact comparisons, so no float ever reaches the
-    output.
+    output. K equals KMEANS_K at every fixture scale (5000 // 625 = 8),
+    so the certified sf0.01 output and the sf0.1 bench row are
+    bit-unchanged.
     """
     e = load(spark, sf_dir, "embeddings")
+    k = max(KMEANS_K, e.count() // SEMDEDUP_CELL_TARGET)
     cent = (
         e.orderBy("vec_id")
-        .limit(KMEANS_K)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     )
     diff2 = F.expr(
