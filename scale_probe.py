@@ -32,8 +32,12 @@ SCRATCH = Path("/tmp/spark_graft_scale_probe")
 
 DOC_KEYS = [
     "llm_dedup_exact",
-    # round-6 deep probe: the full MinHash/LSH near-dup path end-to-end
+    # round-6 deep probe: the full MinHash/LSH near-dup path end-to-end,
+    # plus the simhash/MLlib block-bucketed siblings (the fixed-block
+    # risk class the semdedup n^2/K catch exposed)
     "llm_dedup_near",
+    "llm_dedup_simhash",
+    "llm_dedup_minhash_mllib",
     "llm_dedup_ngram",
     "llm_dedup_cluster",
     "llm_sample_hash",
@@ -128,8 +132,10 @@ DOC_KEYS = [
 EMB_KEYS = [
     "llm_embed_centroids",
     "llm_embed_quantize",
-    # round-6 deep probe: the exact brute-force top-k beside its LSH twin
+    # round-6 deep probe: the exact brute-force top-k beside its LSH twin,
+    # and the label-blocked embedding dedup (fixed-block risk class)
     "llm_sim_search",
+    "llm_dedup_embed",
     "llm_sim_search_lsh",
     "llm_kmeans_assign",
     "llm_embed_pq",
@@ -686,7 +692,10 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-        print(f"{'query':28s} " + " ".join(f"{m}x".rjust(8) for m in mults))
+        # flush=True: piped/tee'd output must appear per-key, not at 8 KB
+        # buffer boundaries — unflushed rows read as a hung probe
+        print(f"{'query':28s} " + " ".join(f"{m}x".rjust(8) for m in mults),
+              flush=True)
         for key in selected:
             cells = []
             for mult in mults:
@@ -706,7 +715,8 @@ def main() -> None:
             print(
                 f"{key:28s} "
                 + " ".join(f"{c:7.2f}s" for c in cells)
-                + f"   {cells[-1] / cells[0]:.1f}x at {mults[-1]}x data"
+                + f"   {cells[-1] / cells[0]:.1f}x at {mults[-1]}x data",
+                flush=True,
             )
     finally:
         if not args.keep:
