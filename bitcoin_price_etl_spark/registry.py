@@ -112,7 +112,7 @@ DISAVOWED_THROUGH: dict[str, int] = {
 }
 
 
-def _load_correctness_autofold() -> frozenset[str]:
+def _load_correctness_autofold() -> dict[str, int]:
     """Auto-fold every driver CORRECTNESS_r*.json in the repo root into the
     verified set at import time — same green-row rule as
     tools/merge_verified (full rows+schema+hash pass, or the rows-only
@@ -121,14 +121,18 @@ def _load_correctness_autofold() -> frozenset[str]:
     merge tool, ordered_keys() still rotates fresh keys into the next
     driver window instead of re-certifying the same head. The merge tool
     remains the durable record (driver_verified.json survives CORRECTNESS
-    files being pruned); the union below makes them equivalent."""
+    files being pruned); the union below makes them equivalent.
+
+    Returns key -> LATEST certifying round, so the verified tail of
+    ordered_keys() can refresh the oldest certifications first (round-6
+    VERDICT item 3)."""
     import glob
     import json
     import os
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    keys: set[str] = set()
+    rounds: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -153,13 +157,27 @@ def _load_correctness_autofold() -> frozenset[str]:
                 and row.get("spark_rows") is not None
             )
             if full_pass or rows_only:
-                keys.add(key)
-    return frozenset(keys)
+                rounds[key] = max(rounds.get(key, 0), rnd)
+    return rounds
 
 
-DRIVER_VERIFIED: frozenset[str] = (
-    _VERIFIED_R01 | _load_verified_extra() | _load_correctness_autofold()
-)
+def _build_verified_rounds() -> dict[str, int]:
+    rounds = _load_correctness_autofold()
+    # driver_verified.json carries no round info: keys only there count as
+    # round 0 (oldest) so they refresh first if their CORRECTNESS file is
+    # ever pruned.
+    for key in _load_verified_extra():
+        rounds.setdefault(key, 0)
+    for key in _VERIFIED_R01:
+        rounds[key] = max(rounds.get(key, 0), 1)
+    return rounds
+
+
+# key -> latest round whose driver CORRECTNESS file certified it (0 = round
+# unknown, durable-record only). Membership == "driver-verified".
+DRIVER_VERIFIED_ROUND: dict[str, int] = _build_verified_rounds()
+
+DRIVER_VERIFIED: frozenset[str] = frozenset(DRIVER_VERIFIED_ROUND)
 
 # Explicit head of the round's verification window, most-important-first.
 # Round 6 continues the drain (VERDICT r5 item 1): backlog is 79 of 323
@@ -217,7 +235,12 @@ def ordered_keys(registry: dict[str, "QuerySpec"]) -> list[str]:
     prio = [k for k in DRIVER_PRIORITY if k in registry and k not in DRIVER_VERIFIED]
     seen = set(prio)
     rest = [k for k in registry if k not in seen and k not in DRIVER_VERIFIED]
+    # Verified tail: oldest certification first (stable on insertion order),
+    # so once the never-verified backlog is smaller than the ~50-key driver
+    # window the spare slots continuously refresh the stalest driver
+    # evidence (round-6 VERDICT item 3).
     tail = [k for k in registry if k not in seen and k in DRIVER_VERIFIED]
+    tail.sort(key=lambda k: DRIVER_VERIFIED_ROUND.get(k, 0))
     return prio + rest + tail
 
 
