@@ -326,12 +326,17 @@ def main() -> None:
         timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
 
     full_total = round(sum(timings.values()), 3)
+    # Self-describing artifact: which keys' numbers are post-prewarm
+    # (ADVICE r6 — comparability with pre-r6 artifacts breaks silently
+    # otherwise; BENCH_r05 udf_pandas is pre-prewarm, r6+ is post).
+    prewarmed = sorted(PYWORKER_PREWARM & set(timings))
     full = {
         "metric": "headline_full_wall",
         "value": full_total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "prewarmed": prewarmed,
     }
     if runs > 1:
         full["runs"] = runs
@@ -364,6 +369,7 @@ def main() -> None:
         "sf": float(sf),
         "full_total": full_total,
         "n_full": len(timings),
+        "prewarmed": prewarmed,
     }
     if runs > 1:
         fallback["runs"] = runs
@@ -377,6 +383,7 @@ def main() -> None:
             "sf": float(sf),
             "full_total": full_total,
             "n_full": len(timings),
+            "prewarmed": prewarmed,
         }
         if runs > 1:
             out["runs"] = runs

@@ -70,6 +70,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_num_rows(sf_dir: str, name: str):
+    """Exact row count from local parquet FOOTER metadata — pure
+    driver-side, no Spark job (a `df.count()` at DataFrame-construction
+    time makes every schema-only consumer pay an action; ADVICE r6).
+    Returns None when the path is not a local file/dir of parquet parts
+    (e.g. an object-store URI at cluster scale) — callers fall back to a
+    Spark count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(root, f)
+                        total += pq.ParquetFile(fp).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except (OSError, ValueError, pa.lib.ArrowException):
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (used by spark.sql-based queries)."""
     for name in TABLES:

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.catalog import load, parquet_num_rows
 from bitcoin_price_etl_spark.registry import query
 
 TOP_K = 10
@@ -883,9 +883,10 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's computed LIMIT) so average cell size stays ~625 and the
     Σ cell² probe stays linear — the r6 probe measured fixed K=8 at
     3.2→87 s over 1×→8× corpus (pairs ∝ n²/K); with scaled K the same
-    axis reads linear. n comes from a parquet metadata count — one
-    control-plane job at build time, same class as the centroid
-    broadcast.
+    axis reads linear. n comes from a driver-side parquet FOOTER read
+    (catalog.parquet_num_rows — no Spark job at DataFrame-construction
+    time; schema-only consumers stay lazy), falling back to one
+    control-plane count on non-local stores.
 
     Parity: assignment + cosine reuse the bit-exact sequential-fold
     discipline of llm_kmeans_assign / llm_dedup_embed; the kept flag is a
@@ -895,7 +896,10 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-unchanged.
     """
     e = load(spark, sf_dir, "embeddings")
-    k = max(KMEANS_K, e.count() // SEMDEDUP_CELL_TARGET)
+    n = parquet_num_rows(sf_dir, "embeddings")
+    if n is None:  # non-local store: pay one control-plane Spark count
+        n = e.count()
+    k = max(KMEANS_K, n // SEMDEDUP_CELL_TARGET)
     cent = (
         e.orderBy("vec_id")
         .limit(k)

@@ -319,6 +319,13 @@ def build_scaled_tpch(spark, src_dir: str, mult: int, out_dir: Path) -> None:
             shutil.copy(f"{src_dir}/{t}.parquet", dst)
 
 
+# Registered shift spec shared by the copy-local co-purchase keys: one
+# callable OBJECT so the identity-based same-table conflict check (below)
+# recognizes the specs as identical (ADVICE r6).
+def _shift_partkey_copy_local(col, i):
+    return col + 10_000_000 * i
+
+
 # key → (table, pk, extra-shift) for fact-table keys; every listed key reads
 # ONLY this table (plus broadcast-size dims none of these touch).
 FACT_KEYS = {
@@ -415,7 +422,7 @@ FACT_KEYS = {
     "graph_triangle_count": (
         "lineitem",
         "l_orderkey",
-        {"l_partkey": lambda col, i: col + 10_000_000 * i},
+        {"l_partkey": _shift_partkey_copy_local},
     ),
     # same copy-local co-purchase scaling as triangle_count: edges and
     # degree moments grow linearly (orderkey-only shifts would duplicate
@@ -423,14 +430,14 @@ FACT_KEYS = {
     "graph_assortativity": (
         "lineitem",
         "l_orderkey",
-        {"l_partkey": lambda col, i: col + 10_000_000 * i},
+        {"l_partkey": _shift_partkey_copy_local},
     ),
     # copy-local baskets (partkey shift): rules grow linearly, the
     # support threshold keeps each copy's rule set sparse
     "agg_market_basket": (
         "lineitem",
         "l_orderkey",
-        {"l_partkey": lambda col, i: col + 10_000_000 * i},
+        {"l_partkey": _shift_partkey_copy_local},
     ),
     # facts multiply while the versioned dim stays fixed: every version
     # chain is probed by mult x more orders — the residual-scan stress
@@ -628,11 +635,16 @@ def main() -> None:
         if k not in FACT_KEYS:
             continue
         table, pk, extra = FACT_KEYS[k]
-        spec = (pk, tuple(sorted((extra or {}).keys())))
+        # Compare the shift CALLABLES too (by identity), not just column
+        # names — two keys wanting the same extra column under different
+        # shift rules is exactly the silent-wrong-workload case this check
+        # exists for (ADVICE r6). Shared-spec keys must share the callable
+        # object; distinct-but-equivalent lambdas conservatively conflict.
+        spec = (pk, tuple(sorted((extra or {}).items())))
         if table in by_table:
             prev_spec = (
                 by_table[table][1],
-                tuple(sorted((by_table[table][2] or {}).keys())),
+                tuple(sorted((by_table[table][2] or {}).items())),
             )
             if spec != prev_spec:
                 raise SystemExit(
@@ -651,6 +663,14 @@ def main() -> None:
         non_events = [
             k for k in selected
             if k in FACT_KEYS and FACT_KEYS[k][0] != "events"
+        ]
+        # DOC/EMB/TPCH keys have no user_id shift either: under this flag
+        # they would run with their unchanged density-style staging while
+        # the run is LABELED users-axis — refuse rather than mislabel
+        # (ADVICE r6).
+        non_events += [
+            k for k in selected
+            if k in DOC_KEYS or k in EMB_KEYS or k in TPCH_KEYS
         ]
         if non_events:
             raise SystemExit(

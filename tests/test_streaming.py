@@ -338,10 +338,15 @@ def test_kill_and_resume_foreachbatch_exactly_once(spark):
         spark, src, raw.schema, sink, ckpt, crash_after_batch=1
     )
     try:
+        terminated = True
         try:
-            q.awaitTermination(180)
+            terminated = q.awaitTermination(180)
         except Exception:
             pass  # StreamingQueryException is the expected outcome
+        # a False return means the query is still RUNNING (slow host) —
+        # diagnose that explicitly instead of a confusing None-exception
+        # assertion on a live query (ADVICE r6)
+        assert terminated, "stream did not terminate within 180s"
         assert q.exception() is not None, "injected crash did not surface"
     finally:
         q.stop()  # never leak a running stream into the shared fixture
