@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.registry import query
 
@@ -103,7 +104,7 @@ def _posting_with_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("h")
-    return sh.withColumn("df", F.count(F.lit(1)).over(w)).localCheckpoint()
+    return sh.withColumn("df", F.count(F.lit(1)).over(w)).transform(stage)
 
 
 @query(
@@ -438,7 +439,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle self-join would evaluate candidate generation twice (Spark
     # does not share subtrees across union branches) — measured 2.1s → 1.1s
     # for edge construction at sf0.1.
-    cand = cand.localCheckpoint()
+    cand = cand.transform(stage)
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -467,7 +468,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_comp.alias("component_id"),
                 (new_comp < F.col("component_id")).alias("chg"),
             )
-            .localCheckpoint()
+            .transform(stage)
         )
         changed = new_labels.filter("chg").count()
         labels = new_labels.select("doc_id", "component_id")
@@ -829,7 +830,7 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(is_eval)
         .select(F.col("doc_id").alias("eval_doc_id"), "h")
         .distinct()
-        .localCheckpoint()
+        .transform(stage)
     )
     bloom = (
         eval_sh.select(

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.registry import query
 
@@ -748,7 +749,7 @@ def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         mm.mapInPandas(phash_batch, PHASH_SCHEMA)
         .filter(F.col("phash").isNotNull())
-        .localCheckpoint()
+        .transform(stage)
     )
     bands = hashed.select(
         "doc_id",

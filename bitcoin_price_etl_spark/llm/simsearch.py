@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load, parquet_num_rows
 from bitcoin_price_etl_spark.registry import query
 
@@ -623,9 +624,11 @@ def llm_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     closer than random vectors, so recall@10 of ~0.3-0.5 here is the
     data's fault, not the index's (measured sf0.01: lsh 0.3, ivf 0.5;
     brute force is the fallback when the workload looks like this). On
-    clustered real embeddings the same banding/probing parameters land
-    far higher — which is exactly why recall must be MEASURED per corpus
-    rather than assumed."""
+    clustered embeddings the same banding/probing parameters land far
+    higher — measured 1.0/1.0 on the planted-centroid fixture
+    (tests/test_properties.py::test_ann_recall_high_on_clustered_embeddings,
+    BASELINE.md two-regime table) — which is exactly why recall must be
+    MEASURED per corpus rather than assumed."""
     exact = {r.vec_id for r in llm_sim_search(spark, sf_dir).collect()}
     rows = []
     for method, fn in (
@@ -931,7 +934,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         e.join(best, "vec_id")
         .select("vec_id", "cell", "embedding", norm.alias("norm"))
-        .localCheckpoint()
+        .transform(stage)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dot = F.expr(
@@ -1229,12 +1232,12 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
             f" * {KMT_SCALE}.0 + 0.5) AS BIGINT))"
         ).alias("q"),
-    ).localCheckpoint()
+    ).transform(stage)
     cent = (
         q.orderBy("vec_id")
         .limit(KMEANS_K)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
-        .localCheckpoint()
+        .transform(stage)
     )
     d2 = F.expr(
         "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),"
@@ -1252,7 +1255,7 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("b.cid").alias("cluster_id"),
             F.col("b.d2").alias("d2"),
-        ).localCheckpoint()
+        ).transform(stage)
         if t == KMT_ITERS - 1:
             break
         upd = (
@@ -1278,7 +1281,7 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ncent.withColumnRenamed("cluster_id", "cid"), "cid", "left"
             )
             .select("cid", F.coalesce("nc", "c").alias("c"))
-            .localCheckpoint()
+            .transform(stage)
         )
     l1 = cent.select(
         F.col("cid").alias("cluster_id"),
@@ -1629,7 +1632,7 @@ def llm_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         assigned.groupBy("cid", "label")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_cell"))
-        .localCheckpoint()
+        .transform(stage)
     )
     tot = cells.select(
         "cid",

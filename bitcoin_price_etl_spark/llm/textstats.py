@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.exprs import DEC
 from bitcoin_price_etl_spark.registry import query
@@ -353,7 +354,7 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        .transform(stage)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -441,7 +442,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint cnt so tokenization runs twice (count build + scoring)
     # instead of three times (r5 plan audit)
     cnt = (
-        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).transform(stage)
     )
     tot = cnt.agg(F.sum("c").alias("n"))
     per = tok.join(cnt, "term").crossJoin(F.broadcast(tot))
@@ -889,7 +890,7 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = (
         train.groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .transform(stage)
     )
     nv = model.agg(
         (F.sum("c") + F.count(F.lit(1))).cast("double").alias("nv")
@@ -986,7 +987,7 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join: checkpoint so the unigram tokenize-aggregate runs once
     # (r5 plan audit: 3 corpus scans -> 2)
     c1 = (
-        uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).localCheckpoint()
+        uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).transform(stage)
     )
     vocab = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     bg = tok.filter(F.size("t") >= 2).select(
@@ -1348,7 +1349,7 @@ def llm_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf feeds BOTH the document-frequency aggregate and the scoring
     # join: checkpoint so the per-term text filter-count runs once
     # instead of twice (r5 plan audit)
-    tf = tf.localCheckpoint()
+    tf = tf.transform(stage)
     df = tf.groupBy("term").agg(
         F.expr(
             "CAST(SUM(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS BIGINT)"

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.exprs import DEC, davg, davg_sql, dsum, dsum_sql
 from bitcoin_price_etl_spark.registry import query
@@ -2077,7 +2078,7 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides): checkpoint so the scan + dedup exchange run once instead
     # of once per consumer (r5 plan audit: 5 lineitem scans -> 1)
     baskets = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+        li.select("l_orderkey", "l_partkey").distinct().transform(stage)
     )
     totals = baskets.agg(
         F.expr("CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)").alias("n_orders")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.exprs import dsum, dsum_sql
 from bitcoin_price_etl_spark.registry import query
@@ -223,7 +224,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r5 plan audit: 3 event scans -> 2)
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    ).localCheckpoint()
+    ).transform(stage)
     sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
     activity = ev.join(firsts, "user_id").select(
         "cohort_week",
@@ -888,7 +889,7 @@ def win_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the session frame feeds both delta branches AND the day-total /
         # local-sweep consumers — checkpoint it once so the event-scale
         # sessionize window never re-runs (llm_dedup_ngram stance)
-        .localCheckpoint()
+        .transform(stage)
     )
     deltas = sess.select(
         F.col("start_us").alias("ts"), F.lit(1).alias("delta")
@@ -1148,7 +1149,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r5 plan audit: 3 event scans -> 2)
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    ).localCheckpoint()
+    ).transform(stage)
     sizes = firsts.groupBy("cohort_week").agg(
         F.expr("CAST(count(*) AS BIGINT)").alias("cohort_size")
     )

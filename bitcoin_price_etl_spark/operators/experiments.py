@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.registry import query
 
@@ -281,7 +282,7 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN CAST(value AS DECIMAL(38,2)) END), 0.0) AS DOUBLE)"
         ).alias("y"),
     ).withColumn("variant", F.col("user_id") % 2)
-    m = m.localCheckpoint()  # feeds the global AND per-variant aggregates
+    m = m.transform(stage)  # feeds the global AND per-variant aggregates
     g = m.agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE)").alias("sx"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.registry import query
 
@@ -102,20 +103,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(stage)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(stage)
     )
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # attach out-degree to the edge frame ONCE — every iteration needs
     # rank[src]/deg[src], so carrying deg on the edge row saves one
     # broadcast join per iteration (same values, same oracle)
-    edge_deg = edges.join(outdeg, "src").localCheckpoint()
+    edge_deg = edges.join(outdeg, "src").transform(stage)
     r = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(PR_ITERS):
         contrib = edge_deg.join(r, edge_deg.src == r.node).select(
@@ -137,7 +138,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint BETWEEN rounds only: plan-growth control without
         # hiding the final iteration's shape from the plan snapshot
         if it < PR_ITERS - 1:
-            r = r.localCheckpoint()
+            r = r.transform(stage)
     return r
 
 
@@ -215,7 +216,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= TRI_MIN_SUPPORT)
         .select("u", "v")
-        .localCheckpoint()
+        .transform(stage)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -235,7 +236,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).localCheckpoint()
+    ).transform(stage)
     w1 = oriented.select(
         "src", F.col("dst").alias("x"), F.col("ddst").alias("dx")
     )
@@ -368,13 +369,13 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
-        .localCheckpoint()
+        .transform(stage)
     )
     frontier = (
         adj.select(F.col("src").alias("node"))
         .distinct()
         .filter(F.col("node") % KHOP_SEED_MOD == 0)
-        .localCheckpoint()
+        .transform(stage)
     )
     visited = frontier
     layers = [frontier]
@@ -384,10 +385,10 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(F.broadcast(visited), "node", "left_anti")
-            .localCheckpoint()
+            .transform(stage)
         )
         layers.append(nxt)
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).transform(stage)
         frontier = nxt
     out = None
     for hop, layer in enumerate(layers):
@@ -477,7 +478,7 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part", "cust")  # exchange-free: reuses part partitioning
         .agg(F.count(F.lit(1)).alias("_dup"))
         .select("part", "cust")
-        .localCheckpoint()
+        .transform(stage)
     )
     a, b = capped.alias("a"), capped.alias("b")
     return (
@@ -568,14 +569,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= TRI_MIN_SUPPORT)
         .select("u", "v")
-        .localCheckpoint()
+        .transform(stage)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.expr("CAST(count(*) AS BIGINT)").alias("d"))
-        .localCheckpoint()
+        .transform(stage)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.exprs import davg, davg_sql, dsum, dsum_sql
 from bitcoin_price_etl_spark.registry import query
@@ -741,7 +742,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("id"),
         ((F.col("c_custkey") * 7919) % SPATIAL_MOD).alias("x"),
         ((F.col("c_custkey") * 104729) % SPATIAL_MOD).alias("y"),
-    ).localCheckpoint()
+    ).transform(stage)
     build = pts.select(
         F.col("id").alias("b_id"),
         F.col("x").alias("bx"),

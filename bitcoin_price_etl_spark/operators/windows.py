@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.exprs import DEC, davg, davg_sql, dsum
 from bitcoin_price_etl_spark.registry import query
@@ -516,7 +517,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "event_id", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
-    ).localCheckpoint()
+    ).transform(stage)
     mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
     scored = dev.join(F.broadcast(mad), "event_type").select(
         "event_type",
@@ -1481,7 +1482,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("yl"),
         )
         .drop("yl")
-        .localCheckpoint()
+        .transform(stage)
     )
     seasonal = (
         trended.withColumn("yd", F.col("y") - F.col("trend"))
@@ -2994,7 +2995,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rn"),
         )
         .filter(F.col("rn") <= _MK_CAP)
-        .localCheckpoint()
+        .transform(stage)
     )
     a, b = capped.alias("a"), capped.alias("b")
     s = (
@@ -3561,7 +3562,7 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds both the means and the centered moments: checkpoint each so
     # the event stream is scanned once and the lag fan-out built once
     # (r5 plan audit: 4 event scans -> 1)
-    hourly = hourly.localCheckpoint()
+    hourly = hourly.transform(stage)
     xs = hourly.filter(F.col("event_type") == _XCORR_A).select(
         "hr", F.col("y").alias("x")
     )
@@ -3579,7 +3580,7 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         xs_l.join(ys.withColumnRenamed("hr", "y_hr"), "y_hr")
         .select("lag", "x", "y")
-        .localCheckpoint()
+        .transform(stage)
     )
     means = pairs.groupBy("lag").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
@@ -4090,7 +4091,7 @@ def ts_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_idx"),
         )
         .filter(F.col("r").isNotNull())
-        .localCheckpoint()
+        .transform(stage)
     )
     vol_ranked = rets.select(
         "*",
@@ -4475,7 +4476,7 @@ def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r5 plan audit: 3 event scans -> 1)
     obs = ev.select(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(stage)
     bounds = obs.groupBy("event_type").agg(
         F.expr("MIN(h)").alias("mn"),
         F.expr("MAX(h)").alias("mx"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.exprs import davg, dec, dsum, dsum_sql
 from bitcoin_price_etl_spark.registry import query
@@ -1035,7 +1036,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
         # eligible feeds both minc and the winner join-back: checkpoint
         # so the partsupp synthesis + dim joins run once (r5 plan audit)
-        .localCheckpoint()
+        .transform(stage)
     )
     minc = (
         eligible.groupBy("ps_partkey")
@@ -1125,7 +1126,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         eligible.groupBy("ps_partkey")
         .agg(dsum("val", "value"))
-        .localCheckpoint()
+        .transform(stage)
     )
     thresh = grouped.agg(
         F.expr(

@@ -1,0 +1,79 @@
+"""stage() — the single staging point behind every lineage-cut site.
+
+VERDICT r6 item 8: the localCheckpoint→persist(DISK_ONLY)/checkpoint swap
+for cluster deployments must be a config flip (`spark.graft.staging`),
+not a ~46-site edit. These tests pin that contract: identical results in
+every mode, the documented storage behavior per mode, and zero remaining
+direct `.localCheckpoint()` call sites in the engine package.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bitcoin_price_etl_spark.session import stage
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(ROOT, "bitcoin_price_etl_spark")
+
+
+@pytest.fixture
+def _restore_mode(spark):
+    yield
+    spark.conf.set("spark.graft.staging", "localCheckpoint")
+
+
+def _frame(spark):
+    return (
+        spark.range(200)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") * 3).alias("v"),
+        )
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"))
+    )
+
+
+def test_stage_modes_agree(spark, _restore_mode):
+    expected = sorted(map(tuple, _frame(spark).collect()))
+    for mode in ("localCheckpoint", "persist_disk"):
+        spark.conf.set("spark.graft.staging", mode)
+        got = sorted(map(tuple, _frame(spark).transform(stage).collect()))
+        assert got == expected, mode
+
+
+def test_stage_persist_disk_uses_disk_only(spark, _restore_mode):
+    spark.conf.set("spark.graft.staging", "persist_disk")
+    out = _frame(spark).transform(stage)
+    lvl = out.storageLevel
+    assert lvl.useDisk and not lvl.useMemory, lvl
+    out.unpersist()
+
+
+def test_stage_default_is_localcheckpoint(spark):
+    # default mode cuts lineage eagerly: the staged plan is a scan of
+    # materialized blocks, not the original aggregate
+    out = _frame(spark).transform(stage)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_no_direct_localcheckpoint_sites_remain():
+    """Every staging site must go through stage() so the swap stays a
+    config flip; a new direct .localCheckpoint() call reopens the
+    46-site-edit problem."""
+    offenders = []
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            with open(path) as fh:
+                for i, line in enumerate(fh, 1):
+                    if ".localCheckpoint()" in line and "session.py" not in path:
+                        offenders.append(f"{path}:{i}")
+    assert not offenders, offenders
