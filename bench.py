@@ -343,9 +343,14 @@ def main() -> None:
 
     # Durable full record: the driver only keeps a 2 KB stdout tail, so the
     # complete per-query map lives in a committed file (and on the first
-    # stdout line for any full-log capture).
+    # stdout line for any full-log capture). Non-default SF/runs passes
+    # (iteration fast passes) write a scratch name instead — the canonical
+    # sf0.1 medians record must never be clobbered by a fast pass
+    # (VERIFY_ROUND.md; it happened in r7 and had to be restored from git).
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_full_latest.json"), "w") as f:
+    canonical = sf == "0.1" and runs >= 3
+    record = "bench_full_latest.json" if canonical else f"bench_full_sf{sf}_r{runs}.json"
+    with open(os.path.join(here, record), "w") as f:
         json.dump(full, f)
     print(json.dumps(full))
 
