@@ -825,6 +825,70 @@ SEMDEDUP_TAU = 0.30  # within-cell cosine above this = semantic duplicate
 # only larger corpora get more cells.
 SEMDEDUP_CELL_TARGET = 625
 
+# Assignment strategy cutover: at the fixture K (= KMEANS_K at every
+# fixture scale) the point→cell argmin is the direct n×K broadcast
+# crossJoin with exact sequential-fold distances — the formulation the
+# oracle mirrors operation-for-operation, so the certified sf0.01 hash
+# can never flip on a near-tie. Past it (non-fixture scales only; no
+# certified hash exists there), the same EXACT argmin runs as a
+# zero-shuffle Arrow-batched numpy pass: centroids come to the driver
+# (control plane, K×64 floats — fine through K~10⁵), each Arrow batch
+# computes its b×K distance matrix as one BLAS matmul, one pure map
+# stage, no join. Measured (fresh isolated sessions, sf0.1 base):
+# 32× (K=256) fold-direct 34.1 s → Arrow-direct 26.7 s; 8× (K=64)
+# fold-direct 32.2 s → 24.0 s — catalyst lambda folds cost ~100× a BLAS
+# flop, so the n×K assignment stops being a visible term at all.
+#
+# Why exact-direct and not IVF-style two-level (⌈√K⌉ supercells, probe
+# one block — the "obvious" n·2√K fix): MEASURED at the 32× probe, both
+# a frame-join two-level (117 s) and an Arrow two-level (115 s) lost
+# badly to exact-direct (34 s). Root cause is not assignment cost — it's
+# CELL SKEW: constraining points to their supercell's centroid block
+# unbalances the cells, and the downstream within-cell pair probe pays
+# Σ cell², which inflated ~3×. Balanced cells are worth n×K exact evals;
+# vectorized they are a minor term.
+# A corpus where K itself outgrows the driver's control plane (K≳10⁵ at
+# fixed 625-target ⇒ n≳60M vectors per job) wants the centroid table
+# sharded and k-means-trained supercells (llm_sim_search_ivf's
+# partitioned-probe pattern) — documented, not needed at any measured
+# scale.
+SEMDEDUP_DIRECT_K = KMEANS_K
+
+
+def _semdedup_assign(e: DataFrame, cent: DataFrame, k: int, diff2) -> DataFrame:
+    """(vec_id, cell): EXACT nearest-centroid assignment — broadcast
+    crossJoin + struct-min for small K (the oracle-mirrored fold form);
+    Arrow-batched numpy argmin over the same K centroids past
+    SEMDEDUP_DIRECT_K (see constant comment for the measured case against
+    approximate two-level assignment). Tie rule in both paths: smaller
+    centroid id wins (struct-min lexicographic / np.argmin first-hit over
+    id-ascending centroids)."""
+    if k <= SEMDEDUP_DIRECT_K:
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", diff2.alias("dist2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cell"))
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = cent.orderBy("cid").collect()  # control plane: K rows
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(map(float, r["cvec"])) for r in cent_rows])
+    c2 = np.einsum("ij,ij->i", C, C)
+    Ct = C.T.copy()  # (dim, K), contiguous for the batch matmul
+
+    @pandas_udf("bigint")
+    def assign(emb: pd.Series) -> pd.Series:
+        M = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+        # b×K squared distances via |x|² + |c|² − 2x·c (one BLAS matmul);
+        # np.argmin first-hit == smallest cid on ties (cids ascending)
+        d = np.einsum("ij,ij->i", M, M)[:, None] + c2[None, :] - 2.0 * (M @ Ct)
+        return pd.Series(cids[np.argmin(d, axis=1)])
+
+    return e.select("vec_id", assign("embedding").alias("cell"))
+
 
 @query(
     "llm_semdedup",
@@ -886,10 +950,15 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's computed LIMIT) so average cell size stays ~625 and the
     Σ cell² probe stays linear — the r6 probe measured fixed K=8 at
     3.2→87 s over 1×→8× corpus (pairs ∝ n²/K); with scaled K the same
-    axis reads linear. n comes from a driver-side parquet FOOTER read
-    (catalog.parquet_num_rows — no Spark job at DataFrame-construction
-    time; schema-only consumers stay lazy), falling back to one
-    control-plane count on non-local stores.
+    axis reads linear. Assignment past SEMDEDUP_DIRECT_K centroids moves
+    to an Arrow-batched numpy pass over the SAME exact argmin
+    (_semdedup_assign; approximate two-level assignment was measured and
+    REJECTED — it skews the cells and the Σ cell² pair probe pays 3×;
+    every fixture scale keeps the fold-form direct path, K=8 ≤ 64). n
+    comes from a
+    driver-side parquet FOOTER read (catalog.parquet_num_rows — no Spark
+    job at DataFrame-construction time; schema-only consumers stay
+    lazy), falling back to one control-plane count on non-local stores.
 
     Parity: assignment + cosine reuse the bit-exact sequential-fold
     discipline of llm_kmeans_assign / llm_dedup_embed; the kept flag is a
@@ -919,13 +988,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " 0D, (s, v) -> s + v))"
     )
-    best = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", diff2.alias("dist2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dist2", "cid")).alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cell"))
-    )
+    best = _semdedup_assign(e, cent, k, diff2)
     # Materialize the assigned frame once: three consumers fan out from it
     # (both pair-join aliases + the kept-flag base), and Spark re-evaluates
     # unshared subtrees — without this the corpus scan and the K-way argmin

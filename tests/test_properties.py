@@ -1354,3 +1354,54 @@ def test_ann_recall_high_on_clustered_embeddings(spark, tmp_path):
     got = {r["method"]: r["recall_at_k"] for r in rows}
     assert got["lsh"] >= 0.9, f"lsh recall@10 on clustered data: {got['lsh']}"
     assert got["ivf"] >= 0.9, f"ivf recall@10 on clustered data: {got['ivf']}"
+
+
+def test_semdedup_arrow_assignment_matches_reference(spark, monkeypatch):
+    """The Arrow assignment path (_semdedup_assign past SEMDEDUP_DIRECT_K)
+    has no oracle at any tested scale — its semantics are pinned here
+    against an independent numpy implementation of the same exact rule on
+    the smoke fixture (DIRECT_K forced to 0 so K=8 goes through the Arrow
+    path): point -> nearest of the K centroids, ties to the smaller cid;
+    kept = no lower-id cell-mate with cosine > tau. The Arrow path must
+    also agree with the certified fold-form direct path cell-for-cell on
+    this fixture (same exact argmin, two float formulations — a
+    disagreement means a near-tie flipped and the cutover is not
+    semantics-preserving here)."""
+    import numpy as np
+
+    from bitcoin_price_etl_spark.llm import simsearch
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()["llm_semdedup"].fn
+    direct = {(r.vec_id): (r.cell, r.kept) for r in fn(spark, SF_SMOKE).collect()}
+
+    monkeypatch.setattr(simsearch, "SEMDEDUP_DIRECT_K", 0)
+    got = {(r.vec_id): (r.cell, r.kept) for r in fn(spark, SF_SMOKE).collect()}
+    assert got == direct  # exact argmin, both formulations, no flips
+
+    rows = sorted(
+        load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([list(map(float, r.embedding)) for r in rows])
+    k = max(simsearch.KMEANS_K, len(ids) // simsearch.SEMDEDUP_CELL_TARGET)
+    cent_ids, C = ids[:k], X[:k]
+    expected_cell = {
+        ids[i]: cent_ids[np.argmin(((C - X[i]) ** 2).sum(axis=1))]
+        for i in range(len(ids))
+    }
+    assert {v: c for v, (c, _) in got.items()} == expected_cell
+
+    norms = np.linalg.norm(X, axis=1)
+    by_cell: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        by_cell.setdefault(expected_cell[ids[i]], []).append(i)
+    for cell, idxs in by_cell.items():
+        idxs = sorted(idxs, key=lambda i: ids[i])
+        for pos, i in enumerate(idxs):
+            dup = any(
+                float(X[i] @ X[j]) / (norms[i] * norms[j]) > simsearch.SEMDEDUP_TAU
+                for j in idxs[:pos]
+            )
+            assert got[ids[i]][1] == (not dup), (ids[i], cell)
