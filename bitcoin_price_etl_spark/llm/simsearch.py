@@ -855,6 +855,28 @@ SEMDEDUP_CELL_TARGET = 625
 SEMDEDUP_DIRECT_K = KMEANS_K
 
 
+def _semdedup_assign_udf(cent: DataFrame):
+    """pandas_udf("bigint"): EXACT argmin cell id for an embedding column,
+    over the collected K-row centroid control plane. b×K squared distances
+    via |x|² + |c|² − 2x·c (one BLAS matmul per Arrow batch); np.argmin
+    first-hit == smallest cid on ties (cids ascending)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = cent.orderBy("cid").collect()  # control plane: K rows
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(map(float, r["cvec"])) for r in cent_rows])
+    c2 = np.einsum("ij,ij->i", C, C)
+    Ct = C.T.copy()  # (dim, K), contiguous for the batch matmul
+
+    @pandas_udf("bigint")
+    def assign(emb: pd.Series) -> pd.Series:
+        M = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
+        d = np.einsum("ij,ij->i", M, M)[:, None] + c2[None, :] - 2.0 * (M @ Ct)
+        return pd.Series(cids[np.argmin(d, axis=1)])
+
+    return assign
+
+
 def _semdedup_assign(e: DataFrame, cent: DataFrame, k: int, diff2) -> DataFrame:
     """(vec_id, cell): EXACT nearest-centroid assignment — broadcast
     crossJoin + struct-min for small K (the oracle-mirrored fold form);
@@ -871,23 +893,39 @@ def _semdedup_assign(e: DataFrame, cent: DataFrame, k: int, diff2) -> DataFrame:
             .agg(F.min(F.struct("dist2", "cid")).alias("best"))
             .select("vec_id", F.col("best.cid").alias("cell"))
         )
-    from pyspark.sql.functions import pandas_udf
-
-    cent_rows = cent.orderBy("cid").collect()  # control plane: K rows
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    C = np.array([list(map(float, r["cvec"])) for r in cent_rows])
-    c2 = np.einsum("ij,ij->i", C, C)
-    Ct = C.T.copy()  # (dim, K), contiguous for the batch matmul
-
-    @pandas_udf("bigint")
-    def assign(emb: pd.Series) -> pd.Series:
-        M = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
-        # b×K squared distances via |x|² + |c|² − 2x·c (one BLAS matmul);
-        # np.argmin first-hit == smallest cid on ties (cids ascending)
-        d = np.einsum("ij,ij->i", M, M)[:, None] + c2[None, :] - 2.0 * (M @ Ct)
-        return pd.Series(cids[np.argmin(d, axis=1)])
-
+    assign = _semdedup_assign_udf(cent)
     return e.select("vec_id", assign("embedding").alias("cell"))
+
+
+def _semdedup_kept_cells(assigned: DataFrame) -> DataFrame:
+    """(vec_id, cell, kept) from a (vec_id, cell, embedding) frame: the
+    within-cell pair probe as a per-cell gram matrix (applyInPandas) — the
+    SemDeDup paper's actual form. kept = no lower-vec_id cell-mate with
+    cosine > tau; the gram is computed in 1024-row blocks against the
+    id-ascending prefix so a skewed cell stays memory-bounded (block ×
+    cell doubles, ~5 MB per block at the 625-target)."""
+    tau = SEMDEDUP_TAU
+
+    def kept(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        n = len(pdf)
+        dup = np.zeros(n, dtype=bool)
+        B = 1024
+        for s0 in range(0, n, B):
+            e0 = min(s0 + B, n)
+            G = (M[s0:e0] @ M[:e0].T) / (nrm[s0:e0, None] * nrm[None, :e0])
+            rows = np.arange(s0, e0)[:, None]
+            cols = np.arange(e0)[None, :]
+            dup[s0:e0] = ((G > tau) & (cols < rows)).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cell": pdf["cell"], "kept": ~dup}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        kept, "vec_id bigint, cell bigint, kept boolean"
+    )
 
 
 @query(
@@ -988,6 +1026,19 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " 0D, (s, v) -> s + v))"
     )
+    if k > SEMDEDUP_DIRECT_K:
+        # Beyond-fixture scale: Arrow assignment rides the scan (no join —
+        # the cell lands next to the payload in one projection) and the
+        # within-cell pair probe is a per-cell gram matrix in
+        # applyInPandas — the SemDeDup paper's actual form. One shuffle
+        # (payload on the cell key), per-cell row-blocked BLAS instead of
+        # per-pair catalyst lambda folds (numbers in BASELINE.md r7
+        # follow-up). No staging: single consumer, straight-line plan.
+        assign = _semdedup_assign_udf(cent)
+        assigned_arrow = e.select(
+            "vec_id", assign("embedding").alias("cell"), "embedding"
+        )
+        return _semdedup_kept_cells(assigned_arrow)
     best = _semdedup_assign(e, cent, k, diff2)
     # Materialize the assigned frame once: three consumers fan out from it
     # (both pair-join aliases + the kept-flag base), and Spark re-evaluates

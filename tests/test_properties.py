@@ -1405,3 +1405,39 @@ def test_semdedup_arrow_assignment_matches_reference(spark, monkeypatch):
                 for j in idxs[:pos]
             )
             assert got[ids[i]][1] == (not dup), (ids[i], cell)
+
+
+def test_semdedup_kept_gram_blocking_matches_unblocked(spark):
+    """_semdedup_kept_cells computes the per-cell gram in 1024-row blocks;
+    a cell bigger than one block must produce exactly the flags of the
+    unblocked O(n²) reference — the block boundary must not lose or
+    duplicate any (j < i) comparison. 2500 rows in one cell = 3 blocks,
+    with planted near-duplicate pairs straddling block boundaries."""
+    import numpy as np
+
+    from bitcoin_price_etl_spark.llm.simsearch import (
+        SEMDEDUP_TAU,
+        _semdedup_kept_cells,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 2500
+    X = rng.standard_normal((n, 16))
+    # plant duplicates across block boundaries: row 1100 ≈ row 3,
+    # row 2300 ≈ row 1050 (same direction ⇒ cosine ≈ 1 > tau)
+    X[1100] = X[3] * 1.7
+    X[2300] = X[1050] * 0.4
+    pdf = spark.createDataFrame(
+        [(int(i), 0, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, cell long, embedding array<double>",
+    )
+    got = {r.vec_id: r.kept for r in _semdedup_kept_cells(pdf).collect()}
+    assert len(got) == n
+
+    nrm = np.linalg.norm(X, axis=1)
+    G = (X @ X.T) / np.outer(nrm, nrm)
+    expected = {
+        i: not bool((G[i, :i] > SEMDEDUP_TAU).any()) for i in range(n)
+    }
+    assert got == expected
+    assert got[1100] is False and got[2300] is False  # the planted dups
