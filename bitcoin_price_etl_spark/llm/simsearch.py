@@ -293,8 +293,23 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer cell), so cost is Σ block² instead of corpus². Exact
     cosine re-scoring keeps only pairs above threshold. Same sequential
     double-fold discipline as llm_sim_search for bit-parity.
+
+    Beyond fixture sizes (no certified hash exists there) the per-pair
+    fold is the wall, not the pair COUNT — the r6 32× probe read 611 s
+    for a 207×-growing output. The scale path computes each block's
+    pairs as a row-blocked gram matrix in applyInPandas (the
+    _semdedup_kept_cells move): same pair set, cosines in BLAS instead
+    of catalyst lambda folds. Fixture scales keep the fold join so the
+    certified sf0.01 hash can never flip on a formulation near-tie;
+    `test_dedup_embed_gram_path_matches_fold` pins the paths against
+    each other.
     """
     e = load(spark, sf_dir, "embeddings")
+    n = parquet_num_rows(sf_dir, "embeddings")
+    if n is None:  # non-local store: one control-plane count
+        n = e.count()
+    if n > DEDUP_EMBED_GRAM_MIN_N:
+        return _dedup_embed_pairs_gram(e)
     norm = F.expr(
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
         " 0D, (s, v) -> s + v))"
@@ -322,6 +337,52 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is 0.475 (sf0.01), so a 0.5 gate returned zero pairs at every
         # SF — a vacuous hash check (the tpch_q18 lesson)
         .filter(F.col("cosine") > 0.35)
+    )
+
+
+# Fixture/scale cutover for llm_dedup_embed's pair scoring: the largest
+# fixture embeddings table is 2,000 rows (sf0.1), so any corpus past this
+# bound is beyond every certified hash and takes the gram path.
+DEDUP_EMBED_GRAM_MIN_N = 4096
+DEDUP_EMBED_TAU = 0.35
+
+
+def _dedup_embed_pairs_gram(e: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cosine): per-label near-dup pairs via a row-blocked
+    gram matrix in applyInPandas — the beyond-fixture scoring path of
+    llm_dedup_embed (same blocking, same threshold, BLAS cosines). The
+    1024-row blocking bounds memory at block × block-prefix doubles even
+    on a skewed label."""
+    tau = DEDUP_EMBED_TAU
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        out_a, out_b, out_c = [], [], []
+        B = 1024
+        for s0 in range(0, n, B):
+            e0 = min(s0 + B, n)
+            G = (M[s0:e0] @ M[:e0].T) / (nrm[s0:e0, None] * nrm[None, :e0])
+            rows = np.arange(s0, e0)[:, None]
+            cols = np.arange(e0)[None, :]
+            ii, jj = np.nonzero((G > tau) & (cols < rows))
+            # j < i globally and ids ascend ⇒ vec_a = ids[j] < vec_b = ids[i]
+            out_a.append(ids[jj])
+            out_b.append(ids[s0 + ii])
+            out_c.append(G[ii, jj])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    return e.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+        pairs, "vec_a bigint, vec_b bigint, cosine double"
     )
 
 

@@ -1441,3 +1441,22 @@ def test_semdedup_kept_gram_blocking_matches_unblocked(spark):
     }
     assert got == expected
     assert got[1100] is False and got[2300] is False  # the planted dups
+
+
+def test_dedup_embed_gram_path_matches_fold(spark, monkeypatch):
+    """llm_dedup_embed's beyond-fixture gram path must emit exactly the
+    fold-join path's pair set with cosines equal to float tolerance (the
+    two formulations differ only in summation order; on the smoke fixture
+    no pair sits within 1e-9 of the threshold)."""
+    from bitcoin_price_etl_spark.llm import simsearch
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()["llm_dedup_embed"].fn
+    fold = {(r.vec_a, r.vec_b): r.cosine for r in fn(spark, SF_SMOKE).collect()}
+    assert fold  # vacuous-oracle guard
+
+    monkeypatch.setattr(simsearch, "DEDUP_EMBED_GRAM_MIN_N", 0)
+    gram = {(r.vec_a, r.vec_b): r.cosine for r in fn(spark, SF_SMOKE).collect()}
+    assert set(gram) == set(fold)
+    for k_, v in gram.items():
+        assert abs(v - fold[k_]) < 1e-9, (k_, v, fold[k_])
