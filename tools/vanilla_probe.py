@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--keys", default="")
     ap.add_argument("--record", default="", help="write JSON record here")
     args = ap.parse_args()
+    if args.record:
+        # resolve against the LAUNCH cwd before the hostile chdir below —
+        # otherwise a relative --record PROBE_r{N}.json lands in /tmp and
+        # the round-close commit step can't find it (bit r7)
+        args.record = os.path.abspath(args.record)
 
     # simulate the hostile launch: cwd outside the repo, path insert only
     os.chdir("/tmp")
