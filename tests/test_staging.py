@@ -77,3 +77,26 @@ def test_no_direct_localcheckpoint_sites_remain():
                     if ".localCheckpoint()" in line and "session.py" not in path:
                         offenders.append(f"{path}:{i}")
     assert not offenders, offenders
+
+
+def test_parquet_num_rows_matches_spark_count(spark, tmp_path):
+    """catalog.parquet_num_rows feeds llm_semdedup's K and
+    llm_dedup_embed's path cutover — a wrong footer count silently
+    changes plans. Pin it against Spark's count for both layouts: the
+    fixtures' single-file tables and a Spark-written directory of
+    parts. Unreadable paths must return None (the Spark-count
+    fallback), never raise."""
+    from bitcoin_price_etl_spark.catalog import load, parquet_num_rows
+
+    for t in ("embeddings", "documents", "nation"):
+        assert parquet_num_rows("/root/testdata/sf0.001", t) == load(
+            spark, "/root/testdata/sf0.001", t
+        ).count()
+
+    df = spark.range(1234).selectExpr("id AS vec_id")
+    df.repartition(7).write.parquet(str(tmp_path / "t.parquet"))
+    assert parquet_num_rows(str(tmp_path), "t") == 1234
+
+    assert parquet_num_rows(str(tmp_path), "missing") is None
+    (tmp_path / "garbage.parquet").write_bytes(b"not parquet at all")
+    assert parquet_num_rows(str(tmp_path), "garbage") is None
