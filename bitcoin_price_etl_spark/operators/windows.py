@@ -1221,74 +1221,90 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
-                   / COUNT(value) AS v
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(18,4)) AS s
         FROM events GROUP BY event_type, date_trunc('hour', ts)
-    ), q AS (
-        SELECT event_type, h, CAST(v AS DECIMAL(18,6)) AS vq FROM hourly
     ), m AS (
         SELECT event_type,
-               CAST(CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))
-                   AS mq,
-               COUNT(*) AS n_hours
-        FROM q GROUP BY event_type
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(COUNT(*) AS DECIMAL(6,0)) AS nd,
+               CAST(SUM(s) AS DECIMAL(18,4)) AS t
+        FROM hourly GROUP BY event_type
+    ), dev AS (
+        SELECT h0.event_type, h0.h, m.n_hours,
+               CAST(m.nd * h0.s - m.t AS DECIMAL(26,4)) AS d
+        FROM hourly h0 JOIN m USING (event_type)
     ), c AS (
-        SELECT q.event_type, q.h, m.n_hours,
-               SUM(q.vq - m.mq) OVER (PARTITION BY q.event_type
-                                      ORDER BY q.h) AS cusum
-        FROM q JOIN m ON q.event_type = m.event_type
+        SELECT event_type, h, n_hours,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY h) AS cusum
+        FROM dev
     ), ranked AS (
-        SELECT event_type, h, n_hours, CAST(cusum AS DOUBLE) AS cusum_d,
+        SELECT event_type, h, n_hours, cusum,
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY abs(cusum) DESC, h) AS rn
         FROM c
     )
     SELECT event_type, n_hours,
            strftime(h, '%Y-%m-%d %H:%M:%S') AS changepoint_hour,
-           cusum_d AS max_abs_cusum
+           CAST(cusum AS DOUBLE) / CAST(n_hours AS DOUBLE)
+               AS max_abs_cusum
     FROM ranked WHERE rn = 1
     """,
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per series: the hour where the
-    running cumulative deviation from the series mean peaks in absolute
-    value — the classic level-shift locator (a mean shift makes the
-    CUSUM path a tent whose apex IS the change point; a flat series
-    random-walks near zero).
+    running cumulative deviation of hourly VOLUME (the hourly value sum)
+    from its per-series mean peaks in absolute value — the classic
+    level-shift locator (a mean shift makes the CUSUM path a tent whose
+    apex IS the change point; a flat series random-walks near zero).
+
+    Parity: this operator went through THREE formulations before the
+    exact one (the r7 sf0.1 audit story). (1) Quantizing the computed
+    hourly means to DECIMAL(18,6) hit the rule-9 shortest-repr midpoint
+    class per element at sf0.1. (2) Sequential fold over the hr-sorted
+    hourly array (the xcorr fix) was CORRECT on the Spark side but
+    unusable as an oracle: DuckDB 1.0's list_reduce returned
+    NONDETERMINISTIC results on multi-row ~700-element list folds (two
+    of three identical runs agreed, the third differed — recorded in
+    BASELINE.md). (3) Shipped: scale through by N so every checked
+    quantity is an EXACT DECIMAL — the deviation of hour i is
+    D_i = N·S_i − T (S_i = exact hourly decimal sum, T = ΣS_i, both
+    lossless DECIMAL(18,4)), the cusum is a plain window SUM of exact
+    decimals (associative — partial-agg order cannot change it), the
+    apex argmax compares exact decimals with the tie pinned to the
+    EARLIER hour, and the only float op is the final
+    CAST(cusum AS DOUBLE)/N on identical operands (scaled ints stay
+    far under 2^53 at every fixture scale). N·(S_i − T/N) = D_i, so
+    the reported value is the classic volume-basis cusum exactly.
 
     Scale shape: the corpus collapses to the hourly series first (one
     partial-aggregated groupBy — the window never sees raw events), the
-    per-series mean attaches via a tiny broadcastable join, and ONE
+    per-series (N, T) attaches via a tiny broadcastable join, and ONE
     running-sum window per series walks the hourly frame (~9k rows/year
-    per series). The apex pick is an O(1)-state argmax. Same
-    aggregate-then-window stance as ts_interpolate_linear.
-
-    Parity: hourly means are bit-identical davg doubles; both they and
-    the series mean QUANTIZE to DECIMAL(18,6) before differencing, so
-    the running sum adds exact decimals — associative, immune to the
-    engines' different window-sum accumulation orders (a double running
-    sum would drift); the apex is tie-pinned by hour."""
+    per series). The apex pick is an O(1)-state rank window."""
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(davg("value", "v"))
-    q = hourly.select(
-        "event_type", "h", F.col("v").cast("decimal(18,6)").alias("vq")
-    )
-    m = q.groupBy("event_type").agg(
+    ).agg(
         F.expr(
-            "CAST(CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6))"
-        ).alias("mq"),
-        F.count(F.lit(1)).alias("n_hours"),
+            "CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DECIMAL(18,4))"
+        ).alias("s")
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hours"),
+        F.expr("CAST(COUNT(*) AS DECIMAL(6,0))").alias("nd"),
+        F.expr("CAST(SUM(s) AS DECIMAL(18,4))").alias("t"),
+    )
+    dev = hourly.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "h",
+        "n_hours",
+        F.expr("CAST(nd * s - t AS DECIMAL(26,4))").alias("d"),
     )
     w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    c = q.join(m, "event_type").select(
-        "event_type",
-        "h",
-        "n_hours",
-        F.sum(F.col("vq") - F.col("mq")).over(w).alias("cusum"),
+    c = dev.select(
+        "event_type", "h", "n_hours", F.sum("d").over(w).alias("cusum")
     )
     # max_by on (abs, h) would tie-break toward the LATER hour; the
     # oracle pins the EARLIER one, so rank explicitly
@@ -1300,7 +1316,10 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_hours",
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("changepoint_hour"),
-        F.col("cusum").cast("double").alias("max_abs_cusum"),
+        (
+            F.col("cusum").cast("double")
+            / F.col("n_hours").cast("double")
+        ).alias("max_abs_cusum"),
     )
 
 
@@ -1543,12 +1562,9 @@ RSI_TAPS = 14  # classic 14-period RSI lookback
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            event_id, value, n_diffs,
            CASE WHEN n_diffs = 0 THEN CAST(NULL AS DOUBLE)
-                WHEN CAST(g AS DOUBLE) + CAST(l AS DOUBLE) = 0.0
-                THEN CAST(50.0 AS DOUBLE)
-                ELSE CAST(CAST(
-                     100.0 * CAST(g AS DOUBLE)
-                     / (CAST(g AS DOUBLE) + CAST(l AS DOUBLE))
-                     AS DECIMAL(18,6)) AS DOUBLE) END AS rsi
+                WHEN g + l = 0 THEN CAST(50.0 AS DOUBLE)
+                ELSE CAST(100 * g AS DOUBLE) / CAST(g + l AS DOUBLE)
+                END AS rsi
     FROM framed
     """,
 )
@@ -1568,12 +1584,18 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: lag-diffs are IEEE-exact on identical operands; gain/loss split
     then decimal-sums at scale 4 (tick deltas are money-like, far from any
-    conversion boundary — exprs.py). The final quotient is
-    exact-decimal / exact-decimal with a LARGE arbitrary denominator, not
-    the small-integer-divisor class that terminates on quantum boundaries
-    (exprs.py round-4 note 1), so quantize-then-double at DECIMAL(18,6)
-    holds. Flat series (g+l=0) pin to 50; the first tick of each series
-    (no diff yet) emits NULL identically in both engines.
+    conversion boundary — exprs.py). The checked rsi is ONE correctly-
+    rounded double division of two EXACT decimals (num = 100·g, den = g+l,
+    both exact decimal arithmetic, scaled ints far under 2^53 — identical
+    doubles on both engines with NO quantization). The previous
+    quantize-then-double at DECIMAL(18,6) was DISPROVEN by the r7 sf0.1
+    audit: one row's quotient had a shortest-repr ending exactly at the
+    1e-7 midpoint (55.3578125), and Spark's shortest-repr double→decimal
+    rounds HALF-UP where DuckDB's exact-binary expansion rounds down —
+    the memory rule-9 class; re-quantizing a computed quotient is never
+    safe, emit it raw when rule 1 applies. Flat series (g+l=0, exact
+    decimal compare) pin to 50; the first tick of each series (no diff
+    yet) emits NULL identically in both engines.
 
     Scale shape: identical to ts_zscore_rolling — ONE exchange on the
     series key, two running decimal accumulators + a count per row, O(1)
@@ -1621,12 +1643,8 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_diffs",
         F.expr(
             """CASE WHEN n_diffs = 0 THEN CAST(NULL AS DOUBLE)
-               WHEN CAST(g AS DOUBLE) + CAST(l AS DOUBLE) = 0.0D
-               THEN CAST(50.0D AS DOUBLE)
-               ELSE CAST(CAST(
-                    100.0D * CAST(g AS DOUBLE)
-                    / (CAST(g AS DOUBLE) + CAST(l AS DOUBLE))
-                    AS DECIMAL(18,6)) AS DOUBLE) END"""
+               WHEN g + l = 0 THEN CAST(50.0D AS DOUBLE)
+               ELSE CAST(100 * g AS DOUBLE) / CAST(g + l AS DOUBLE) END"""
         ).alias("rsi"),
     )
 
@@ -1640,31 +1658,40 @@ BETA_TAPS = 30  # rolling-OLS lookback (rows per frame)
     WITH framed AS (
         SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
                CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER w
-                    AS DOUBLE) AS sx,
+                    AS DECIMAL(18,4)) AS sxd,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) OVER w
-                    AS DOUBLE) AS sy,
+                    AS DECIMAL(18,4)) AS syd,
                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
                              * CAST(l_quantity AS DECIMAL(19,4))
-                             AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx,
+                             AS DECIMAL(38,8))) OVER w
+                    AS DECIMAL(18,8)) AS sxxd,
                CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
                              * CAST(l_extendedprice AS DECIMAL(19,4))
-                             AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
+                             AS DECIMAL(38,8))) OVER w
+                    AS DECIMAL(18,8)) AS sxyd,
                CAST(COUNT(*) OVER w AS BIGINT) AS n
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
                               l_quantity, l_extendedprice
                      ROWS BETWEEN {BETA_TAPS - 1} PRECEDING AND CURRENT ROW)
+    ),
+    exact AS (
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, n,
+               sxd, syd, sxxd, sxyd,
+               CAST(CAST(n AS DECIMAL(9,0)) * sxyd - sxd * syd
+                    AS DECIMAL(38,4)) AS num4,
+               CAST(CAST(n AS DECIMAL(9,0)) * sxxd - sxd * sxd
+                    AS DECIMAL(38,4)) AS den4
+        FROM framed
     )
     SELECT l_suppkey,
            strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_str,
            l_orderkey, l_linenumber, n,
-           CASE WHEN n < 2 OR n * sxx - sx * sx <= 0.0
-                THEN CAST(NULL AS DOUBLE)
-                ELSE CAST(CAST(
-                     (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                     AS DECIMAL(18,6)) AS DOUBLE) END AS beta
-    FROM framed
+           CASE WHEN n < 2 OR den4 <= 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+                END AS beta
+    FROM exact
     """,
 )
 def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1681,11 +1708,17 @@ def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     each window partition to that entity's rows; the probe re-run confirms
     the flat shape.
 
-    beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from EXACT decimal frame
-    moments, so the only inexact steps are a fixed IEEE expression tree on
-    bit-identical operands; the result quantizes through DECIMAL(18,6)
-    (the agg_corr moment-ratio rule). Degenerate frames (n<2 or zero
-    x-variance, checked on the exact moments) emit NULL in both engines.
+    beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2): the numerator and denominator
+    run ENTIRELY in exact decimal arithmetic (frame moments are exact at
+    scale ≤8; the product-difference never touches doubles, so no FMA
+    shape exists), downscale losslessly to scale 4 (q·p carries 4
+    decimals; scaled ints stay under 2^53 for DuckDB's single-rounded
+    decimal→double), and the checked beta is ONE correctly-rounded double
+    division — no quantization. The previous DECIMAL(18,6)
+    quantize-of-the-quotient was DISPROVEN by the r7 sf0.1 audit (the
+    ts_rsi rule-9 midpoint class). Degenerate frames (n<2 or zero
+    x-variance, checked on the exact decimal denominator) emit NULL in
+    both engines.
 
     Scale shape: one exchange on the high-cardinality supplier key, four
     O(1) decimal accumulators + a count per row — the zscore/RSI state
@@ -1713,36 +1746,59 @@ def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.expr(
             f"CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER ({frame})"
-            f" AS DOUBLE)"
-        ).alias("sx"),
+            f" AS DECIMAL(18,4))"
+        ).alias("sxd"),
         F.expr(
             f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) "
-            f"OVER ({frame}) AS DOUBLE)"
-        ).alias("sy"),
+            f"OVER ({frame}) AS DECIMAL(18,4))"
+        ).alias("syd"),
         F.expr(
             f"""CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(8,4))
                               * CAST(l_quantity AS DECIMAL(8,4))
-                              AS DECIMAL(18,8))) OVER ({frame}) AS DOUBLE)"""
-        ).alias("sxx"),
+                              AS DECIMAL(18,8))) OVER ({frame})
+                 AS DECIMAL(18,8))"""
+        ).alias("sxxd"),
         F.expr(
             f"""CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(8,4))
                               * CAST(l_extendedprice AS DECIMAL(10,4))
-                              AS DECIMAL(18,8))) OVER ({frame}) AS DOUBLE)"""
-        ).alias("sxy"),
+                              AS DECIMAL(18,8))) OVER ({frame})
+                 AS DECIMAL(18,8))"""
+        ).alias("sxyd"),
         F.expr(f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)").alias("n"),
     )
-    return framed.select(
+    # EXACT decimal numerator/denominator (frame moments are exact at
+    # scale ≤8 and the OLS shape is products-of-sums): the whole
+    # product-difference runs in decimal — no FMA shape, no quantize —
+    # then ONE correctly-rounded double division on identical operands.
+    # Scale-4 downscale is lossless (q·p has 4 decimals), keeping the
+    # scaled ints under 2^53 so DuckDB's decimal→double is single-rounded
+    # (exprs.py rule 8). n casts to DECIMAL(9,0) so the product precision
+    # stays ≤38 on the Spark side (a raw BIGINT operand would trip
+    # allowPrecisionLoss scale reduction).
+    exact = framed.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(9,0)) * sxyd - sxd * syd"
+            " AS DECIMAL(38,4))"
+        ).alias("num4"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(9,0)) * sxxd - sxd * sxd"
+            " AS DECIMAL(38,4))"
+        ).alias("den4"),
+    )
+    return exact.select(
         "l_suppkey",
         F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_str"),
         "l_orderkey",
         "l_linenumber",
         "n",
         F.expr(
-            """CASE WHEN n < 2 OR n * sxx - sx * sx <= 0.0D
-               THEN CAST(NULL AS DOUBLE)
-               ELSE CAST(CAST(
-                    (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                    AS DECIMAL(18,6)) AS DOUBLE) END"""
+            """CASE WHEN n < 2 OR den4 <= 0 THEN CAST(NULL AS DOUBLE)
+               ELSE CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) END"""
         ).alias("beta"),
     )
 
@@ -3498,32 +3554,44 @@ _XCORR_A, _XCORR_B = "click", "purchase"
     lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1}))
                  AS lag),
     pairs AS (
-        SELECT l.lag, xs.x, ys.y
+        SELECT l.lag, xs.hr, xs.x, ys.y
         FROM lags l
         JOIN xs ON TRUE
         JOIN ys ON ys.hr = xs.hr + to_hours(CAST(l.lag AS BIGINT))
     ),
-    means AS (
-        SELECT lag,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-                   AS mx,
-               CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-                   AS my
+    grouped AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               list({{'h': hr, 'x': x, 'y': y}} ORDER BY hr) AS p
         FROM pairs GROUP BY lag
     ),
+    m AS (
+        SELECT lag, n,
+               list_reduce(list_transform(p, e -> e.x),
+                           (s, v) -> s + v) / n AS mx,
+               list_reduce(list_transform(p, e -> e.y),
+                           (s, v) -> s + v) / n AS my
+        FROM grouped
+    ),
     centered AS (
-        SELECT p.lag, m.n,
-               CAST((p.x - m.mx) * (p.y - m.my) AS DECIMAL(18,8)) AS cxy,
-               CAST((p.x - m.mx) * (p.x - m.mx) AS DECIMAL(18,8)) AS cxx,
-               CAST((p.y - m.my) * (p.y - m.my) AS DECIMAL(18,8)) AS cyy
-        FROM pairs p JOIN means m ON p.lag = m.lag
+        -- centered products at ROW level (the ts_cusum_changepoint
+        -- DuckDB-1.0 lesson: never capture an outer column inside a
+        -- list lambda when the query carries multiple list rows)
+        SELECT p.lag, p.hr,
+               (p.x - m.mx) * (p.y - m.my) AS cxy,
+               (p.x - m.mx) * (p.x - m.mx) AS cxx,
+               (p.y - m.my) * (p.y - m.my) AS cyy
+        FROM pairs p JOIN m USING (lag)
+    ),
+    folded AS (
+        SELECT lag,
+               list_reduce(list(cxy ORDER BY hr), (s, v) -> s + v) AS sxy,
+               list_reduce(list(cxx ORDER BY hr), (s, v) -> s + v) AS sxx,
+               list_reduce(list(cyy ORDER BY hr), (s, v) -> s + v) AS syy
+        FROM centered GROUP BY lag
     )
-    SELECT CAST(lag AS BIGINT) AS lag, MAX(n) AS n_pairs,
-           CAST(CAST(SUM(cxy) AS DOUBLE)
-                / (sqrt(CAST(SUM(cxx) AS DOUBLE))
-                   * sqrt(CAST(SUM(cyy) AS DOUBLE))) AS DOUBLE) AS xcorr
-    FROM centered GROUP BY lag
+    SELECT CAST(f.lag AS BIGINT) AS lag, m.n AS n_pairs,
+           f.sxy / (sqrt(f.sxx) * sqrt(f.syy)) AS xcorr
+    FROM folded f JOIN m USING (lag)
     """,
 )
 def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3573,37 +3641,42 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs_l = xs.crossJoin(F.broadcast(lags)).select(
         "lag",
         "x",
+        F.col("hr").alias("x_hr"),
         F.expr("hr + make_interval(0, 0, 0, 0, CAST(lag AS INT), 0, 0)").alias(
             "y_hr"
         ),
     )
-    pairs = (
-        xs_l.join(ys.withColumnRenamed("hr", "y_hr"), "y_hr")
-        .select("lag", "x", "y")
-        .transform(stage)
+    pairs = xs_l.join(ys.withColumnRenamed("hr", "y_hr"), "y_hr").select(
+        "lag", F.col("x_hr").alias("h"), "x", "y"
     )
-    means = pairs.groupBy("lag").agg(
+    # Each lag's moments are SEQUENTIAL FOLDS over its hr-sorted pair
+    # array (calendar-bounded: ~hours-in-span elements per lag at ANY
+    # corpus size) — Spark aggregate ≡ DuckDB list_reduce, IEEE-identical,
+    # ZERO quantization. The previous form quantized COMPUTED doubles
+    # (hourly means to DECIMAL(18,6), centered products to DECIMAL(18,8)):
+    # the r7 sf0.1 audit caught the rule-9 class per element — every lag's
+    # xcorr drifted at the 12th digit once one element hit a shortest-repr
+    # midpoint.
+    grouped = pairs.groupBy("lag").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
-        F.expr(
-            "CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
-        ).alias("mx"),
-        F.expr(
-            "CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
-        ).alias("my"),
+        F.sort_array(F.collect_list(F.struct("h", "x", "y"))).alias("p"),
     )
-    centered = pairs.join(F.broadcast(means), "lag").select(
+    m = grouped.select(
         "lag",
         "n",
-        F.expr("CAST((x - mx) * (y - my) AS DECIMAL(18,8))").alias("cxy"),
-        F.expr("CAST((x - mx) * (x - mx) AS DECIMAL(18,8))").alias("cxx"),
-        F.expr("CAST((y - my) * (y - my) AS DECIMAL(18,8))").alias("cyy"),
+        "p",
+        F.expr("aggregate(p, 0D, (s, e) -> s + e.x) / n").alias("mx"),
+        F.expr("aggregate(p, 0D, (s, e) -> s + e.y) / n").alias("my"),
     )
-    return centered.groupBy(F.col("lag").cast("bigint").alias("lag")).agg(
-        F.expr("MAX(n)").alias("n_pairs"),
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
         F.expr(
-            """CAST(CAST(SUM(cxy) AS DOUBLE)
-               / (sqrt(CAST(SUM(cxx) AS DOUBLE))
-                  * sqrt(CAST(SUM(cyy) AS DOUBLE))) AS DOUBLE)"""
+            """aggregate(p, 0D, (s, e) -> s + (e.x - mx) * (e.y - my))
+               / (sqrt(aggregate(p, 0D,
+                        (s, e) -> s + (e.x - mx) * (e.x - mx)))
+                  * sqrt(aggregate(p, 0D,
+                        (s, e) -> s + (e.y - my) * (e.y - my))))"""
         ).alias("xcorr"),
     )
 

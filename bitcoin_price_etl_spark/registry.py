@@ -109,6 +109,12 @@ DISAVOWED_THROUGH: dict[str, int] = {
     # r4 row was rows-only; upgraded to a table-free DuckDB oracle in r5
     # (VERDICT r4 item 8) — must re-certify at hash class
     "pipeline_golden": 4,
+    # r7 sf0.1 parity audit: quantize-of-computed-quotient/product forms
+    # replaced with exact restatements (values change in the last checked
+    # digits) — every pre-r7 green row is for the old form
+    "ts_rsi": 6,
+    "ts_lead_lag_xcorr": 6,
+    "ts_cusum_changepoint": 6,
 }
 
 
@@ -190,6 +196,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(DRIVER_VERIFIED_ROUND)
 # exact front of the r7 window. Already-verified keys are filtered out
 # by ordered_keys(), so stale entries here are harmless.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # r7 sf0.1-audit rework: disavowed pre-r7 certs (exact restatements
+    # of quantized quotient/product forms) — re-certify first
+    "ts_rsi", "ts_cusum_changepoint",
     # ts_* indicator/analysis tail (operators/windows.py)
     "ts_keltner", "ts_ichimoku", "ts_adx", "ts_candle_patterns", "ts_volatility_ohlc",
     "ts_var_es", "ts_periodogram", "ts_spectral_entropy", "ts_hurst_rs",
