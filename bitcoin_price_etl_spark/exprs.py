@@ -56,6 +56,33 @@ Round-4 refinements — when quantize-then-double is NOT enough:
    floor(mean + 0.5) re-quantization keep every iteration's state
    bit-identical across engines (llm_embed_drift, llm_kmeans_train —
    the latter proves 3 Lloyd rounds end-to-end under the hash gate).
+
+Round-7 refinement — the sf0.1 audit's classification of every
+quantize-of-a-COMPUTED-double site (the memory rule-11 class; four keys
+diverged at sf0.1 and were restated exactly: ts_rsi, win_rolling_beta,
+ts_lead_lag_xcorr, ts_cusum_changepoint):
+
+- A quantize is NECESSARY (rule-2 class, keep it) when the quantized
+  value is libm-derived (pow/ln/exp differ by ulps between engines) or
+  its operands differ by construction (partial-agg double sums) — the
+  coarse decimal is the only thing making the two engines agree, and
+  its residual midpoint risk (~P[value within 1 double-ulp of a
+  half-quantum] × n_values) is ACCEPTED and only material at corpus
+  scales beyond any fixture (the remaining 18,6/14,6/12,6 sites in
+  ewma/tfidf/t-stat/gini-class operators are all this category, green
+  at sf0.001/0.01/0.1).
+- A quantize is a LATENT BUG (remove it) when every operand is already
+  bit-identical and every op correctly rounded — the quantize ADDS the
+  midpoint class where none existed. Restatement recipes, in preference
+  order: exact-decimal numerator/denominator + ONE double division
+  (ts_rsi, win_rolling_beta — decimal product-differences also kill the
+  FMA shape; keep scaled ints < 2^53 via lossless downscales so
+  DuckDB's decimal→double stays single-rounded); scale-through-by-N so
+  a window SUM runs on exact decimals (ts_cusum_changepoint); pinned-
+  order sequential folds (ts_lead_lag_xcorr — but DuckDB 1.0
+  list_reduce is nondeterministic on multi-row ~700-element struct
+  folds and mis-evaluates correlated lambda captures: oracle folds must
+  be capture-free and small/single-row; see BASELINE.md r7 audit).
 """
 
 from __future__ import annotations
