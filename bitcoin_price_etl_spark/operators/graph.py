@@ -550,8 +550,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical edge derivation to graph_triangle_count
     (order-bounded pair fan-out, support threshold keeps |E| flat);
-    the degree frame broadcasts onto both endpoints; the moment
-    aggregate is one row. Flat with the edge census.
+    the degree frame attaches via plain equi-joins on the endpoint keys
+    (AQE broadcasts it at runtime while it is small; |V| grows with the
+    graph, so a FORCED broadcast is a scale bug — measured r7); the
+    moment aggregate is one row. Linear with the edge census.
     """
     li = load(spark, sf_dir, "lineitem")
     a, b = li.alias("a"), li.alias("b")
@@ -580,9 +582,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # NO broadcast hint on the degree attach: |deg| = |V| grows with the
+    # graph, so a forced broadcast builds an ever-larger hash map (the r7
+    # 32× probe read 6.3× wall on the 8→32 leg from exactly this; hint
+    # removed → 1.5× on the same leg). AQE still picks BHJ at runtime
+    # when the degree frame is actually small (every fixture scale).
     m = (
-        edges.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        edges.join(du, "u")
+        .join(dv, "v")
         .agg(
             F.expr("CAST(SUM(du * dv) AS BIGINT)").alias("s_jk"),
             F.expr("CAST(SUM(du + dv) AS BIGINT)").alias("s_j"),
