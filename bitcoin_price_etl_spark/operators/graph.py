@@ -199,8 +199,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem on orderkey (fan-out bounded by order size, never n²), and
     support thresholding keeps |E| roughly flat as SF grows (measured:
     2.4k/3.6k/3.9k edges at sf0.001/0.01/0.1). The degree frame is |V|
-    rows — broadcast here; at a 100 TB edge list the deg attach becomes
-    a plain shuffle equi-join and nothing else changes.
+    rows — attached via plain equi-joins (AQE broadcasts it at runtime
+    while small; a FORCED broadcast of a |V|-growing frame was the r7
+    assortativity catch), so at a 100 TB edge list the deg attach is
+    already the right shuffle shape with no code change.
 
     Parity: all counts are exact integers; the clustering ratio is the
     only division and quantizes through DECIMAL(14,8) on both sides."""
@@ -228,7 +230,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher; carry the dst endpoint's order key for wedge normalization
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    keyed = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # no broadcast hint: |deg| = |V| grows with the graph (the r7
+    # assortativity catch); AQE broadcasts at runtime while small
+    keyed = edges.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
