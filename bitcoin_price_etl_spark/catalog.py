@@ -86,12 +86,18 @@ def parquet_num_rows(sf_dir: str, name: str):
     try:
         if os.path.isdir(path):
             total = 0
+            n_parts = 0
             for root, _dirs, files in os.walk(path):
                 for f in files:
                     if f.endswith(".parquet"):
                         fp = os.path.join(root, f)
                         total += pq.ParquetFile(fp).metadata.num_rows
-            return total
+                        n_parts += 1
+            # A dir with zero parquet parts (only _SUCCESS, or a partial
+            # write) is "unknown", not "empty" — returning 0 here would
+            # make size-adaptive planners (llm_semdedup K, dedup_embed
+            # blocking) plan against n=0; fall back to a Spark count.
+            return total if n_parts else None
         return pq.ParquetFile(path).metadata.num_rows
     except (OSError, ValueError, pa.lib.ArrowException):
         return None

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_price_etl_spark.session import stage
+from bitcoin_price_etl_spark.session import stage, stage_iter
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.registry import query
 
@@ -468,7 +468,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 new_comp.alias("component_id"),
                 (new_comp < F.col("component_id")).alias("chg"),
             )
-            .transform(stage)
+            .transform(stage_iter)
         )
         changed = new_labels.filter("chg").count()
         labels = new_labels.select("doc_id", "component_id")

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_price_etl_spark.session import stage
+from bitcoin_price_etl_spark.session import stage, stage_iter
 from bitcoin_price_etl_spark.catalog import load, parquet_num_rows
 from bitcoin_price_etl_spark.registry import query
 
@@ -938,24 +938,22 @@ def _semdedup_assign_udf(cent: DataFrame):
     return assign
 
 
-def _semdedup_assign(e: DataFrame, cent: DataFrame, k: int, diff2) -> DataFrame:
-    """(vec_id, cell): EXACT nearest-centroid assignment — broadcast
-    crossJoin + struct-min for small K (the oracle-mirrored fold form);
-    Arrow-batched numpy argmin over the same K centroids past
-    SEMDEDUP_DIRECT_K (see constant comment for the measured case against
-    approximate two-level assignment). Tie rule in both paths: smaller
-    centroid id wins (struct-min lexicographic / np.argmin first-hit over
-    id-ascending centroids)."""
-    if k <= SEMDEDUP_DIRECT_K:
-        return (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "cid", diff2.alias("dist2"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("dist2", "cid")).alias("best"))
-            .select("vec_id", F.col("best.cid").alias("cell"))
-        )
-    assign = _semdedup_assign_udf(cent)
-    return e.select("vec_id", assign("embedding").alias("cell"))
+def _semdedup_assign(e: DataFrame, cent: DataFrame, diff2) -> DataFrame:
+    """(vec_id, cell): EXACT nearest-centroid assignment in the
+    oracle-mirrored fold form — broadcast crossJoin + struct-min, used at
+    and below SEMDEDUP_DIRECT_K. Past that K, llm_semdedup bypasses this
+    helper entirely: _semdedup_assign_udf rides the scan so the cell
+    lands next to the payload without a join (ADVICE r7 removed the
+    Arrow branch that used to sit here unreachably). Tie rule in both
+    formulations: smaller centroid id wins (struct-min lexicographic /
+    np.argmin first-hit over id-ascending centroids)."""
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", diff2.alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cell"))
+    )
 
 
 def _semdedup_kept_cells(assigned: DataFrame) -> DataFrame:
@@ -1100,7 +1098,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", assign("embedding").alias("cell"), "embedding"
         )
         return _semdedup_kept_cells(assigned_arrow)
-    best = _semdedup_assign(e, cent, k, diff2)
+    best = _semdedup_assign(e, cent, diff2)
     # Materialize the assigned frame once: three consumers fan out from it
     # (both pair-join aliases + the kept-flag base), and Spark re-evaluates
     # unshared subtrees — without this the corpus scan and the K-way argmin
@@ -1430,7 +1428,7 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("b.cid").alias("cluster_id"),
             F.col("b.d2").alias("d2"),
-        ).transform(stage)
+        ).transform(stage_iter)
         if t == KMT_ITERS - 1:
             break
         upd = (
@@ -1456,7 +1454,7 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ncent.withColumnRenamed("cluster_id", "cid"), "cid", "left"
             )
             .select("cid", F.coalesce("nc", "c").alias("c"))
-            .transform(stage)
+            .transform(stage_iter)
         )
     l1 = cent.select(
         F.col("cid").alias("cluster_id"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bitcoin_price_etl_spark.session import stage
+from bitcoin_price_etl_spark.session import stage, stage_iter
 from bitcoin_price_etl_spark.catalog import load
 from bitcoin_price_etl_spark.registry import query
 
@@ -138,7 +138,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint BETWEEN rounds only: plan-growth control without
         # hiding the final iteration's shape from the plan snapshot
         if it < PR_ITERS - 1:
-            r = r.transform(stage)
+            r = r.transform(stage_iter)
     return r
 
 
@@ -389,10 +389,10 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(F.broadcast(visited), "node", "left_anti")
-            .transform(stage)
+            .transform(stage_iter)
         )
         layers.append(nxt)
-        visited = visited.unionAll(nxt).transform(stage)
+        visited = visited.unionAll(nxt).transform(stage_iter)
         frontier = nxt
     out = None
     for hop, layer in enumerate(layers):

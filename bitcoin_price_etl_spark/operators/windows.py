@@ -3541,7 +3541,7 @@ _XCORR_A, _XCORR_B = "click", "purchase"
 @query(
     "ts_lead_lag_xcorr",
     oracle=f"""
-    WITH hourly AS (
+    WITH RECURSIVE hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hr,
                CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
                    / COUNT(value) AS y
@@ -3559,36 +3559,48 @@ _XCORR_A, _XCORR_B = "click", "purchase"
         JOIN xs ON TRUE
         JOIN ys ON ys.hr = xs.hr + to_hours(CAST(l.lag AS BIGINT))
     ),
-    grouped AS (
-        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
-               list({{'h': hr, 'x': x, 'y': y}} ORDER BY hr) AS p
-        FROM pairs GROUP BY lag
+    ps AS MATERIALIZED (
+        -- MATERIALIZED: the recursive folds below re-scan this frame
+        -- once per element; without the hint DuckDB inlines the whole
+        -- upstream pipeline into every iteration
+        SELECT lag, x, y,
+               ROW_NUMBER() OVER (PARTITION BY lag ORDER BY hr) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY lag) AS BIGINT) AS n
+        FROM pairs
     ),
-    m AS (
-        SELECT lag, n,
-               list_reduce(list_transform(p, e -> e.x),
-                           (s, v) -> s + v) / n AS mx,
-               list_reduce(list_transform(p, e -> e.y),
-                           (s, v) -> s + v) / n AS my
-        FROM grouped
+    f1 AS (
+        -- strict sequential left fold via recursion (BASELINE.md DuckDB
+        -- hazard rule 2: list_reduce over multi-row ~700-element lists
+        -- was observed nondeterministic; a window SUM is deterministic
+        -- but segment-tree-ordered, 1 ulp off the fold — measured).
+        -- Seed 0.0 + x mirrors Spark's aggregate(p, 0D, ...) exactly.
+        SELECT lag, n, rn AS i, 0.0::DOUBLE + x AS sx, 0.0::DOUBLE + y AS sy
+        FROM ps WHERE rn = 1
+        UNION ALL
+        SELECT p.lag, p.n, p.rn, f.sx + p.x, f.sy + p.y
+        FROM f1 f JOIN ps p ON p.lag = f.lag AND p.rn = f.i + 1
     ),
-    centered AS (
+    m AS (SELECT lag, n, sx / n AS mx, sy / n AS my FROM f1 WHERE i = n),
+    centered AS MATERIALIZED (
         -- centered products at ROW level (the ts_cusum_changepoint
         -- DuckDB-1.0 lesson: never capture an outer column inside a
         -- list lambda when the query carries multiple list rows)
-        SELECT p.lag, p.hr,
+        SELECT p.lag, p.rn, p.n,
                (p.x - m.mx) * (p.y - m.my) AS cxy,
                (p.x - m.mx) * (p.x - m.mx) AS cxx,
                (p.y - m.my) * (p.y - m.my) AS cyy
-        FROM pairs p JOIN m USING (lag)
+        FROM ps p JOIN m USING (lag)
     ),
-    folded AS (
-        SELECT lag,
-               list_reduce(list(cxy ORDER BY hr), (s, v) -> s + v) AS sxy,
-               list_reduce(list(cxx ORDER BY hr), (s, v) -> s + v) AS sxx,
-               list_reduce(list(cyy ORDER BY hr), (s, v) -> s + v) AS syy
-        FROM centered GROUP BY lag
-    )
+    f2 AS (
+        SELECT lag, n, rn AS i, 0.0::DOUBLE + cxy AS sxy,
+               0.0::DOUBLE + cxx AS sxx, 0.0::DOUBLE + cyy AS syy
+        FROM centered WHERE rn = 1
+        UNION ALL
+        SELECT c.lag, c.n, c.rn, f.sxy + c.cxy, f.sxx + c.cxx,
+               f.syy + c.cyy
+        FROM f2 f JOIN centered c ON c.lag = f.lag AND c.rn = f.i + 1
+    ),
+    folded AS (SELECT lag, sxy, sxx, syy FROM f2 WHERE i = n)
     SELECT CAST(f.lag AS BIGINT) AS lag, m.n AS n_pairs,
            f.sxy / (sqrt(f.sxx) * sqrt(f.syy)) AS xcorr
     FROM folded f JOIN m USING (lag)

@@ -14,7 +14,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from bitcoin_price_etl_spark.session import stage
+from bitcoin_price_etl_spark.session import stage, stage_iter
 from tests.conftest import SF_SMOKE
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -63,6 +63,34 @@ def test_stage_default_is_localcheckpoint(spark):
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
 
 
+def test_stage_iter_truncates_lineage_in_every_mode(spark, _restore_mode, tmp_path):
+    """Loop-interior staging exists FOR plan-growth control: persist()
+    keeps the full logical plan (the analyzed plan would double per
+    pagerank/label-prop round), so stage_iter must cut lineage in
+    persist_disk mode too (ADVICE r7) — via reliable checkpoint when a
+    checkpoint dir is set, localCheckpoint otherwise."""
+    expected = sorted(map(tuple, _frame(spark).collect()))
+    for mode, ckdir in (
+        ("localCheckpoint", None),
+        ("persist_disk", None),
+        ("persist_disk", str(tmp_path / "ck")),
+    ):
+        spark.conf.set("spark.graft.staging", mode)
+        if ckdir:
+            spark.sparkContext.setCheckpointDir(ckdir)
+        out = _frame(spark).transform(stage_iter)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, (
+            mode,
+            ckdir,
+            plan,
+        )
+        assert sorted(map(tuple, out.collect())) == expected, (mode, ckdir)
+    import os
+
+    assert os.path.isdir(str(tmp_path / "ck"))  # reliable path actually used
+
+
 def test_no_direct_localcheckpoint_sites_remain():
     """Every staging site must go through stage() so the swap stays a
     config flip; a new direct .localCheckpoint() call reopens the
@@ -101,6 +129,14 @@ def test_parquet_num_rows_matches_spark_count(spark, tmp_path):
     assert parquet_num_rows(str(tmp_path), "missing") is None
     (tmp_path / "garbage.parquet").write_bytes(b"not parquet at all")
     assert parquet_num_rows(str(tmp_path), "garbage") is None
+
+    # ADVICE r7: a directory with zero .parquet parts (only _SUCCESS, or
+    # a partial write) is "unknown", not "empty" — 0 would make the
+    # size-adaptive planners plan against n=0
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_bytes(b"")
+    assert parquet_num_rows(str(tmp_path), "empty") is None
 
 
 def test_persist_disk_mode_end_to_end_on_staged_operators(spark, _restore_mode):
