@@ -326,6 +326,32 @@ def main() -> None:
         timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
 
     full_total = round(sum(timings.values()), 3)
+
+    # ANN quality gate, machine-checked round-over-round (VERDICT r7
+    # item 7): recall@10 of the lsh/ivf paths on BOTH regimes — the
+    # shipped isotropic-noise embeddings (adversarial; ~0.3/0.5 is the
+    # data's fault, llm_sim_search_recall docstring) and the shared
+    # clustered fixture (llm/evalsets.py; floors >= 0.9). Lives in the
+    # full record, not the budget-bounded final stdout line.
+    recall: dict[str, dict[str, float]] = {}
+    try:
+        import tempfile
+
+        from bitcoin_price_etl_spark.llm.evalsets import (
+            write_clustered_embeddings,
+        )
+
+        clustered_dir = write_clustered_embeddings(
+            tempfile.mkdtemp(prefix="graft_bench_recall_")
+        )
+        for regime, rdir in (("noise", sf_dir), ("clustered", clustered_dir)):
+            rows = registry["llm_sim_search_recall"].fn(spark, rdir).collect()
+            recall[regime] = {
+                r["method"]: round(r["recall_at_k"], 4) for r in rows
+            }
+    except Exception as ex:  # noqa: BLE001 — recall must not sink the bench
+        recall = {}
+        print(f"recall block failed: {type(ex).__name__}: {ex}", file=sys.stderr)
     # Self-describing artifact: which keys' numbers are post-prewarm
     # (ADVICE r6 — comparability with pre-r6 artifacts breaks silently
     # otherwise; BENCH_r05 udf_pandas is pre-prewarm, r6+ is post).
@@ -337,6 +363,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "prewarmed": prewarmed,
+        "recall": recall,
     }
     if runs > 1:
         full["runs"] = runs

@@ -1328,27 +1328,13 @@ def test_ann_recall_high_on_clustered_embeddings(spark, tmp_path):
     banding/nprobe parameters (measured: lsh 1.0, ivf 1.0 — the IVF
     quantizer probes the query's own cell; >=1 of the 4 LSH bands
     collides for a cluster-mate w.p. ~0.98 at this noise level). The
-    noise fixture above stays as the adversarial case."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    noise fixture above stays as the adversarial case. The generator is
+    shared with bench.py's recall block (llm/evalsets.py) so the gate and
+    the round artifact score the same corpus."""
+    from bitcoin_price_etl_spark.llm.evalsets import write_clustered_embeddings
     from bitcoin_price_etl_spark.registry import load_all
 
-    rng = np.random.RandomState(7)
-    cent = rng.standard_normal((8, 64))
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-    n = 1000
-    labels = (np.arange(n) % 8).astype(np.int32)
-    emb = (cent[labels] + 0.03 * rng.standard_normal((n, 64))).astype(np.float32)
-    t = pa.table(
-        {
-            "vec_id": pa.array(np.arange(n), pa.int64()),
-            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
-            "label": pa.array(labels, pa.int32()),
-        }
-    )
-    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    write_clustered_embeddings(str(tmp_path))
 
     rows = load_all()["llm_sim_search_recall"].fn(spark, str(tmp_path)).collect()
     got = {r["method"]: r["recall_at_k"] for r in rows}

@@ -139,23 +139,87 @@ def test_parquet_num_rows_matches_spark_count(spark, tmp_path):
     assert parquet_num_rows(str(tmp_path), "empty") is None
 
 
-def test_persist_disk_mode_end_to_end_on_staged_operators(spark, _restore_mode):
-    """The 100 TB claim is that flipping spark.graft.staging is the WHOLE
-    deployment change — prove it through real operators, not just a toy
-    frame: a representative key per staged family (iterative graph,
-    dedup keep-list, TPC-H join pipeline, eventflow, embedding cells)
-    must produce identical results under persist_disk and the default
-    localCheckpoint mode."""
+def _stage_consuming_registry_keys():
+    """Enumerate every registry key whose code path reaches stage()/
+    stage_iter() — AST over the package (direct uses) plus a bounded
+    transitive chase through the call graph (helpers like
+    dedup._posting_with_df stage on behalf of their callers). VERDICT r7
+    item 1: the persist_disk equality proof must cover every stage()
+    consumer, not a hand-picked five — and a NEW staging site added
+    later is picked up here automatically."""
+    import ast
+    import functools
+
+    stagers: set[str] = set()
+    calls: dict[str, set[str]] = {}
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            tree = ast.parse(open(os.path.join(root, f)).read())
+            for node in ast.walk(tree):
+                if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    continue
+                called: set[str] = set()
+                uses_stage = False
+                for n in ast.walk(node):
+                    if isinstance(n, ast.Name) and n.id in ("stage", "stage_iter"):
+                        uses_stage = True
+                    if isinstance(n, ast.Call):
+                        if isinstance(n.func, ast.Name):
+                            called.add(n.func.id)
+                        elif isinstance(n.func, ast.Attribute):
+                            called.add(n.func.attr)
+                if uses_stage:
+                    stagers.add(node.name)
+                calls.setdefault(node.name, set()).update(called)
+
+    @functools.lru_cache(maxsize=None)
+    def consumes(fn: str, depth: int = 0) -> bool:
+        if fn in stagers:
+            return True
+        if depth > 4:
+            return False
+        return any(
+            consumes(c, depth + 1) for c in calls.get(fn, ()) if c != fn
+        )
+
     from bitcoin_price_etl_spark.registry import load_all
 
     reg = load_all()
-    keys = (
+    return sorted(k for k, spec in reg.items() if consumes(spec.fn.__name__))
+
+
+def test_stage_consumer_enumeration_is_sane():
+    """The AST chase must keep finding the known staged families — an
+    enumeration that silently collapses (a rename, an AST shape change)
+    would turn the persist_disk sweep into a vacuous loop over nothing."""
+    keys = _stage_consuming_registry_keys()
+    assert len(keys) >= 30, keys
+    for known in (
+        "graph_pagerank",
         "graph_khop_reach",
         "llm_dedup_keep",
-        "tpch_q18",
-        "attribution_channels",
+        "llm_dedup_ngram",
         "llm_semdedup",
-    )
+        "ts_lead_lag_xcorr",
+        "tpch_q2",
+    ):
+        assert known in keys, (known, keys)
+
+
+def test_persist_disk_mode_end_to_end_on_staged_operators(spark, _restore_mode):
+    """The 100 TB claim is that flipping spark.graft.staging is the WHOLE
+    deployment change — prove it through real operators across EVERY
+    stage()/stage_iter() consumer in the registry (VERDICT r7 item 1;
+    enumeration above): identical results under persist_disk and the
+    default localCheckpoint mode. The recorded registry-wide sf0.01
+    evidence is PROBE_r08_persistdisk.json (vanilla probe --staging
+    persist_disk, exact-eq vs DuckDB)."""
+    from bitcoin_price_etl_spark.registry import load_all
+
+    reg = load_all()
+    keys = _stage_consuming_registry_keys()
     baseline = {}
     for k in keys:
         baseline[k] = sorted(map(tuple, reg[k].fn(spark, SF_SMOKE).collect()))

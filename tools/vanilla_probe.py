@@ -46,6 +46,15 @@ def main() -> None:
     ap.add_argument("--count", type=int, default=10_000)
     ap.add_argument("--keys", default="")
     ap.add_argument("--record", default="", help="write JSON record here")
+    ap.add_argument(
+        "--staging",
+        default="",
+        choices=("", "localCheckpoint", "persist_disk", "checkpoint"),
+        help="set spark.graft.staging for the whole probe (VERDICT r7 "
+        "item 1: the cluster staging sweep); persist_disk/checkpoint "
+        "also get a scratch checkpoint dir so stage_iter's reliable "
+        "path is the one exercised",
+    )
     args = ap.parse_args()
     if args.record:
         # resolve against the LAUNCH cwd before the hostile chdir below —
@@ -67,6 +76,14 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    if args.staging:
+        spark.conf.set("spark.graft.staging", args.staging)
+        if args.staging in ("persist_disk", "checkpoint"):
+            import tempfile
+
+            spark.sparkContext.setCheckpointDir(
+                tempfile.mkdtemp(prefix="graft_probe_ck_")
+            )
     qs, osql = m.queries(), m.oracle_sql()
     keys = (
         [k for k in args.keys.split(",") if k]
@@ -149,6 +166,7 @@ def main() -> None:
                         "start": args.start,
                         "count": args.count,
                         "keys": args.keys,
+                        "staging": args.staging,
                     },
                     "ok": ok,
                     "bad": len(bad),
