@@ -183,6 +183,12 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is THE near-dup path: cost is O(corpus) for signatures
     plus an equi-join on band keys; banding keeps collision probability
     s-curved around the similarity threshold (s≈(1/b)^(1/r)≈0.7).
+
+    NOTE on output size: the pair LIST itself is quadratic in copy-clique
+    size by definition (the 128× probe measured 44.3M pairs on the
+    duplicate-heavy fixture). For a human/audit-facing surface that stays
+    linear at any scale, use llm_dedup_near_sample — the deterministic
+    per-component top-K pair sample (VERDICT r7 item 6).
     """
     sh = _shingle_hash_df(load(spark, sf_dir, "documents"))
     minhash_cols = [
@@ -379,7 +385,8 @@ _NGRAM_PAIRS_SQL = f"""
         SELECT sh.doc_id, sh.shingle FROM sh JOIN capped USING (shingle)
     ),
     cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS common_shingles
         FROM posting a JOIN posting b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
@@ -421,10 +428,22 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the large-star/small-star regime: each round
     shuffles (vertex, label) pairs only, never documents.
     """
+    cand = _ngram_cand_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(cand)
+
+
+def _ngram_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, common_shingles): the df-capped shingle-overlap
+    candidate pairs (llm_dedup_ngram's surface), STAGED — shared by the
+    clustering loop (which reads both edge directions) and the bounded
+    pair-sample audit; a union of two branches each containing the
+    shingle self-join would evaluate candidate generation twice (Spark
+    does not share subtrees across union branches) — measured 2.1s → 1.1s
+    for edge construction at sf0.1."""
     posting = _posting_with_df(spark, sf_dir).filter(F.col("df") <= DF_CAP)
     a = posting.alias("a")
     b = posting.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -432,14 +451,14 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common_shingles"))
         .filter(F.col("common_shingles") >= MIN_COMMON_SHINGLES)
-        .select("doc_a", "doc_b")
+        .transform(stage)
     )
-    # Checkpoint the PAIRS, then derive both edge directions from the
-    # materialized result: a union of two branches each containing the
-    # shingle self-join would evaluate candidate generation twice (Spark
-    # does not share subtrees across union branches) — measured 2.1s → 1.1s
-    # for edge construction at sf0.1.
-    cand = cand.transform(stage)
+
+
+def _min_label_components(cand: DataFrame) -> DataFrame:
+    """(doc_id, component_id) by iterative min-label propagation over the
+    (doc_a, doc_b) pair frame — llm_dedup_cluster's loop, factored so the
+    pair sample can label without a second candidate-generation pass."""
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -475,6 +494,83 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+# Bounded pair-sample size: pairs kept per near-dup component in the
+# audit sample (identically in Spark and oracle).
+NEAR_SAMPLE_K = 5
+
+
+@query(
+    "llm_dedup_near_sample",
+    oracle=_NGRAM_PAIRS_SQL.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + f""",
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    r(x, y) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.x, e.b FROM r JOIN edges e ON r.y = e.a
+    ),
+    comp AS (
+        SELECT x AS doc_id, MIN(y) AS component_id FROM r GROUP BY x
+    ),
+    ranked AS (
+        SELECT c.component_id, p.doc_a, p.doc_b, p.common_shingles,
+               row_number() OVER (
+                   PARTITION BY c.component_id
+                   ORDER BY p.common_shingles DESC, p.doc_a, p.doc_b
+               ) AS rk
+        FROM cand p JOIN comp c ON c.doc_id = p.doc_a
+    )
+    SELECT component_id, doc_a, doc_b, common_shingles,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {NEAR_SAMPLE_K}
+    """,
+)
+def llm_dedup_near_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded near-dup AUDIT sample: the K strongest candidate
+    pairs per near-dup component, ranked by exact shingle overlap with a
+    deterministic (doc_a, doc_b) tie-break — what a curation reviewer
+    actually eyeballs per cluster (VERDICT r7 item 6).
+
+    Why this key exists: the raw pair LIST (llm_dedup_near /
+    llm_dedup_ngram) is output-bound quadratic on duplicate-heavy
+    corpora — the 128× probe measured 44.3M pairs because a copy-clique
+    of c documents owns c(c−1)/2 pairs by definition. This sibling caps
+    the audited surface at NEAR_SAMPLE_K × n_components rows (linear in
+    corpus size), so the human/audit-facing output is itself 100 TB-safe
+    while the full pair stream stays available for machine consumers.
+
+    Scale shape: one candidate-generation pass shared with the
+    clustering loop (_ngram_cand_pairs, staged), the label-propagation
+    labels attach by an equi-join on doc_a (doc_a and doc_b share a
+    component by construction), and the rank ≤ K filter compiles to
+    Spark's WindowGroupLimit pushdown — each shuffle partition keeps
+    only its top K rows per component BEFORE the final sort, so no
+    component's full pair list ever materializes in one place.
+
+    Parity: every checked column is integer (ids, exact overlap counts,
+    rank); the rank's ordering key (common_shingles DESC, doc_a, doc_b)
+    is total, so both engines rank identically with no float anywhere.
+    """
+    cand = _ngram_cand_pairs(spark, sf_dir)
+    labels = _min_label_components(cand.select("doc_a", "doc_b"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("component_id")
+        .orderBy(F.desc("common_shingles"), "doc_a", "doc_b")
+    )
+    return (
+        cand.join(labels.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= NEAR_SAMPLE_K)
+        .select("component_id", "doc_a", "doc_b", "common_shingles", "rk")
+    )
 
 
 @query(
