@@ -808,7 +808,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            event_id, value,
-           CASE WHEN n > 1 AND s2 * n > s1 * s1
+           CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
                 THEN CAST(CAST(
                      (value - s1 / n)
                      / sqrt((s2 - s1 * s1 / n) / (n - 1))
@@ -827,8 +827,14 @@ def ts_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed IEEE expression tree with one libm sqrt, and the final score
     is quantized through DECIMAL(18,6) (the agg_corr rule — ratios of
     exact moments still carry last-ulp division noise). Degenerate
-    frames (n=1 or zero variance, including the s2·n == s1² boundary)
-    emit 0 by the same guard in both engines.
+    frames emit 0 by the same guard in both engines; the guard tests
+    the COMPUTED double variance (s2 − s1²/n) > 0, not the exact-moment
+    inequality s2·n > s1² — near-constant windows (10 copies of one
+    value, a flat-lined sensor) can satisfy the exact inequality while
+    catastrophic cancellation rounds the double variance to exactly 0,
+    and x/sqrt(0) is an ANSI DIVIDE_BY_ZERO crash (caught by the r8
+    midpoint-hunt octave at 10× sf0.1; guard flips zero rows at any
+    fixture SF, so certified hashes are unchanged).
 
     Scale shape: one exchange, two running decimal accumulators +
     a count per row — O(1) state, no frame list at all (contrast
@@ -867,7 +873,7 @@ def ts_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         F.expr(
-            """CASE WHEN n > 1 AND s2 * n > s1 * s1
+            """CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0D
                THEN CAST(CAST(
                     (value - s1 / n)
                     / sqrt((s2 - s1 * s1 / n) / (n - 1))
@@ -2461,16 +2467,16 @@ BOLL_K = 2      # band half-width in stddevs
     )
     SELECT event_type, bar_date, close, n,
            s1 / n AS ma,
-           CASE WHEN n > 1 AND s2 * n > s1 * s1
+           CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
                 THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
                 ELSE CAST(0.0 AS DOUBLE) END AS sigma,
-           s1 / n + {BOLL_K} * (CASE WHEN n > 1 AND s2 * n > s1 * s1
+           s1 / n + {BOLL_K} * (CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
                 THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
                 ELSE CAST(0.0 AS DOUBLE) END) AS upper_band,
-           s1 / n - {BOLL_K} * (CASE WHEN n > 1 AND s2 * n > s1 * s1
+           s1 / n - {BOLL_K} * (CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
                 THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
                 ELSE CAST(0.0 AS DOUBLE) END) AS lower_band,
-           CASE WHEN n > 1 AND s2 * n > s1 * s1
+           CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
                 THEN (close - (s1 / n - {BOLL_K} * sqrt((s2 - s1 * s1 / n)
                                                         / (n - 1))))
                      / (2 * {BOLL_K} * sqrt((s2 - s1 * s1 / n) / (n - 1)))
@@ -2492,8 +2498,12 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm — pow/ln/exp — and for operands that differ by construction,
     e.g. partial-agg double sums; neither applies here. Contrast ts_ewma,
     whose pow() weights force the quantize.) Degenerate frames (n=1 or
-    zero variance, decided on the exact-moment guard s2*n > s1^2) pin
-    sigma to 0 and %B to 0.5 identically.
+    zero computed variance) pin sigma to 0 and %B to 0.5 identically —
+    the guard tests the COMPUTED double variance (s2 − s1²/n) > 0, not
+    the exact-moment inequality, because near-constant frames can pass
+    s2·n > s1² while cancellation rounds the double variance to 0 and
+    %B's division by 2K·sigma crashes under ANSI (the ts_zscore_rolling
+    r8 octave catch; zero rows flip at any fixture SF).
 
     Scale shape: the OHLC partial agg absorbs tick volume; one exchange,
     two decimal accumulators + a count per row over bars (the
@@ -2521,7 +2531,7 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s2"),
         F.expr(f"CAST(COUNT(*) OVER ({w}) AS BIGINT)").alias("n"),
     )
-    sigma = """CASE WHEN n > 1 AND s2 * n > s1 * s1
+    sigma = """CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
                THEN sqrt((s2 - s1 * s1 / n) / (n - 1))
                ELSE CAST(0.0D AS DOUBLE) END"""
     return framed.select(
@@ -2534,7 +2544,7 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"s1 / n + {BOLL_K} * ({sigma})").alias("upper_band"),
         F.expr(f"s1 / n - {BOLL_K} * ({sigma})").alias("lower_band"),
         F.expr(
-            f"""CASE WHEN n > 1 AND s2 * n > s1 * s1
+            f"""CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
                 THEN (close - (s1 / n - {BOLL_K} * sqrt((s2 - s1 * s1 / n)
                                                         / (n - 1))))
                      / (2 * {BOLL_K} * sqrt((s2 - s1 * s1 / n) / (n - 1)))

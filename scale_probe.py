@@ -287,6 +287,10 @@ TPCH_KEYS = [
     # their orders: the orphan anti-joins stay empty while the key grids
     # grow mult× — the probe measures the key-only collapse, never rows
     "validate_referential_integrity",
+    # round-8: the sql-family headline representative — customer joins a
+    # scaled lineitem through two CTE stages; customer stays the fixed
+    # hot dimension (VERDICT r7 item 4)
+    "sql_cte_pipeline",
 ]
 
 _TPCH_COPY_TABLES = ("region", "nation", "customer", "supplier", "part")
@@ -556,6 +560,22 @@ FACT_KEYS = {
     # both flag subqueries collapse to key sets and broadcast against
     # the single customer scan; fact growth only grows the collapses
     "join_existence_flag": ("orders", "o_orderkey", None),
+    # round-8 (VERDICT r7 item 4): last headline families without a 32x
+    # representative. merge-upsert's two derived sides ride one scaled
+    # orders scan; the full-outer join shuffles the key once per side
+    "sink_merge_upsert": ("orders", "o_orderkey", None),
+    # correlated EXISTS collapses to a key-set semi-join; the scaled
+    # customer table is both the probe and (collapsed) build side
+    "subquery_correlated": ("customer", "c_custkey", None),
+    # Arrow-batched pandas_udf projection: per-row constant cost
+    "udf_pandas": ("lineitem", "l_orderkey", None),
+    # TakeOrderedAndProject: per-partition top-K then a K-row merge
+    "sort_limit": ("lineitem", "l_orderkey", None),
+    # micro-batch stream side scales; the static customer side stays a
+    # broadcast build
+    "stream_static_join": ("events", "event_id", None),
+    # count-per-value partial agg absorbs the growth before max_by
+    "agg_mode": ("lineitem", "l_orderkey", None),
     # partitioned re-stage + runtime-pruned join: write volume grows
     # linearly, the pruned read still opens ~1/7th of day directories
     "scan_dpp_join": ("events", "event_id", None),
@@ -588,6 +608,10 @@ DIM_COPY = {
     # customers scale while the nation/region dims stay fixed — the
     # broadcast build side stays broadcast-sized at any fact volume
     "join_broadcast": ("nation", "region"),
+    # events scale while the static join side stays a fixed broadcast
+    # build (round-8; in a combined run where another key scales
+    # customer, stage separately — the copy is skipped if present)
+    "stream_static_join": ("customer",),
 }
 
 

@@ -1446,3 +1446,105 @@ def test_dedup_embed_gram_path_matches_fold(spark, monkeypatch):
     assert set(gram) == set(fold)
     for k_, v in gram.items():
         assert abs(v - fold[k_]) < 1e-9, (k_, v, fold[k_])
+
+
+# The midpoint-quantization divergence class (exprs.py rule-11; the r7
+# sf0.1 audit's four catches; VERDICT r7 item 3), pinned as an engine
+# CONTRACT rather than prose. Mechanism, measured on this JDK/DuckDB:
+# - Spark casts double→DECIMAL(p,s) by HALF_UP-rounding the SHORTEST
+#   decimal repr (BigDecimal.valueOf → Double.toString), so a double
+#   whose shortest repr IS a scale-s midpoint string always rounds UP.
+# - DuckDB rounds a d×10^s DOUBLE PRODUCT half-away-from-zero, so FP
+#   error in the product decides the side — neither the exact binary
+#   value nor the shortest repr.
+# Divergence therefore happens exactly when the product error pulls
+# DuckDB below a midpoint Spark's repr sits on: ~29% of constructed
+# midpoint-repr doubles in the sampled battery. Both engines agree on
+# every value ≥1e-4 quanta away from a midpoint — the accepted-risk
+# envelope for the rule-2-necessary quantize sites (libm/differing
+# operands), where the quantized value is never a constructed midpoint
+# and P[within an ulp of one] ~ 1e-10 per value.
+_MIDPOINT_DIVERGING = [
+    # (double, spark CAST(… AS DECIMAL(18,6)), duckdb same cast)
+    (1424.6191765, "1424.619177", "1424.619176"),
+    (32.0312445, "32.031245", "32.031244"),
+    (9863.0278245, "9863.027825", "9863.027824"),
+    (3257.7508005, "3257.750801", "3257.750800"),
+    (6873.2311485, "6873.231149", "6873.231148"),
+    (603.2917045, "603.291705", "603.291704"),
+    (77.2773705, "77.277371", "77.277370"),
+    (20.3881625, "20.388163", "20.388162"),
+]
+_MIDPOINT_AGREEING = [
+    (0.7775725, "0.777573"),
+    (31.2340535, "31.234054"),
+    (1.7095705, "1.709571"),
+    (0.2439625, "0.243963"),
+    (0.7320525, "0.732053"),
+    (348.2913695, "348.291370"),
+    (3.8005815, "3.800582"),
+    (13.0972515, "13.097252"),
+]
+
+
+def test_midpoint_quantize_divergence_contract(spark):
+    """Pin the cross-engine double→decimal cast contract that rule-11
+    rests on: (a) Spark's cast equals HALF_UP of the shortest repr —
+    the predictive model restatements are designed against; (b) the
+    recorded diverging/agreeing midpoint cases reproduce bit-for-bit in
+    BOTH engines (a Spark or DuckDB upgrade that moves any of these
+    must be caught HERE, not by a parity flake at some SF); (c) doubles
+    far from any midpoint never diverge — the accepted-risk envelope
+    for the remaining rule-2-necessary quantize sites."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    con = duckdb.connect()
+
+    def duck(v: float) -> str:
+        return str(
+            con.execute(
+                f"SELECT CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(18,6))"
+            ).fetchone()[0]
+        )
+
+    def spark_cast(vals: list[float]) -> list[str]:
+        q = " UNION ALL ".join(
+            f"SELECT {i} AS i, CAST(CAST({v!r} AS DOUBLE)"
+            " AS DECIMAL(18,6)) AS q"
+            for i, v in enumerate(vals)
+        )
+        got = {r["i"]: str(r["q"]) for r in spark.sql(q).collect()}
+        return [got[i] for i in range(len(vals))]
+
+    # (b) recorded battery reproduces in both engines
+    div_vals = [v for v, _, _ in _MIDPOINT_DIVERGING]
+    agr_vals = [v for v, _ in _MIDPOINT_AGREEING]
+    sp = spark_cast(div_vals + agr_vals)
+    for (v, want_sp, want_du), got_sp in zip(_MIDPOINT_DIVERGING, sp):
+        assert got_sp == want_sp, (v, got_sp, want_sp)
+        assert duck(v) == want_du, (v, duck(v), want_du)
+        assert want_sp != want_du  # the class is REAL on this pair
+    for (v, want), got_sp in zip(_MIDPOINT_AGREEING, sp[len(div_vals):]):
+        assert got_sp == want and duck(v) == want, (v, got_sp, duck(v))
+
+    # (a) Spark's cast == HALF_UP(shortest repr) on the whole battery
+    for v, got in zip(div_vals + agr_vals, sp):
+        model = str(
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got == model, (v, got, model)
+
+    # (c) far-from-midpoint values agree (seeded, deterministic sweep)
+    rng = random.Random(7)
+    far = []
+    while len(far) < 150:
+        v = rng.uniform(0, 10000) * 10 ** rng.randint(-3, 0)
+        if abs((v * 1e6) % 1.0 - 0.5) > 1e-4:
+            far.append(v)
+    for v, got in zip(far, spark_cast(far)):
+        assert got == duck(v), (v, got, duck(v))
