@@ -1746,10 +1746,13 @@ def llm_embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST((SELECT hits FROM purity) AS DOUBLE) / MAX(n) AS DOUBLE)
                AS purity,
            CAST(SUM(mi_term) AS DOUBLE) AS mutual_info,
-           CAST(CAST(SUM(mi_term) AS DOUBLE)
-                / sqrt(CAST(SUM(hc_term) AS DOUBLE)
-                       * CAST(SUM(hl_term) AS DOUBLE))
-                AS DOUBLE) AS nmi
+           CASE WHEN CAST(SUM(hc_term) AS DOUBLE) > 0
+                     AND CAST(SUM(hl_term) AS DOUBLE) > 0
+                THEN CAST(CAST(SUM(mi_term) AS DOUBLE)
+                     / sqrt(CAST(SUM(hc_term) AS DOUBLE)
+                            * CAST(SUM(hl_term) AS DOUBLE))
+                     AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS nmi
     FROM terms
     """,
 )
@@ -1859,8 +1862,15 @@ def llm_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "purity"
             ),
             "mutual_info",
+            # Degenerate guard (r8 degenerate-corpus probe): a single
+            # cluster or a single label zeroes its entropy and
+            # mi/sqrt(0) crashes under ANSI; the sklearn convention for
+            # a trivial partition is NMI = 0 (no information), decided
+            # on the exact-decimal entropy sums in both engines.
             F.expr(
-                "CAST(mutual_info / sqrt(hc * hl) AS DOUBLE)"
+                """CASE WHEN hc > 0D AND hl > 0D
+                   THEN CAST(mutual_info / sqrt(hc * hl) AS DOUBLE)
+                   ELSE CAST(0.0D AS DOUBLE) END"""
             ).alias("nmi"),
         )
     )

@@ -500,9 +500,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           CAST(CAST((n * sxy - sx * sy)
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(CAST((n * sxy - sx * sy)
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-                     AS DECIMAL(10,6)) AS DOUBLE) AS corr_qty_price
+                     AS DECIMAL(10,6)) AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END AS corr_qty_price
     FROM m
     """,
 )
@@ -546,14 +548,24 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
         ).alias("sxy"),
     )
+    # Degenerate guard (r8 degenerate-corpus probe): a zero-variance
+    # column makes the denominator moments cancel to exactly 0 —
+    # x/sqrt(0) is an ANSI DIVIDE_BY_ZERO crash. Correlation is
+    # UNDEFINED there, so emit NULL (SQL corr() convention), decided on
+    # the same computed-double inequalities in both engines (each side
+    # is a chain of separately-rounded ops on identical operands).
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.sqrt(dx) * F.sqrt(dy)
     )
     return m.select(
         "l_returnflag",
         "n",
-        corr.cast("decimal(10,6)").cast("double").alias("corr_qty_price"),
+        F.when(
+            (dx > F.lit(0.0)) & (dy > F.lit(0.0)),
+            corr.cast("decimal(10,6)").cast("double"),
+        ).alias("corr_qty_price"),
     )
 
 
@@ -772,14 +784,18 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           CAST(CAST((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+           CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0
+           THEN CAST(CAST((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
                      / power(s2 / n - (s1 / n) * (s1 / n), 1.5)
-                     AS DECIMAL(10,6)) AS DOUBLE) AS skewness,
-           CAST(CAST((s4 / n - 4 * (s1 / n) * (s3 / n)
+                     AS DECIMAL(10,6)) AS DOUBLE)
+           ELSE CAST(NULL AS DOUBLE) END AS skewness,
+           CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0
+           THEN CAST(CAST((s4 / n - 4 * (s1 / n) * (s3 / n)
                       + 6 * (s1 / n) * (s1 / n) * (s2 / n)
                       - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
                      / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
-                     - 3.0 AS DECIMAL(10,6)) AS DOUBLE) AS excess_kurtosis
+                     - 3.0 AS DECIMAL(10,6)) AS DOUBLE)
+           ELSE CAST(NULL AS DOUBLE) END AS excess_kurtosis
     FROM m
     """,
 )
@@ -803,6 +819,12 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     after /n and the ~5× cancellation in the centered moments that noise
     is ≤1e-8, six orders under the quantum.
 
+    Degenerate guard (r8 degenerate-corpus probe): a zero-variance group
+    makes the computed variance (s2/n - (s1/n)^2) collapse to exactly 0
+    and both divisions crash under ANSI; skewness/kurtosis are undefined
+    there, so both emit NULL on the same computed-double guard in both
+    engines.
+
     Scale shape: one partial-aggregated groupBy carrying five fixed-width
     accumulators per group — constant state, no second pass (the textbook
     two-pass centered algorithm re-reads the data; the power-sum form
@@ -822,17 +844,21 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.expr(
-            "CAST(CAST((s3 / n - 3 * (s1 / n) * (s2 / n)"
+            "CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0"
+            " THEN CAST(CAST((s3 / n - 3 * (s1 / n) * (s2 / n)"
             " + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
             " / power(s2 / n - (s1 / n) * (s1 / n), 1.5)"
             " AS DECIMAL(10,6)) AS DOUBLE)"
+            " ELSE CAST(NULL AS DOUBLE) END"
         ).alias("skewness"),
         F.expr(
-            "CAST(CAST((s4 / n - 4 * (s1 / n) * (s3 / n)"
+            "CASE WHEN (s2 / n - (s1 / n) * (s1 / n)) > 0"
+            " THEN CAST(CAST((s4 / n - 4 * (s1 / n) * (s3 / n)"
             " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
             " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
             " / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))"
             " - 3.0 AS DECIMAL(10,6)) AS DOUBLE)"
+            " ELSE CAST(NULL AS DOUBLE) END"
         ).alias("excess_kurtosis"),
     )
 
@@ -1041,11 +1067,18 @@ def _cm_moment_sql() -> str:
 
 
 def _cm_corr_sql(x: str, y: str) -> str:
-    """Pearson r from the named moments, quantized per the agg_corr rule."""
+    """Pearson r from the named moments, quantized per the agg_corr rule.
+    NULL when either column's computed variance moment collapses to 0 —
+    a zero-variance feature makes r undefined and x/sqrt(0) an ANSI
+    crash (r8 degenerate-corpus probe); the guard is the same
+    computed-double inequality in both engines (shared generator)."""
     return (
-        f"CAST(CAST((n * sp_{x}_{y} - s_{x} * s_{y})"
+        f"CASE WHEN (n * ss_{x} - s_{x} * s_{x}) > 0"
+        f" AND (n * ss_{y} - s_{y} * s_{y}) > 0"
+        f" THEN CAST(CAST((n * sp_{x}_{y} - s_{x} * s_{y})"
         f" / (sqrt(n * ss_{x} - s_{x} * s_{x})"
         f" * sqrt(n * ss_{y} - s_{y} * s_{y})) AS DECIMAL(10,6)) AS DOUBLE)"
+        f" ELSE CAST(NULL AS DOUBLE) END"
     )
 
 

@@ -549,9 +549,11 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts AS (
         SELECT y,
                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER (
-                   ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c0,
+                   ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS c0,
                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER (
-                   ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+                   ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS c1,
                CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER ()
                    AS BIGINT) AS n0,
                CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER ()
@@ -585,15 +587,21 @@ def ab_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (variance, tails, bimodality) a mean test like ab_ttest_welch is
     blind to.
 
-    Note the ECDF gap is evaluated at every pooled observation with
-    cumulative counts that INCLUDE full tied-value runs — at tie tops
-    the gap equals the true sup over the run, and intermediate tie rows
-    can only produce smaller-or-equal gaps, so MAX is exact.
+    Tie handling (RESTATED r8 — the degenerate-corpus probe caught the
+    old ROWS-framed cumulative): the ECDF is a function of the VALUE,
+    so cumulative counts must include the entire tied run at every tie
+    row — RANGE framing (peers included), the tie-collapsed ECDF. The
+    previous ROWS framing made mid-run counts depend on the engine's
+    arbitrary ordering of tied rows, which could both overstate D
+    (spurious mid-run gaps — a false rejection risk on tie-heavy
+    metrics like zero-revenue users) and diverge between engines (it
+    did, on the constant-value corpus). Pre-r8 driver rows are
+    disavowed (registry.DISAVOWED_THROUGH).
 
-    Parity: cumulative counts are exact integer window sums over the
-    pooled y order (ties collapse identically — the cumulative at any y
-    value is order-independent within the run because MAX only reads
-    run tops); each ECDF step is one correctly-rounded division; the
+    Parity: cumulative counts are exact integer window sums, now
+    order-independent by construction (RANGE frames see identical peer
+    sets in both engines); each ECDF step is one correctly-rounded
+    division; the
     critical value's literals are CAST to DOUBLE in the oracle and its
     sqrt chain has no FMA shape. Nothing to quantize.
 
@@ -614,11 +622,13 @@ def ab_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = units.select(
         F.expr(
             """CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER (
-               ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)"""
+               ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT)"""
         ).alias("c0"),
         F.expr(
             """CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) OVER (
-               ORDER BY y ROWS UNBOUNDED PRECEDING) AS BIGINT)"""
+               ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT)"""
         ).alias("c1"),
         F.expr(
             "CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) OVER ()"

@@ -474,13 +474,17 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT d.event_type, d.event_id,
-               CAST(CAST(0.6745 * (d.value - d.med) / m.mad
-                         AS DECIMAL(12,6)) AS DOUBLE) AS z_robust
+               CASE WHEN m.mad > 0
+                    THEN CAST(CAST(0.6745 * (d.value - d.med) / m.mad
+                              AS DECIMAL(12,6)) AS DOUBLE)
+                    ELSE CAST(NULL AS DOUBLE) END AS z_robust,
+               m.mad, d.value, d.med
         FROM dev d JOIN mad m USING (event_type)
     )
     SELECT event_type, event_id, z_robust
     FROM scored
-    WHERE ABS(z_robust) > 3.5
+    WHERE (mad > 0 AND ABS(z_robust) > 3.5)
+       OR (mad = 0 AND value <> med)
     """,
 )
 def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,6 +511,14 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(12,6) on both sides (6 orders over ulp noise, the agg_corr
     rule), and the >3.5 gate compares post-quantization values, so both
     engines gate identical numbers and the flag set cannot flap.
+
+    Degenerate guard (r8 degenerate-corpus probe): a flat-lined series
+    has MAD exactly 0 and the score divides by zero (ANSI crash). The
+    scale is undefined there, but deviation from a zero-dispersion
+    baseline is the MOST anomalous case a monitor sees — so mad = 0
+    rows flag iff value <> median, carrying a NULL score (identical
+    CASE + filter in both engines; fixtures all have mad > 0, so
+    certified output is unchanged).
     """
     ev = load(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
@@ -523,10 +535,18 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         F.expr(
-            "CAST(CAST(0.6745 * (value - med) / mad AS DECIMAL(12,6)) AS DOUBLE)"
+            """CASE WHEN mad > 0D
+               THEN CAST(CAST(0.6745 * (value - med) / mad
+                         AS DECIMAL(12,6)) AS DOUBLE)
+               ELSE CAST(NULL AS DOUBLE) END"""
         ).alias("z_robust"),
+        "mad",
+        "value",
+        "med",
     )
-    return scored.filter(F.abs(F.col("z_robust")) > 3.5)
+    return scored.filter(
+        "(mad > 0D AND ABS(z_robust) > 3.5) OR (mad = 0D AND value <> med)"
+    ).select("event_type", "event_id", "z_robust")
 
 
 @query(
@@ -1147,9 +1167,11 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM long GROUP BY event_type, lag
     )
     SELECT event_type, lag, n AS n_pairs,
-           CAST(CAST((n * sxy - sx * sy)
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(CAST((n * sxy - sx * sy)
                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-                     AS DECIMAL(10,6)) AS DOUBLE) AS autocorr
+                     AS DECIMAL(10,6)) AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END AS autocorr
     FROM m
     """,
 )
@@ -1210,15 +1232,23 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(y * y) AS DOUBLE)").alias("syy"),
         F.expr("CAST(SUM(x * y) AS DOUBLE)").alias("sxy"),
     )
+    # Degenerate guard (r8 degenerate-corpus probe): a flat-lined hourly
+    # series zeroes both variance moments and x/sqrt(0) crashes under
+    # ANSI; the ACF is undefined there → NULL on the same computed-double
+    # inequalities in both engines (agg_corr pattern).
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.sqrt(dx) * F.sqrt(dy)
     )
     return m.select(
         "event_type",
         "lag",
         F.col("n").alias("n_pairs"),
-        corr.cast("decimal(10,6)").cast("double").alias("autocorr"),
+        F.when(
+            (dx > F.lit(0.0)) & (dy > F.lit(0.0)),
+            corr.cast("decimal(10,6)").cast("double"),
+        ).alias("autocorr"),
     )
 
 
@@ -3135,9 +3165,11 @@ _SAX_BP = "0.6745"  # N(0,1) quartile breakpoint for a 4-letter alphabet
     z AS (
         SELECT event_type,
                ((rn - 1) * {_SAX_SEGMENTS}) // n AS segment,
-               CAST((close - sx / n)
-                    / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
-                    AS DECIMAL(18,8)) AS z_q
+               CASE WHEN n > 1 AND (sxx - n * (sx / n) * (sx / n)) > 0
+                    THEN CAST((close - sx / n)
+                         / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
+                         AS DECIMAL(18,8))
+                    ELSE CAST(0 AS DECIMAL(18,8)) END AS z_q
         FROM idx
     )
     SELECT event_type, CAST(segment AS BIGINT) AS segment,
@@ -3171,6 +3203,12 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
     breakpoint literal CASTs to DOUBLE in the oracle (the decimal-
     literal trap). Breakpoint comparisons run on identical doubles.
 
+    Degenerate guard (r8 degenerate-corpus probe): a constant series
+    (or a 1-bar series) has zero computed variance and the z-divide
+    crashes under ANSI; the SAX convention for a constant series is
+    all-zero z (every segment symbolizes to the same mid letter), so
+    z pins to 0 on the same guard in both engines.
+
     Scale shape: the OHLC collapse absorbs ticks; both window passes
     ride ONE (event_type) exchange over bar rows; the segment agg is a
     partial-agg'd groupBy on the bounded (series x 8) grid. Flat.
@@ -3201,9 +3239,11 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr(f"((rn - 1) * {_SAX_SEGMENTS}) DIV n").alias("segment"),
         F.expr(
-            """CAST((close - sx / n)
-               / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
-               AS DECIMAL(18,8))"""
+            """CASE WHEN n > 1 AND (sxx - n * (sx / n) * (sx / n)) > 0D
+               THEN CAST((close - sx / n)
+                    / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1))
+                    AS DECIMAL(18,8))
+               ELSE CAST(0 AS DECIMAL(18,8)) END"""
         ).alias("z_q"),
     )
     paa = "CAST(SUM(z_q) AS DOUBLE) / COUNT(*)"
@@ -3612,7 +3652,9 @@ _XCORR_A, _XCORR_B = "click", "purchase"
     ),
     folded AS (SELECT lag, sxy, sxx, syy FROM f2 WHERE i = n)
     SELECT CAST(f.lag AS BIGINT) AS lag, m.n AS n_pairs,
-           f.sxy / (sqrt(f.sxx) * sqrt(f.syy)) AS xcorr
+           CASE WHEN f.sxx > 0 AND f.syy > 0
+                THEN f.sxy / (sqrt(f.sxx) * sqrt(f.syy))
+                ELSE CAST(NULL AS DOUBLE) END AS xcorr
     FROM folded f JOIN m USING (lag)
     """,
 )
@@ -3690,15 +3732,31 @@ def ts_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(p, 0D, (s, e) -> s + e.x) / n").alias("mx"),
         F.expr("aggregate(p, 0D, (s, e) -> s + e.y) / n").alias("my"),
     )
-    return m.select(
+    # Degenerate guard (r8 degenerate-corpus probe): a flat-lined series
+    # folds sxx (a sum of NON-NEGATIVE squares — no cancellation) to
+    # exactly 0, and x/sqrt(0) is an ANSI DIVIDE_BY_ZERO crash; the
+    # correlation is undefined there, so emit NULL on the same fold
+    # values in both engines.
+    moments = m.select(
+        "lag",
+        "n",
+        F.expr(
+            "aggregate(p, 0D, (s, e) -> s + (e.x - mx) * (e.y - my))"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(p, 0D, (s, e) -> s + (e.x - mx) * (e.x - mx))"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(p, 0D, (s, e) -> s + (e.y - my) * (e.y - my))"
+        ).alias("syy"),
+    )
+    return moments.select(
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n").alias("n_pairs"),
         F.expr(
-            """aggregate(p, 0D, (s, e) -> s + (e.x - mx) * (e.y - my))
-               / (sqrt(aggregate(p, 0D,
-                        (s, e) -> s + (e.x - mx) * (e.x - mx)))
-                  * sqrt(aggregate(p, 0D,
-                        (s, e) -> s + (e.y - my) * (e.y - my))))"""
+            """CASE WHEN sxx > 0D AND syy > 0D
+               THEN sxy / (sqrt(sxx) * sqrt(syy))
+               ELSE CAST(NULL AS DOUBLE) END"""
         ).alias("xcorr"),
     )
 

@@ -115,6 +115,12 @@ DISAVOWED_THROUGH: dict[str, int] = {
     "ts_rsi": 6,
     "ts_lead_lag_xcorr": 6,
     "ts_cusum_changepoint": 6,
+    # r8 degenerate-corpus probe: the ROWS-framed ECDF cumulative made
+    # mid-tie-run counts depend on the engines' arbitrary tie order
+    # (divergence + possible D overstatement); restated with RANGE
+    # framing (tie-collapsed ECDF) — D changes wherever ties carried the
+    # max gap, so the r5 row certifies the old statistic
+    "ab_ks_two_sample": 7,
 }
 
 
@@ -196,6 +202,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(DRIVER_VERIFIED_ROUND)
 # exact front of the r7 window. Already-verified keys are filtered out
 # by ordered_keys(), so stale entries here are harmless.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # r8 degenerate-corpus restatement (tie-collapsed ECDF) — re-certify
+    # first, alongside the r8-new bounded pair-sample key
+    "ab_ks_two_sample", "llm_dedup_near_sample",
     # r7 sf0.1-audit rework: disavowed pre-r7 certs (exact restatements
     # of quantized quotient/product forms) — re-certify first
     "ts_rsi", "ts_cusum_changepoint",

@@ -72,13 +72,18 @@ def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_path(spark, target)
     for _ in range(2):
         src.write.mode("append").partitionBy("l_returnflag").parquet(target)
-    out = spark.read.parquet(target)
-    # partitionBy round-trips the partition column as string; restore types
+    # Explicit readback schema (r8 degenerate-corpus probe): an hourly
+    # batch can legitimately be EMPTY (the filter matched nothing), and a
+    # readback that infers its schema from the appended files crashes
+    # with UNABLE_TO_INFER_SCHEMA on a _SUCCESS-only target. Pinning the
+    # schema also fixes the partition-column round-trip (string) without
+    # per-column casts.
+    out = spark.read.schema(
+        "l_orderkey long, l_linenumber int, l_quantity double,"
+        " l_returnflag string"
+    ).parquet(target)
     return out.select(
-        F.col("l_orderkey").cast("long"),
-        F.col("l_linenumber").cast("int"),
-        F.col("l_quantity").cast("double"),
-        F.col("l_returnflag").cast("string"),
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
 
 

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Degenerate-corpus robustness probe (round 8).
+
+The 10x-octave midpoint hunt caught ts_zscore_rolling crashing with an
+ANSI DIVIDE_BY_ZERO on near-constant windows — a hazard class the normal
+fixtures can never reach: divisions by COMPUTED spreads (rolling
+variance, sqrt-product denominators, max-min ranges) that collapse to
+exactly 0 when a series flat-lines. At 100 TB flat-lined sensors,
+zero-variance cohorts, and constant-price SKUs are routine, so "works on
+the fixture" is not "works on real data".
+
+This probe builds the hostile corpus deliberately: every numeric VALUE
+column is constant (events.value, lineitem quantity/price/discount/tax,
+orders.o_totalprice, embeddings a constant non-zero vector), while keys,
+timestamps, FK structure, and document text are untouched — so every
+group/window/frame has ZERO variance but all joins and grids still
+resolve. Then every registry key must EXECUTE (crash-freedom), and every
+oracle-bearing key must still match DuckDB EXACTLY (the degenerate
+defaults — 0 z-scores, 0.5 %%B, guard fallbacks — must be the SAME
+degenerate defaults in both engines, or the guard is a parity bug).
+
+Usage:
+    python tools/degenerate_probe.py [--keys a,b] [--record PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.001"
+OUT = Path("/tmp/spark_graft_degenerate")
+
+# value columns forced constant, per table (keys/dates/text untouched)
+CONST_COLS = {
+    "events": {"value": 100.0},
+    "lineitem": {
+        "l_quantity": 25.0,
+        "l_extendedprice": 1000.0,
+        "l_discount": 0.05,
+        "l_tax": 0.04,
+    },
+    "orders": {"o_totalprice": 5000.0},
+}
+COPY = ("region", "nation", "customer", "supplier", "part", "documents")
+EMB_CONST = 3  # constant non-zero component (norm > 0: cosine defined)
+
+
+def stage() -> None:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = OUT / ".staged"
+    if marker.exists():
+        print(f"stage: reusing {OUT}", flush=True)
+        return
+    OUT.mkdir(parents=True, exist_ok=True)
+    for t, consts in CONST_COLS.items():
+        tab = pq.read_table(f"{SRC}/{t}.parquet")
+        for col, v in consts.items():
+            idx = tab.schema.get_field_index(col)
+            typ = tab.field(idx).type
+            tab = tab.set_column(
+                idx, tab.field(idx), pa.array([v] * len(tab), typ)
+            )
+        pq.write_table(tab, OUT / f"{t}.parquet")
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    dim = len(emb.column("embedding")[0])
+    idx = emb.schema.get_field_index("embedding")
+    const_vec = pa.array(
+        [[float(EMB_CONST)] * dim] * len(emb), emb.field(idx).type
+    )
+    emb = emb.set_column(idx, emb.field(idx), const_vec)
+    pq.write_table(emb, OUT / "embeddings.parquet")
+    for t in COPY:
+        shutil.copy(f"{SRC}/{t}.parquet", OUT / f"{t}.parquet")
+    marker.touch()
+    print(f"stage: wrote {OUT}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default="")
+    ap.add_argument("--record", default="")
+    args = ap.parse_args()
+    if args.record:
+        args.record = os.path.abspath(args.record)
+
+    sys.path.insert(0, REPO)
+    stage()
+
+    from bitcoin_price_etl_spark.registry import load_all
+    from bitcoin_price_etl_spark.session import get_spark
+    from tests.oracle import compare_to_oracle
+
+    reg = load_all()
+    keys = [k for k in args.keys.split(",") if k] or list(reg)
+    spark = get_spark("degenerate-probe")
+    ok, bad = 0, []
+    record: dict[str, dict] = {}
+    for k in keys:
+        gc.collect()
+        t0 = time.perf_counter()
+        try:
+            if reg[k].oracle is not None:
+                compare_to_oracle(spark, k, str(OUT))
+                status, cls = "exact_eq", "oracle"
+            else:
+                rows = reg[k].fn(spark, str(OUT)).collect()
+                status, cls = "ok", "rows_only"
+            ok += 1
+            record[k] = {"class": cls, "status": status,
+                         "sec": round(time.perf_counter() - t0, 3)}
+            print(f"{k}: {status.upper()}", flush=True)
+        except Exception as ex:  # noqa: BLE001 — probe must keep going
+            bad.append((k, type(ex).__name__))
+            record[k] = {
+                "class": "oracle" if reg[k].oracle else "rows_only",
+                "status": f"fail:{type(ex).__name__}",
+                "detail": str(ex)[:300],
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+            print(f"{k}: FAIL {type(ex).__name__}: {str(ex)[:200]}",
+                  flush=True)
+    print(f"SUMMARY ok={ok} bad={len(bad)} {bad}", flush=True)
+    if args.record:
+        with open(args.record, "w") as f:
+            json.dump(
+                {
+                    "corpus": "constant-value degenerate (zero variance "
+                              "everywhere, structure intact)",
+                    "n_keys": len(keys),
+                    "full_registry": len(keys) == len(reg),
+                    "ok": ok,
+                    "bad": len(bad),
+                    "keys": record,
+                },
+                f,
+                indent=1,
+            )
+        print(f"record written: {args.record}", flush=True)
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
