@@ -192,15 +192,13 @@ DRIVER_VERIFIED_ROUND: dict[str, int] = _build_verified_rounds()
 DRIVER_VERIFIED: frozenset[str] = frozenset(DRIVER_VERIFIED_ROUND)
 
 # Explicit head of the round's verification window, most-important-first.
-# Round 6 continues the drain (VERDICT r5 item 1): backlog is 79 of 323
-# never-driver-verified keys, the window certifies ~50/round, and the
-# registry is FROZEN (no new keys this round). Head order = VERDICT
-# item 1's widest-surface-first rotation: the ts_* indicator/analysis
-# tail (~21 keys), the llm curation/analysis tail (24), eventflow/
-# cohort/path, then the fn_/sql_/sink_/join_/agg_ long tail. All 79
-# pending keys are listed so the ~29 past the window cut land at the
-# exact front of the r7 window. Already-verified keys are filtered out
-# by ordered_keys(), so stale entries here are harmless.
+# The r1-r7 backlog drain is COMPLETE (all pre-r8 keys driver-certified);
+# from r8 on this list only fronts keys that must (re-)certify — new keys
+# and disavowed restatements — and the window's remaining ~48 slots fill
+# with the oldest-certified tail (ordered_keys() sorts the verified tail
+# oldest-cert-first), refreshing r1/r2-era evidence ~50 keys per round.
+# Already-verified keys are filtered out by ordered_keys(), so stale
+# entries here are harmless.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # r8 degenerate-corpus restatement (tie-collapsed ECDF) — re-certify
     # first, alongside the r8-new bounded pair-sample key
