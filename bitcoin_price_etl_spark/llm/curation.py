@@ -868,6 +868,7 @@ WEIGHTED_SAMPLE_K = 100
                    / 4294967297.0)
                    / n_chars AS DECIMAL(30,12)) AS priority
         FROM documents
+        WHERE n_chars > 0
     )
     SELECT doc_id, source, n_chars,
            CAST(priority AS DOUBLE) AS priority
@@ -898,7 +899,11 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANKING both engines sort on is identical exact values, tie-pinned
     by doc_id.
     """
-    d = load(spark, sf_dir, "documents")
+    # A-Res convention (r8 zerovec probe): a zero-weight item (empty
+    # document, n_chars = 0) is NEVER drawn — its priority -ln(u)/0 is
+    # +inf by limit and an ANSI crash literally; exclude it from the
+    # draw in both engines.
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u_int = F.expr(
         "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
     ).cast("bigint")

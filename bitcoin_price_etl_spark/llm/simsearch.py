@@ -68,7 +68,10 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (s, x) -> s + x) AS qnorm2
         FROM embeddings e CROSS JOIN q
     )
-    SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
+    SELECT vec_id,
+           CASE WHEN norm2 > 0 AND qnorm2 > 0
+                THEN dot / (sqrt(norm2) * sqrt(qnorm2))
+                ELSE CAST(0.0 AS DOUBLE) END AS cosine
     FROM scored
     ORDER BY cosine DESC, vec_id
     LIMIT {TOP_K}
@@ -104,7 +107,19 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0D, (s, v) -> s + v)"
         ).alias("qnorm2"),
     )
-    cosine = (F.col("dot") / (F.sqrt("norm2") * F.sqrt("qnorm2"))).alias("cosine")
+    # zero-norm convention (r8 zerovec probe): a failed-embedding row
+    # (all-zero vector) has UNDEFINED cosine; x/sqrt(0) crashes under
+    # ANSI and NaN ordering differs per engine — pin cos := 0 when
+    # either norm is 0 (matches nothing, deterministic rank) in every
+    # cosine operator and its oracle.
+    cosine = (
+        F.when(
+            (F.col("norm2") > F.lit(0.0)) & (F.col("qnorm2") > F.lit(0.0)),
+            F.col("dot") / (F.sqrt("norm2") * F.sqrt("qnorm2")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine")
+    )
     return (
         scored.select("vec_id", cosine)
         .orderBy(F.col("cosine").desc(), "vec_id")
@@ -136,7 +151,11 @@ def llm_sim_search_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = m.astype(np.float64, copy=False)
         dots = m @ q
         norms = np.sqrt(np.einsum("ij,ij->i", m, m))
-        return pd.Series(dots / (norms * qn))
+        denom = norms * qn
+        # zero-norm convention: cos := 0 (see llm_sim_search)
+        out = np.divide(dots, denom, out=np.zeros_like(dots),
+                        where=denom > 0)
+        return pd.Series(out)
 
     return (
         e.select("vec_id", cosine_batch("embedding").alias("cosine"))
@@ -255,10 +274,14 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.select(
         "vec_id",
         F.expr(
-            "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            "CASE WHEN aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " AND aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " THEN aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
             " 0D, (s, v) -> s + v)"
             " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
             "    * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+            " ELSE 0.0D END"
         ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
@@ -275,14 +298,20 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-               (s, x) -> s + x) / (a.norm * b.norm) AS cosine
+           CASE WHEN a.norm * b.norm > 0
+                THEN list_reduce(list_transform(
+                         list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                         (s, x) -> s + x) / (a.norm * b.norm)
+                ELSE CAST(0.0 AS DOUBLE) END AS cosine
     FROM scored a JOIN scored b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-              (s, x) -> s + x) / (a.norm * b.norm) > 0.35
+    WHERE CASE WHEN a.norm * b.norm > 0
+               THEN list_reduce(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                        (s, x) -> s + x) / (a.norm * b.norm)
+               ELSE CAST(0.0 AS DOUBLE) END > 0.35
     """,
 )
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +350,15 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(a.embedding, b.embedding,"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
     )
-    cosine = (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine")
+    # zero-norm convention: cos := 0 (see llm_sim_search)
+    cosine = (
+        F.when(
+            F.col("a.norm") * F.col("b.norm") > F.lit(0.0),
+            dot / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine")
+    )
     return (
         a.join(
             b,
@@ -365,7 +402,10 @@ def _dedup_embed_pairs_gram(e: DataFrame) -> DataFrame:
         B = 1024
         for s0 in range(0, n, B):
             e0 = min(s0 + B, n)
-            G = (M[s0:e0] @ M[:e0].T) / (nrm[s0:e0, None] * nrm[None, :e0])
+            denom = nrm[s0:e0, None] * nrm[None, :e0]
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            G = np.divide(M[s0:e0] @ M[:e0].T, denom,
+                          out=np.zeros((e0 - s0, e0)), where=denom > 0)
             rows = np.arange(s0, e0)[:, None]
             cols = np.arange(e0)[None, :]
             ii, jj = np.nonzero((G > tau) & (cols < rows))
@@ -430,10 +470,14 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = candidates.crossJoin(F.broadcast(q_df)).select(
         "vec_id",
         F.expr(
-            "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            "CASE WHEN aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " AND aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " THEN aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
             " 0D, (s, v) -> s + v)"
             " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
             "    * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+            " ELSE 0.0D END"
         ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
@@ -974,7 +1018,10 @@ def _semdedup_kept_cells(assigned: DataFrame) -> DataFrame:
         B = 1024
         for s0 in range(0, n, B):
             e0 = min(s0 + B, n)
-            G = (M[s0:e0] @ M[:e0].T) / (nrm[s0:e0, None] * nrm[None, :e0])
+            denom = nrm[s0:e0, None] * nrm[None, :e0]
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            G = np.divide(M[s0:e0] @ M[:e0].T, denom,
+                          out=np.zeros((e0 - s0, e0)), where=denom > 0)
             rows = np.arange(s0, e0)[:, None]
             cols = np.arange(e0)[None, :]
             dup[s0:e0] = ((G > tau) & (cols < rows)).any(axis=1)
@@ -1018,10 +1065,13 @@ def _semdedup_kept_cells(assigned: DataFrame) -> DataFrame:
            NOT EXISTS (
                SELECT 1 FROM assigned b
                WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-                 AND list_reduce(list_transform(
-                         list_zip(a.embedding, b.embedding),
-                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                         (s, x) -> s + x) / (a.norm * b.norm)
+                 AND CASE WHEN a.norm * b.norm > 0
+                          THEN list_reduce(list_transform(
+                              list_zip(a.embedding, b.embedding),
+                              p -> CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE)),
+                              (s, x) -> s + x) / (a.norm * b.norm)
+                          ELSE CAST(0.0 AS DOUBLE) END
                      > {SEMDEDUP_TAU}
            ) AS kept
     FROM assigned a
@@ -1121,7 +1171,14 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
-        .filter(dot / (F.col("a.norm") * F.col("b.norm")) > SEMDEDUP_TAU)
+        .filter(
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            F.when(
+                F.col("a.norm") * F.col("b.norm") > F.lit(0.0),
+                dot / (F.col("a.norm") * F.col("b.norm")),
+            ).otherwise(F.lit(0.0))
+            > SEMDEDUP_TAU
+        )
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -1505,9 +1562,13 @@ _HN_K = 3
     ),
     scored AS (
         SELECT a.anchor_id, c.vec_id AS negative_id, c.label AS negative_label,
-               list_reduce(list_transform(list_zip(c.embedding, a.av),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                   (s, x) -> s + x) / (c.norm * a.anorm) AS cosine
+               CASE WHEN c.norm * a.anorm > 0
+                    THEN list_reduce(list_transform(
+                             list_zip(c.embedding, a.av),
+                             p -> CAST(p[1] AS DOUBLE)
+                                  * CAST(p[2] AS DOUBLE)),
+                             (s, x) -> s + x) / (c.norm * a.anorm)
+                    ELSE CAST(0.0 AS DOUBLE) END AS cosine
         FROM normed c CROSS JOIN anchors a
         WHERE c.label <> a.anchor_label
     ),
@@ -1575,9 +1636,12 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("negative_id"),
             F.col("label").alias("negative_label"),
             F.expr(
-                "aggregate(zip_with(embedding, av,"
+                # zero-norm convention: cos := 0 (see llm_sim_search)
+                "CASE WHEN norm * anorm > 0D"
+                " THEN aggregate(zip_with(embedding, av,"
                 " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
                 " 0D, (s, v) -> s + v) / (norm * anorm)"
+                " ELSE 0.0D END"
             ).alias("cosine"),
         )
     )

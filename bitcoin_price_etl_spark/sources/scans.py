@@ -414,6 +414,7 @@ _BINARYFILE_N_DOCS = 40  # doc_id < 40 staged as one opaque file each
            md5(text) AS digest
     FROM documents
     WHERE doc_id < {_BINARYFILE_N_DOCS}
+      AND octet_length(encode(text)) > 0
     """,
 )
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +429,14 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     content digest. The oracle never touches the files — it derives the
     same triple from the documents view, so the check proves the binary
     round-trip is byte-exact.
+
+    SOURCE CONTRACT (r8 zerovec probe): Spark's binaryFile source DROPS
+    zero-byte files — its FileIndex never emits them as rows — so a
+    0-byte asset (a failed download in a real 100 TB corpus) silently
+    disappears at the scan. The oracle mirrors the contract
+    (octet_length > 0) and this docstring makes it explicit: a pipeline
+    that must ACCOUNT for empty assets needs a listing-side audit (e.g.
+    a manifest anti-join), not the binaryFile row stream.
 
     Scale shape: binaryFile is a FileScan — distributed, splittable by
     file, partition-prunable by path glob (pathGlobFilter pins *.bin

@@ -19,8 +19,20 @@ oracle-bearing key must still match DuckDB EXACTLY (the degenerate
 defaults — 0 z-scores, 0.5 %%B, guard fallbacks — must be the SAME
 degenerate defaults in both engines, or the guard is a parity bug).
 
+Two corpus variants:
+
+- `constant` (default): every numeric value column constant — the
+  zero-variance axis (rolling variance, correlation denominators, MAD,
+  entropy products).
+- `zerovec`: all OTHER tables untouched (varied values), but embeddings
+  rows 0-4 are all-zero vectors (failed-embedding rows — and vec_ids 0+
+  are exactly the centroid/query seeds, the harshest placement) and
+  documents 0-4 carry empty/whitespace-only text — the undefined-cosine
+  / empty-tokenization axis.
+
 Usage:
-    python tools/degenerate_probe.py [--keys a,b] [--record PATH]
+    python tools/degenerate_probe.py [--variant constant|zerovec]
+                                     [--keys a,b] [--record PATH]
 """
 
 from __future__ import annotations
@@ -50,6 +62,57 @@ CONST_COLS = {
 }
 COPY = ("region", "nation", "customer", "supplier", "part", "documents")
 EMB_CONST = 3  # constant non-zero component (norm > 0: cosine defined)
+
+
+def stage_zerovec(out: Path) -> None:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = out / ".staged"
+    if marker.exists():
+        print(f"stage: reusing {out}", flush=True)
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    idx = emb.schema.get_field_index("embedding")
+    vecs = emb.column("embedding").to_pylist()
+    dim = len(vecs[0])
+    for i in range(min(5, len(vecs))):
+        vecs[i] = [0.0] * dim
+    emb = emb.set_column(
+        idx, emb.field(idx), pa.array(vecs, emb.field(idx).type)
+    )
+    pq.write_table(emb, out / "embeddings.parquet")
+
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    t_idx = docs.schema.get_field_index("text")
+    texts = docs.column("text").to_pylist()
+    ids = docs.column("doc_id").to_pylist()
+    for i, did in enumerate(ids):
+        if did in (0, 1, 2):
+            texts[i] = ""
+        elif did in (3, 4):
+            texts[i] = "   "
+    docs = docs.set_column(
+        t_idx, docs.field(t_idx), pa.array(texts, pa.string())
+    )
+    n_idx = docs.schema.get_field_index("n_chars")
+    import pyarrow.compute as pc  # noqa: F401 — keep n_chars consistent
+
+    nchars = [len(t) for t in texts]
+    docs = docs.set_column(
+        n_idx, docs.field(n_idx),
+        pa.array(nchars, docs.field(n_idx).type),
+    )
+    pq.write_table(docs, out / "documents.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+    marker.touch()
+    print(f"stage: wrote {out} (zerovec)", flush=True)
 
 
 def stage() -> None:
@@ -90,12 +153,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", default="")
     ap.add_argument("--record", default="")
+    ap.add_argument("--variant", default="constant",
+                    choices=("constant", "zerovec"))
     args = ap.parse_args()
     if args.record:
         args.record = os.path.abspath(args.record)
 
     sys.path.insert(0, REPO)
-    stage()
+    global OUT
+    if args.variant == "zerovec":
+        OUT = Path("/tmp/spark_graft_degenerate_zerovec")
+        stage_zerovec(OUT)
+    else:
+        stage()
 
     from bitcoin_price_etl_spark.registry import load_all
     from bitcoin_price_etl_spark.session import get_spark
@@ -135,8 +205,16 @@ def main() -> None:
         with open(args.record, "w") as f:
             json.dump(
                 {
-                    "corpus": "constant-value degenerate (zero variance "
-                              "everywhere, structure intact)",
+                    "corpus": (
+                        "constant-value degenerate (zero variance "
+                        "everywhere, structure intact)"
+                        if args.variant == "constant"
+                        else "zerovec/empty-text degenerate (zero-norm "
+                             "embedding rows 0-4 incl. centroid/query "
+                             "seeds; empty + whitespace-only documents "
+                             "0-4; other tables untouched)"
+                    ),
+                    "variant": args.variant,
                     "n_keys": len(keys),
                     "full_registry": len(keys) == len(reg),
                     "ok": ok,
