@@ -112,10 +112,12 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(t1.user_id) AS n_viewed,
            count(t2.user_id) AS n_clicked_after_view,
            count(t3.user_id) AS n_purchased_after_click,
-           CAST(count(t2.user_id) AS DOUBLE) / count(t1.user_id)
-               AS view_to_click_rate,
-           CAST(count(t3.user_id) AS DOUBLE) / count(t1.user_id)
-               AS view_to_purchase_rate
+           CASE WHEN count(t1.user_id) > 0
+                THEN CAST(count(t2.user_id) AS DOUBLE) / count(t1.user_id)
+                ELSE CAST(NULL AS DOUBLE) END AS view_to_click_rate,
+           CASE WHEN count(t1.user_id) > 0
+                THEN CAST(count(t3.user_id) AS DOUBLE) / count(t1.user_id)
+                ELSE CAST(NULL AS DOUBLE) END AS view_to_purchase_rate
     FROM t1
     LEFT JOIN t2 ON t1.user_id = t2.user_id
     LEFT JOIN t3 ON t1.user_id = t3.user_id
@@ -167,12 +169,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = F.count("ts1")
     n2 = F.count("ts2")
     n3 = F.count("ts3")
+    # Degenerate guard (r8 sparse-corpus probe): a feed with no 'view'
+    # events has an EMPTY funnel top — the rates are undefined (NULL in
+    # both engines), not a divide-by-zero crash.
     return joined.agg(
         n1.alias("n_viewed"),
         n2.alias("n_clicked_after_view"),
         n3.alias("n_purchased_after_click"),
-        (n2.cast("double") / n1).alias("view_to_click_rate"),
-        (n3.cast("double") / n1).alias("view_to_purchase_rate"),
+        F.when(n1 > 0, n2.cast("double") / n1).alias("view_to_click_rate"),
+        F.when(n1 > 0, n3.cast("double") / n1).alias(
+            "view_to_purchase_rate"
+        ),
     )
 
 

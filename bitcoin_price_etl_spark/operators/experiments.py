@@ -114,21 +114,26 @@ _USER_METRIC_DUCK = """
           MAX(CASE WHEN variant = 1 THEN n END) AS n1,
           MAX(CASE WHEN variant = 0 THEN s / n END) AS m0,
           MAX(CASE WHEN variant = 1 THEN s / n END) AS m1,
-          MAX(CASE WHEN variant = 0 THEN (ss - s * s / n) / (n - 1) END)
-              AS v0,
-          MAX(CASE WHEN variant = 1 THEN (ss - s * s / n) / (n - 1) END)
-              AS v1
+          MAX(CASE WHEN variant = 0 AND n > 1
+                   THEN (ss - s * s / n) / (n - 1) END) AS v0,
+          MAX(CASE WHEN variant = 1 AND n > 1
+                   THEN (ss - s * s / n) / (n - 1) END) AS v1
         FROM v
     )
     SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
            CAST(CAST(m0 AS DECIMAL(18,6)) AS DOUBLE) AS mean_control,
            CAST(CAST(m1 AS DECIMAL(18,6)) AS DOUBLE) AS mean_treatment,
-           CAST(CAST((m1 - m0) / sqrt(v0 / n0 + v1 / n1)
-                     AS DECIMAL(12,6)) AS DOUBLE) AS t_stat,
-           CAST(CAST((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
-                     / ((v0 / n0) * (v0 / n0) / (n0 - 1)
-                        + (v1 / n1) * (v1 / n1) / (n1 - 1))
-                     AS DECIMAL(12,4)) AS DOUBLE) AS welch_df
+           CASE WHEN (v0 / n0 + v1 / n1) > 0
+                THEN CAST(CAST((m1 - m0) / sqrt(v0 / n0 + v1 / n1)
+                          AS DECIMAL(12,6)) AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END AS t_stat,
+           CASE WHEN ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                      + (v1 / n1) * (v1 / n1) / (n1 - 1)) > 0
+                THEN CAST(CAST((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+                          / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                             + (v1 / n1) * (v1 / n1) / (n1 - 1))
+                          AS DECIMAL(12,4)) AS DOUBLE)
+                ELSE CAST(NULL AS DOUBLE) END AS welch_df
     FROM w
     """,
 )
@@ -174,14 +179,14 @@ def ab_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m1"),
         F.max(
             F.when(
-                F.col("variant") == 0,
+                (F.col("variant") == 0) & (F.col("n") > 1),
                 (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
                 / (F.col("n") - 1),
             )
         ).alias("v0"),
         F.max(
             F.when(
-                F.col("variant") == 1,
+                (F.col("variant") == 1) & (F.col("n") > 1),
                 (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
                 / (F.col("n") - 1),
             )
@@ -203,11 +208,26 @@ def ab_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m1").cast("decimal(18,6)").cast("double").alias(
             "mean_treatment"
         ),
-        ((F.col("m1") - F.col("m0")) / F.sqrt(se2))
+        # Degenerate guards (r8 sparse-corpus probe): a metric with zero
+        # variance in both arms (e.g. a feed with no purchase events at
+        # all - every per-user y is exactly 0) has an undefined t and
+        # df: NULL, not an ANSI crash; single-unit arms leave the
+        # variance itself NULL (n > 1 guard above), which propagates.
+        F.when(se2 > 0, (F.col("m1") - F.col("m0")) / F.sqrt(se2))
         .cast("decimal(12,6)")
         .cast("double")
         .alias("t_stat"),
-        df.cast("decimal(12,4)").cast("double").alias("welch_df"),
+        F.when(
+            (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0"))
+            / (F.col("n0") - 1)
+            + (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+            / (F.col("n1") - 1)
+            > 0,
+            df,
+        )
+        .cast("decimal(12,4)")
+        .cast("double")
+        .alias("welch_df"),
     )
 
 
@@ -480,11 +500,12 @@ def ab_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
                * sqrt(2.0 * ((syy - n * (sy / n) * (sy / n)) / (n - 1)) / n)
                AS DECIMAL(18,8)) AS DOUBLE) AS mde_abs,
-           CAST(CAST(
+           CASE WHEN sy / n <> 0.0 THEN CAST(CAST(
                (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
                * sqrt(2.0 * ((syy - n * (sy / n) * (sy / n)) / (n - 1)) / n)
                / (sy / n)
-               AS DECIMAL(18,8)) AS DOUBLE) AS mde_rel
+               AS DECIMAL(18,8)) AS DOUBLE)
+           ELSE CAST(NULL AS DOUBLE) END AS mde_rel
     FROM m
     """,
 )
@@ -536,8 +557,13 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(CAST({mde_core} AS DECIMAL(18,8)) AS DOUBLE)").alias(
             "mde_abs"
         ),
+        # Degenerate guard (r8 sparse-corpus probe): a zero-mean metric
+        # (no purchase events) has no relative MDE - NULL, not an ANSI
+        # divide-by-zero.
         F.expr(
-            f"CAST(CAST({mde_core} / (sy / n) AS DECIMAL(18,8)) AS DOUBLE)"
+            f"CASE WHEN sy / n <> 0.0D THEN"
+            f" CAST(CAST({mde_core} / (sy / n) AS DECIMAL(18,8)) AS DOUBLE)"
+            f" ELSE CAST(NULL AS DOUBLE) END"
         ).alias("mde_rel"),
     )
 

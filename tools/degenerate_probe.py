@@ -115,6 +115,52 @@ def stage_zerovec(out: Path) -> None:
     print(f"stage: wrote {out} (zerovec)", flush=True)
 
 
+def stage_sparse(out: Path) -> None:
+    """Skeletal corpus: every table tiny, events reduced to a SINGLE
+    event type — the empty-group / empty-frame axis (a cross-series
+    operator sees one series and zero pairs; control-plane collect()s
+    see empty or 1-row frames; windows see groups smaller than their
+    taps). FK pairs are kept consistent (lineitem filtered to surviving
+    orderkeys) so join semantics stay honest."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    marker = out / ".staged"
+    if marker.exists():
+        print(f"stage: reusing {out}", flush=True)
+        return
+    out.mkdir(parents=True, exist_ok=True)
+
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    only = pc.equal(ev.column("event_type"), "click")
+    pq.write_table(ev.filter(only).slice(0, 200), out / "events.parquet")
+
+    orders = pq.read_table(f"{SRC}/orders.parquet").slice(0, 200)
+    pq.write_table(orders, out / "orders.parquet")
+    keep = set(orders.column("o_orderkey").to_pylist())
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    mask = pc.is_in(
+        li.column("l_orderkey"),
+        value_set=orders.column("o_orderkey").combine_chunks(),
+    )
+    pq.write_table(li.filter(mask), out / "lineitem.parquet")
+
+    pq.write_table(
+        pq.read_table(f"{SRC}/documents.parquet").slice(0, 30),
+        out / "documents.parquet",
+    )
+    pq.write_table(
+        pq.read_table(f"{SRC}/embeddings.parquet").slice(0, 10),
+        out / "embeddings.parquet",
+    )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+    marker.touch()
+    print(f"stage: wrote {out} (sparse)", flush=True)
+
+
 def stage() -> None:
     import shutil
 
@@ -154,7 +200,7 @@ def main() -> None:
     ap.add_argument("--keys", default="")
     ap.add_argument("--record", default="")
     ap.add_argument("--variant", default="constant",
-                    choices=("constant", "zerovec"))
+                    choices=("constant", "zerovec", "sparse"))
     args = ap.parse_args()
     if args.record:
         args.record = os.path.abspath(args.record)
@@ -164,6 +210,9 @@ def main() -> None:
     if args.variant == "zerovec":
         OUT = Path("/tmp/spark_graft_degenerate_zerovec")
         stage_zerovec(OUT)
+    elif args.variant == "sparse":
+        OUT = Path("/tmp/spark_graft_degenerate_sparse")
+        stage_sparse(OUT)
     else:
         stage()
 
@@ -213,6 +262,10 @@ def main() -> None:
                              "embedding rows 0-4 incl. centroid/query "
                              "seeds; empty + whitespace-only documents "
                              "0-4; other tables untouched)"
+                        if args.variant == "zerovec"
+                        else "sparse/skeletal (single event type, tiny "
+                             "tables, FK-consistent) — the empty-group/"
+                             "empty-frame axis"
                     ),
                     "variant": args.variant,
                     "n_keys": len(keys),
