@@ -766,8 +766,11 @@ ROLL_TAPS = 21  # rolling-median / z-score window width
     SELECT event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            event_id, value,
-           list_sort(lv)[CAST((len(lv) + 1) // 2 AS BIGINT)]
-               AS rolling_median
+           CASE WHEN len(list_filter(lv, x -> x IS NOT NULL)) > 0
+                THEN list_sort(list_filter(lv, x -> x IS NOT NULL))
+                     [CAST((len(list_filter(lv, x -> x IS NOT NULL)) + 1)
+                           // 2 AS BIGINT)]
+                ELSE CAST(NULL AS DOUBLE) END AS rolling_median
     FROM framed
     """,
 )
@@ -803,8 +806,15 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "event_id",
         "value",
+        # NULL semantics (r8 nulls probe): the median IGNORES NULL ticks
+        # (Spark's collect_list drops them; the oracle list_filters to
+        # match - DuckDB's windowed list() KEEPS NULLs), and an all-NULL
+        # frame has no median -> NULL, not an element_at(arr, 0) crash.
         F.expr(
-            "element_at(array_sort(lv), CAST((size(lv) + 1) DIV 2 AS INT))"
+            """CASE WHEN size(lv) > 0
+               THEN element_at(array_sort(lv),
+                               CAST((size(lv) + 1) DIV 2 AS INT))
+               ELSE CAST(NULL AS DOUBLE) END"""
         ).alias("rolling_median"),
     )
 

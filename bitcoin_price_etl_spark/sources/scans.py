@@ -452,6 +452,11 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage = scratch_dir("scan_binaryfile")
     for r in docs:
+        if r.text is None:
+            # a failed fetch has no blob to stage (r8 nulls probe); the
+            # oracle's octet_length(encode(text)) > 0 condition is NULL
+            # for these rows, excluding them identically
+            continue
         with open(os.path.join(stage, f"doc_{r.doc_id}.bin"), "wb") as f:
             f.write(r.text.encode("utf-8"))
     raw = (

@@ -161,6 +161,51 @@ def stage_sparse(out: Path) -> None:
     print(f"stage: wrote {out} (sparse)", flush=True)
 
 
+def stage_nulls(out: Path) -> None:
+    """NULL-bearing corpus: events.value NULL on event_id % 20 == 0 (a
+    feed with failed measurements), documents.text NULL on
+    doc_id % 25 == 0 (failed fetches), orders.o_totalprice NULL on
+    o_orderkey % 30 == 0. Keys/timestamps/types untouched. The axis
+    probes NULL propagation (aggregates skip, expressions propagate) and
+    — the known latent class — ORDER BY on a nullable column: Spark
+    defaults NULLS FIRST ascending, DuckDB NULLS LAST."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    marker = out / ".staged"
+    if marker.exists():
+        print(f"stage: reusing {out}", flush=True)
+        return
+    out.mkdir(parents=True, exist_ok=True)
+
+    def null_out(table, key: str, col: str, mod: int):
+        keys = table.column(key).to_numpy(zero_copy_only=False)
+        mask = pa.array((keys % mod) == 0)
+        idx = table.schema.get_field_index(col)
+        nulled = pc.if_else(
+            mask, pa.scalar(None, table.field(idx).type), table.column(col)
+        )
+        return table.set_column(idx, table.field(idx), nulled)
+
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    pq.write_table(null_out(ev, "event_id", "value", 20),
+                   out / "events.parquet")
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    pq.write_table(null_out(docs, "doc_id", "text", 25),
+                   out / "documents.parquet")
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(null_out(orders, "o_orderkey", "o_totalprice", 30),
+                   out / "orders.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "embeddings"):
+        shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+    marker.touch()
+    print(f"stage: wrote {out} (nulls)", flush=True)
+
+
 def stage() -> None:
     import shutil
 
@@ -200,7 +245,7 @@ def main() -> None:
     ap.add_argument("--keys", default="")
     ap.add_argument("--record", default="")
     ap.add_argument("--variant", default="constant",
-                    choices=("constant", "zerovec", "sparse"))
+                    choices=("constant", "zerovec", "sparse", "nulls"))
     args = ap.parse_args()
     if args.record:
         args.record = os.path.abspath(args.record)
@@ -213,6 +258,9 @@ def main() -> None:
     elif args.variant == "sparse":
         OUT = Path("/tmp/spark_graft_degenerate_sparse")
         stage_sparse(OUT)
+    elif args.variant == "nulls":
+        OUT = Path("/tmp/spark_graft_degenerate_nulls")
+        stage_nulls(OUT)
     else:
         stage()
 
@@ -266,6 +314,9 @@ def main() -> None:
                         else "sparse/skeletal (single event type, tiny "
                              "tables, FK-consistent) — the empty-group/"
                              "empty-frame axis"
+                        if args.variant == "sparse"
+                        else "null-bearing (events.value / documents.text"
+                             " / orders.o_totalprice NULL on key strides)"
                     ),
                     "variant": args.variant,
                     "n_keys": len(keys),
