@@ -1125,7 +1125,19 @@ def llm_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text (failed fetch) has no shingle set and can never be a
+    # near-dup candidate; RegexTokenizer NPEs on nulls, so exclude them
+    # at the scan — the same convention as every shingle-family key.
+    # The coalesce is load-bearing even though the filter makes it a
+    # semantic no-op: Catalyst collapses the downstream size(shingles)>0
+    # filter into this one, and codegen's common-subexpression
+    # elimination then hoists the tokenizer UDF ABOVE the isnotnull
+    # conjunct — the hoisted call must be null-safe.
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
     toks = RegexTokenizer(
         inputCol="text", outputCol="words", pattern=" "
     ).transform(d)

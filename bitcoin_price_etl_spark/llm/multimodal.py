@@ -233,7 +233,10 @@ def with_image_payloads(df: DataFrame) -> DataFrame:
     )
     ppm = F.concat(F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode()), pixels)
     bmp = F.concat(F.lit(_bmp24_header(IMG_W, IMG_H)), pixels)
-    return df.select(
+    # NULL text = failed fetch = no image payload to synthesize (md5(NULL)
+    # nulls the whole concat) — such documents contribute no row, the
+    # scan_binaryfile convention.
+    return df.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(bmp).alias("payload"),
     )
@@ -285,6 +288,7 @@ FRAME_STRIDE = 4
     WITH f AS (
         SELECT doc_id, text, length(text) // {FRAME_CHARS} AS n_frames
         FROM documents
+        WHERE text IS NOT NULL
     ),
     idx AS (
         SELECT doc_id, text, n_frames,
@@ -313,7 +317,14 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text = failed fetch = no frames. Filtered JVM-side so the
+    # Python worker never sees a None (the oracle's WHERE mirrors it;
+    # unnest(range(0, NULL)) would drop those rows there regardless).
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -501,7 +512,11 @@ def with_audio_payloads(df: DataFrame) -> DataFrame:
         .otherwise(F.lit(_wav_header(WAV_RATES[2], n_bytes))),
         samples,
     )
-    return df.select("doc_id", payload.alias("payload"))
+    # NULL text = failed fetch = no clip (md5(NULL) nulls the sample
+    # bytes); mirrored by the oracle's WHERE text IS NOT NULL.
+    return df.filter(F.col("text").isNotNull()).select(
+        "doc_id", payload.alias("payload")
+    )
 
 
 @query(
@@ -512,6 +527,7 @@ def with_audio_payloads(df: DataFrame) -> DataFrame:
                md5(text) || md5(text || 'a') AS hex64,
                CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
         FROM documents
+        WHERE text IS NOT NULL
     ),
     s AS (
         SELECT doc_id, sample_rate, i,
@@ -654,7 +670,10 @@ def with_phash_payloads(df: DataFrame) -> DataFrame:
     )
     ppm = F.concat(F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode()), pixels)
     bmp = F.concat(F.lit(_bmp24_header(IMG_W, IMG_H)), pixels)
-    return df.select(
+    # NULL text = failed fetch = no thumbnail; mirrored by the oracle's
+    # WHERE text IS NOT NULL (a NULL band value could never equi-join
+    # anyway, but the filter keeps the two plans stated identically).
+    return df.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(bmp).alias("payload"),
     )
@@ -666,6 +685,7 @@ def with_phash_payloads(df: DataFrame) -> DataFrame:
     WITH padded AS (
         SELECT doc_id, rpad(substring(text, 1, 48), 48, ' ') AS s
         FROM documents
+        WHERE text IS NOT NULL
     ),
     px AS (
         SELECT doc_id,

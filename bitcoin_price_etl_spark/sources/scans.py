@@ -600,6 +600,7 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_chars,
            md5(text) AS line_md5
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,7 +618,11 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring projections (no regex, no UDF). At 100 TB this is the
     ingest shape for raw crawl dumps — read.text → parse → write
     parquet once, query columnar forever after."""
-    d = load(spark, sf_dir, "documents")
+    # A NULL text (failed fetch) has no representable line in a
+    # line-oriented format — concat_ws would silently DROP the null and
+    # emit a tab-less line that mis-parses. Such documents export
+    # nothing; the oracle's WHERE text IS NOT NULL mirrors this.
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tmp = scratch_dir("scan_text")
     path = os.path.join(tmp, "documents_txt")
     d.select(

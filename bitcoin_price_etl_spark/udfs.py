@@ -125,6 +125,11 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token: string")
     class Tokenize:
         def eval(self, text: str):
+            # NULL text (a failed fetch) yields zero rows — the exact
+            # semantics of the oracle's unnest(str_split(NULL, ' ')),
+            # which unnests NULL to nothing.
+            if text is None:
+                return
             for tok in text.split(" "):
                 yield (tok,)
 
