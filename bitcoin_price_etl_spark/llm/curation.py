@@ -296,10 +296,10 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH existing AS (
         SELECT DISTINCT md5(lower(trim(text))) AS h
-        FROM documents WHERE doc_id < 250
+        FROM documents WHERE doc_id < 250 AND text IS NOT NULL
     ), batch AS (
         SELECT doc_id, md5(lower(trim(text))) AS h
-        FROM documents WHERE doc_id >= 250
+        FROM documents WHERE doc_id >= 250 AND text IS NOT NULL
     ), fresh AS (
         SELECT b.doc_id, b.h FROM batch b
         WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = b.h)
@@ -321,7 +321,11 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     join becomes a co-located probe, no corpus reshuffle (the bucketing
     recipe is tests/test_bucketing.py).
     """
-    d = load(spark, sf_dir, "documents")
+    # NULL text has no content hash: a content-dedup operator must not
+    # admit failed fetches (Spark's groupBy would otherwise collapse ALL
+    # of them into one NULL-hash group and admit one, where the oracle's
+    # correlated MIN drops NULL-hash rows — divergent AND wrong).
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     hashed = d.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
     )
@@ -1310,6 +1314,7 @@ def _span_len_duck(b: str) -> str:
     oracle=f"""
     WITH t AS (
         SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL
     ), s AS (
         SELECT doc_id, toks, len(toks) AS n,
                (len(toks) + {SPAN_BLOCK} - 1) // {SPAN_BLOCK} AS nblocks
@@ -1360,7 +1365,10 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: pure string/array surgery over an identical hash draw;
     Spark's transform exposes 0-based indices while the oracle zips an
-    explicit 1-based range — same arithmetic after the shift."""
+    explicit 1-based range — same arithmetic after the shift. NULL text
+    (failed fetch) is no training example: excluded on both sides rather
+    than aligning the engines' disagreeing NULL renderings (Spark
+    propagates NULL through array_join, DuckDB's coalesce prints '')."""
     corrupt = (
         "substring(md5(CAST(doc_id AS STRING) || '#' ||"
         " CAST({b} AS STRING)), 1, 2) < '" + SPAN_RATE_HEX + "'"
@@ -1400,7 +1408,7 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + {SPAN_BLOCK} - 1) DIV {SPAN_BLOCK} - 1),"
         " b -> " + corrupt.format(b="b") + ")) AS BIGINT)"
     )
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select(
         "doc_id",
         masked.alias("corrupted_text"),

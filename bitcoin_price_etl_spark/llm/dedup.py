@@ -78,8 +78,17 @@ def _shingles_expr(toks: str = "toks") -> str:
 
 
 def _shingle_hash_df(df: DataFrame) -> DataFrame:
-    """(doc_id, h): one row per distinct word-5-gram shingle hash per doc."""
-    return df.withColumn("toks", F.split("text", " ")).select(
+    """(doc_id, h): one row per distinct word-5-gram shingle hash per doc.
+
+    NULL text (a failed fetch) has NO shingle set, hence no rows here —
+    without the filter, Spark's concat_ws renders slice(NULL_toks,...)
+    as '' (concat_ws never returns NULL), giving every failed fetch the
+    SAME phantom shingle and C(n,2) fabricated candidate pairs. DuckDB's
+    oracle CTEs already emit nothing for NULL text (list ops propagate
+    the NULL list and unnest drops it), so the filter IS the mirror."""
+    return df.filter(F.col("text").isNotNull()).withColumn(
+        "toks", F.split("text", " ")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(f"array_distinct(transform({_shingles_expr()}, s -> xxhash64(s)))")

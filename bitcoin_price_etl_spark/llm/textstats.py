@@ -156,6 +156,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL
     ),
     sh AS (
         SELECT doc_id, unnest(list_transform(
@@ -174,8 +175,17 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: minimum md5 over word-3-gram shingles — the
     winnowing/min-hash fingerprint selection rule (one representative hash
-    per document, stable under reordering of equal content)."""
-    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    per document, stable under reordering of equal content).
+
+    NULL text has no fingerprint row (the shingle-family convention):
+    without the filter Spark's concat_ws renders the NULL token array as
+    one phantom '' shingle while DuckDB's unnest emits a NULL one — both
+    fabrications, removed identically on both sides."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("toks", F.split("text", " "))
+    )
     # tokens materialized as a column: split() inlined in the lambda would
     # re-tokenize per element (see dedup._shingles_expr)
     shingles = F.expr(
@@ -235,6 +245,7 @@ REP_DUP_FRAC_GATE = 0.2
     oracle=f"""
     WITH t AS (
         SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        WHERE text IS NOT NULL
     ), g AS (
         SELECT doc_id,
                list_transform(
@@ -266,8 +277,13 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     so at 100 TB it runs at parquet scan throughput inside whole-stage
     codegen, exactly like llm_quality_score. Division parity: both
     engines divide the same exact integers as IEEE doubles.
+
+    NULL text is excluded on both sides: there is no content to gate,
+    and the engines' fabrications disagree (Spark's concat_ws makes one
+    '' bigram → frac 0; DuckDB's list_distinct strips the NULL gram →
+    frac 1 and a spurious flag).
     """
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     grams = (
         f"transform(sequence(1, greatest(size(toks) - {REP_NGRAM - 1}, 1)),"
         f" i -> concat_ws(' ', slice(toks, i, {REP_NGRAM})))"
