@@ -602,16 +602,33 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-arbitrary on a tie — correct on today's fixture, flapping on a
     regenerated one. The oracle spells the same semantics as a two-pass
     extremal join (MIN over the rows matching the extremal price), which is
-    deterministic by construction."""
+    deterministic by construction.
+
+    NULL prices: an unmeasured order can never be the extremal one. The
+    ordering struct itself is non-null even when the price field is NULL
+    — struct comparison sorts the NULL field FIRST, so a bare struct
+    would hand min_by every failed measurement. Nulling the WHOLE struct
+    via when() makes max_by/min_by skip those rows (their documented
+    NULL-ordering behavior), exactly matching the oracle's
+    CASE WHEN price = extremal, which a NULL price never satisfies."""
     o = load(spark, sf_dir, "orders")
+    measured = F.col("o_totalprice").isNotNull()
     return o.groupBy("o_orderstatus").agg(
         F.max_by(
             "o_orderkey",
-            F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("tb")),
+            F.when(
+                measured,
+                F.struct(
+                    F.col("o_totalprice"), (-F.col("o_orderkey")).alias("tb")
+                ),
+            ),
         ).alias("biggest_order"),
         F.min_by(
             "o_orderkey",
-            F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+            F.when(
+                measured,
+                F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+            ),
         ).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
@@ -1494,6 +1511,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY o_totalprice, o_orderkey) AS rn,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM orders
+        WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority,
            CAST(MAX(n) AS BIGINT) AS n_orders,
@@ -1535,8 +1553,15 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost, exactly the win_pareto_abc posture. At 100 TB the same
     computation runs per partition-of-priority via range partitioning on
     (priority, price) — ranks are sort-order statistics, not all-pairs.
+
+    NULL prices are excluded on both sides: an unmeasured order carries
+    no spend to concentrate, and leaving it in diverges the engines
+    anyway (Spark ranks NULLS FIRST ascending, DuckDB NULLS LAST —
+    every non-null row's rank would shift).
     """
-    od = load(spark, sf_dir, "orders")
+    od = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     ranked = od.select(
         "o_orderpriority",
         "o_totalprice",

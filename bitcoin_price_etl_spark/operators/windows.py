@@ -139,7 +139,8 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cume
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +149,16 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are ratios of
     identical integers in both engines — exact double division, no float
     discipline needed.
+
+    NULL placement is pinned EXPLICITLY (unmeasured rows rank lowest):
+    ascending defaults diverge — Spark puts NULLS FIRST, DuckDB NULLS
+    LAST — which silently shifts every real row's rank. Any ORDER BY on
+    a nullable column must state its NULL end on both sides.
     """
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc_nulls_first("o_totalprice"), "o_orderkey"
+    )
     return o.select(
         "o_orderkey",
         "o_orderstatus",
@@ -393,6 +401,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS bar_date,
                ts, event_id, value
         FROM events
+        WHERE value IS NOT NULL
     ), ranked AS (
         SELECT *,
                ROW_NUMBER() OVER (PARTITION BY event_type, bar_date
@@ -433,8 +442,16 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (ts, event_id) — no arithmetic, so bit-exact; volume goes
     through the exact decimal sum; ties cannot flap because the pick key
     is unique per row (struct ordering pin, the agg_minmax_by rule).
+
+    NULL semantics (r8 nulls probe): bars are built from MEASURED ticks
+    only — a NULL tick at a bar boundary would otherwise make open/close
+    NULL and poison every downstream indicator's rolling fold (the
+    engines disagree on list-vs-collect_list NULL retention). The filter
+    is here, at the family root: all 18 bar-family indicators and the
+    shared _BARS_ORACLE CTE inherit it, so the whole family stays
+    mutually consistent. A day with zero measurements has no bar.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pick = F.struct("ts", "event_id")
     return (
         ev.select(
@@ -606,13 +623,18 @@ EWMA_HORIZON = 20  # finite window: bounded state AND bounded exponents
                list(value) OVER (PARTITION BY event_type
                                  ORDER BY ts, event_id
                                  ROWS BETWEEN {EWMA_HORIZON - 1} PRECEDING
-                                          AND CURRENT ROW) AS lv
+                                          AND CURRENT ROW) AS raw_lv
         FROM events
+    ),
+    f2 AS (
+        SELECT event_type, ts, event_id, value,
+               list_filter(raw_lv, x -> x IS NOT NULL) AS lv
+        FROM framed
     )
     SELECT event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            event_id, value,
-           CAST(CAST(
+           CASE WHEN len(lv) > 0 THEN CAST(CAST(
                list_reduce(list_transform(list_zip(lv,
                    list_transform(generate_series(1, len(lv)),
                        k -> pow({EWMA_DECAY}, len(lv) - k))),
@@ -621,8 +643,9 @@ EWMA_HORIZON = 20  # finite window: bounded state AND bounded exponents
                / list_reduce(list_transform(generate_series(1, len(lv)),
                    k -> pow({EWMA_DECAY}, len(lv) - k)),
                    (s, x) -> s + x)
-           AS DECIMAL(18,6)) AS DOUBLE) AS ewma
-    FROM framed
+           AS DECIMAL(18,6)) AS DOUBLE)
+           ELSE CAST(NULL AS DOUBLE) END AS ewma
+    FROM f2
     """,
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +668,11 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (ts, event_id) total order, apply identical pow(0.8, k) weights
     (libm-identical inputs), and fold sequentially from index 0; the one
     division is quantized through DECIMAL(18,6) against residual drift.
+
+    NULL semantics (r8 nulls probe): the EWMA IGNORES NULL ticks — the
+    weights re-index over the surviving observations (Spark's
+    collect_list drops NULLs; the oracle list_filters to match), and an
+    all-NULL frame has no average → NULL, never an ANSI 0/0.
     """
     ev = load(spark, sf_dir, "events")
     w = (
@@ -660,7 +688,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("value").over(w).alias("lv"),
     )
     ewma = F.expr(
-        f"""CAST(CAST(
+        f"""CASE WHEN size(lv) > 0 THEN CAST(CAST(
             aggregate(zip_with(lv,
                 transform(sequence(1, size(lv)),
                     k -> pow({EWMA_DECAY}D, size(lv) - k)),
@@ -669,7 +697,8 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             / aggregate(transform(sequence(1, size(lv)),
                     k -> pow({EWMA_DECAY}D, size(lv) - k)),
                 0.0D, (s, p) -> s + p)
-        AS DECIMAL(18,6)) AS DOUBLE)"""
+        AS DECIMAL(18,6)) AS DOUBLE)
+        ELSE CAST(NULL AS DOUBLE) END"""
     )
     return framed.select(
         "event_type",
@@ -997,6 +1026,7 @@ M4_BUCKET_SECONDS = 21600  # 6-hour pixel buckets
                CAST(floor(epoch_us(ts) / ({M4_BUCKET_SECONDS} * 1000000.0))
                     AS BIGINT) AS bucket
         FROM events
+        WHERE value IS NOT NULL
     ), ranked AS (
         SELECT *,
                row_number() OVER (PARTITION BY event_type, bucket
@@ -1042,8 +1072,14 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: all emitted values are RAW input doubles or formatted
     timestamps picked by total order — no arithmetic at all; bucket ids
     are exact integer floor-division of microseconds.
+
+    NULL semantics (r8 nulls probe): a point IS a measurement — NULL
+    ticks are gaps, not points (they cannot be a pixel's min/max, and
+    leaving them in diverges the positional picks: Spark's min_by sorts
+    the NULL struct field first, DuckDB ranks NULLS LAST). Filtered
+    identically on both sides; n_points counts measured points.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pick = F.struct("ts", "event_id")
     vpick = F.struct("value", "ts", "event_id")
     return (
@@ -1082,6 +1118,7 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS peak
         FROM events
+        WHERE value IS NOT NULL
     ), dd AS (
         SELECT event_type, ts, event_id, value, peak,
                value / peak - 1.0 AS drawdown
@@ -1120,8 +1157,14 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawdown is bit-identical across engines; MIN/comparisons over
     identical doubles cannot diverge, and the tie-break key (ts,
     event_id) is unique.
+
+    NULL semantics (r8 nulls probe): NULL ticks are gaps — an investor
+    cannot transact at an unmeasured price, so they carry no drawdown
+    (and a NULL drawdown would win Spark's NULLS-FIRST argmin struct
+    while losing DuckDB's NULLS-LAST rank). Filtered identically on
+    both sides; the running peak carries across the gap unchanged.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -1464,7 +1507,8 @@ SEAS_POST = 12
         SELECT event_type, date_trunc('hour', ts) AS hr,
                CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
                    / COUNT(value) AS y
-        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
     ),
     trended AS (
         SELECT event_type, hr, y,
@@ -1522,8 +1566,13 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hod list is bounded by the calendar (n_days per series), not
     the corpus. Edge bars fold their partial frame in BOTH engines
     (same ROWS-frame semantics); hr is unique per series so both fold
-    orders are total."""
-    ev = load(spark, sf_dir, "events")
+    orders are total.
+
+    NULL semantics (r8 nulls probe): NULL ticks are gaps; an hour with
+    ZERO measurements is no observation at all — filtered at the source
+    so it never becomes a NULL y that DuckDB's list fold propagates but
+    Spark's collect_list silently drops."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
         .agg(
@@ -1942,6 +1991,7 @@ _BARS_ORACLE = """
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS bar_date,
                ts, event_id, value
         FROM events
+        WHERE value IS NOT NULL
     ), ranked AS (
         SELECT *,
                ROW_NUMBER() OVER (PARTITION BY event_type, bar_date
@@ -2700,6 +2750,7 @@ _THEILSEN_CAP = 128  # pairwise work is capped at 128^2/2 slopes per group
                    ORDER BY ts, event_id
                ) AS rn
         FROM events
+        WHERE value IS NOT NULL
     ),
     capped AS (SELECT * FROM pts WHERE rn <= {_THEILSEN_CAP}),
     slopes AS (
@@ -2750,8 +2801,13 @@ def ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines entirely, and AVG over the selected 1-2 slopes is sum/count
     in both. Slope ties make row_number nondeterministic BETWEEN equal
     values only — rank selection still lands on the same values.
+
+    NULL semantics (r8 nulls probe): a point IS a measurement — NULL
+    ticks form no pairs (a NULL slope would also rank NULLS FIRST in
+    Spark vs NULLS LAST in DuckDB, shifting the median rank). Filtered
+    identically on both sides before the deterministic 128-point cap.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pts = (
         e.select(
             "event_type",

@@ -830,7 +830,10 @@ def sink_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     in declaration order (probed: same escaping, same spacing), so the
     oracle recomputes per-line md5 from the source view while the
     engine hashes the lines read back from disk — any lost, duplicated,
-    or mangled line flips min/max hash, count, or byte volume.
+    or mangled line flips min/max hash, count, or byte volume. NULL
+    fields render EXPLICITLY ("text":null — ignoreNullFields=false):
+    an interchange line must state a failed fetch, not silently drop
+    the key (Spark's default), and DuckDB always prints the null.
 
     Scale shape: one partitionBy(lang) text write (the fanout dial is
     the partition column), one line-source read-back, one partial-agg'd
@@ -842,7 +845,8 @@ def sink_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.select(
         "lang",
         F.expr(
-            "to_json(struct(doc_id AS doc_id, lang AS lang, text AS text))"
+            "to_json(struct(doc_id AS doc_id, lang AS lang, text AS text),"
+            " map('ignoreNullFields', 'false'))"
         ).alias("value"),
     ).write.partitionBy("lang").text(target)
     back = (
