@@ -375,12 +375,21 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches nothing where Java substitutes (observed: Spark 'a<DBL>' vs
     DuckDB 'agg'), so doubled letters are spelled as an explicit
     alternation. Everything is a codegen'd projection — zero exchanges.
+
+    Group-index trap (r8 hostile-text probe): Spark's
+    regexp_extract_all DEFAULTS to group 1 where DuckDB defaults to 0,
+    and Spark validates the index lazily AT FIRST MATCH — so a
+    group-free pattern ran green on the digit-free fixture for seven
+    rounds and crashed on the first document containing a digit. The
+    index is now pinned to 0 explicitly.
     """
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.regexp_extract("text", r"([a-z]+)[0-9]+", 1).alias("first_alnum_stem"),
-        F.size(F.expr(r"regexp_extract_all(text, '[a-z]*[0-9]+[a-z]*')")).cast(
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]*[0-9]+[a-z]*', 0)")
+        ).cast(
             "long"
         ).alias("n_numeric_tokens"),
         F.col("text").rlike("^[a-z]").alias("starts_lower"),

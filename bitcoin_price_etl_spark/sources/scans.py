@@ -607,11 +607,20 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-oriented text round-trip (spark.read.text — the format every
     raw log / one-JSON-per-line / one-doc-per-line corpus arrives in
     before it earns a schema). Each document exports as one
-    tab-prefixed line (doc_id TAB text — documents contain no tabs or
-    newlines, asserted by the split), reads back as raw `value` lines,
-    and re-parses by splitting at the FIRST tab — the minimal
+    tab-prefixed line (doc_id TAB text), reads back as raw `value`
+    lines, and re-parses by splitting at the FIRST tab — the minimal
     schema-on-read step. Parity: per-line md5 against the source table
     proves byte-lossless round-trip.
+
+    Framing (r8 hostile-text probe): embedded newlines would split one
+    document across two lines — silent data corruption, routine in a
+    real crawl corpus — so the line-framing metacharacters are
+    percent-escaped on write (% → %25 first, then LF → %0A, CR → %0D;
+    Hadoop's LineReader terminates lines on LF, CR, and CRLF) and
+    decoded in reverse order on read (%25 strictly LAST, the classic
+    percent-decoding order). Six scalar replaces, all JVM-side; text
+    tabs need no escaping because the parse splits at the FIRST tab
+    only and doc_id digits contain none.
 
     Scale shape: text files split by line boundary, so the read
     parallelizes like any splittable format; the parse is two zero-copy
@@ -625,16 +634,35 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tmp = scratch_dir("scan_text")
     path = os.path.join(tmp, "documents_txt")
+    escaped = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("%"), F.lit("%25")),
+            F.lit("\n"),
+            F.lit("%0A"),
+        ),
+        F.lit("\r"),
+        F.lit("%0D"),
+    )
     d.select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), escaped).alias(
             "value"
         )
     ).write.mode("overwrite").text(path)
     lines = spark.read.text(path)
     tab = F.instr("value", "\t")
+    raw = F.substring("value", tab + 1, F.lit(2147483647))
+    text = F.replace(
+        F.replace(
+            F.replace(raw, F.lit("%0D"), F.lit("\r")),
+            F.lit("%0A"),
+            F.lit("\n"),
+        ),
+        F.lit("%25"),
+        F.lit("%"),
+    )
     return lines.select(
         F.substring("value", 1, tab - 1).cast("long").alias("doc_id"),
-        F.substring("value", tab + 1, F.lit(2147483647)).alias("text"),
+        text.alias("text"),
     ).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),

@@ -206,6 +206,119 @@ def stage_nulls(out: Path) -> None:
     print(f"stage: wrote {out} (nulls)", flush=True)
 
 
+# Fifth axis: adversarial text CONTENT (a 100 TB crawl corpus contains
+# all of these). Each stride class targets a structural assumption:
+#  - CJK without spaces: whitespace tokenizers see ONE giant token
+#    (shingle short-circuits, BPE \w is ASCII-only in BOTH Java and RE2)
+#  - emoji / ZWJ sequences / astral plane: code-point-vs-byte length,
+#    substring boundaries, md5 over 4-byte UTF-8
+#  - combining marks + RTL: NFC/NFD byte differences, direction marks
+#  - C0 control chars: JSON escaping conventions (\\u0001 form) differ
+#    between engines more often than printable text
+#  - embedded tab/newline: framing of line-oriented exports (scan_text,
+#    JSONL) — the round-trip must escape or document, never corrupt
+_HOSTILE = {
+    0: "星期一火车站很大数据处理引擎快速排序合并分区窗口小哈希扫描连接",
+    5: "data 🚀🚀 pipeline 👩‍👩‍👧‍👦 test 𝄞 clef mixed",
+    10: "café café עברית ascii tail",
+    15: "ctl\x01\x02 bell\x07 esc\x1b unit\x1f end",
+    20: "col1\tcol2\nline2 word\ttrailing",
+}
+
+
+def stage_hostiletext(out: Path) -> None:
+    """Adversarial text content on doc_id % 25 strides (suffix keeps
+    each doc unique so the dedup families don't see a fabricated
+    clique); n_chars is re-derived as Python len == code points, the
+    same unit Spark's length() and DuckDB's length() count."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = out / ".staged"
+    if marker.exists():
+        print(f"stage: reusing {out}", flush=True)
+        return
+    out.mkdir(parents=True, exist_ok=True)
+
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    texts = docs.column("text").to_pylist()
+    ids = docs.column("doc_id").to_pylist()
+    for i, did in enumerate(ids):
+        body = _HOSTILE.get(did % 25)
+        if body is not None:
+            texts[i] = f"{body} id{did}"
+    t_idx = docs.schema.get_field_index("text")
+    docs = docs.set_column(
+        t_idx, docs.field(t_idx), pa.array(texts, pa.string())
+    )
+    n_idx = docs.schema.get_field_index("n_chars")
+    docs = docs.set_column(
+        n_idx, docs.field(n_idx),
+        pa.array([len(t) for t in texts], docs.field(n_idx).type),
+    )
+    pq.write_table(docs, out / "documents.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+    marker.touch()
+    print(f"stage: wrote {out} (hostiletext)", flush=True)
+
+
+def stage_clockskew(out: Path) -> None:
+    """Sixth axis: corrupt clocks — routine at 100 TB (NTP drift, retry
+    storms, unset RTCs). events.ts rewritten on event_id % 20 strides:
+      0  -> far future (2030-06-15 + id-spread seconds): a grid/gapfill
+            between min and max hour must survive a 6-year span
+      5  -> pre-epoch (1969-07-20 + id-spread): negative epoch micros
+            through unix_micros/date arithmetic/strftime
+      10 -> exact DUPLICATE of the previous event's ts (retry delivery):
+            every ORDER BY ts needs its event_id tiebreak to be real
+      15 -> microsecond boundary (.999999): truncation vs rounding at
+            the hour/day edge
+    Values/keys untouched; other tables copied."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = out / ".staged"
+    if marker.exists():
+        print(f"stage: reusing {out}", flush=True)
+        return
+    out.mkdir(parents=True, exist_ok=True)
+
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    ids = ev.column("event_id").to_pylist()
+    tss = ev.column("ts").to_pylist()
+    future = datetime.datetime(2030, 6, 15, 0, 0, 0)
+    past = datetime.datetime(1969, 7, 20, 20, 17, 40)
+    for i, eid in enumerate(ids):
+        m = eid % 20
+        if m == 0:
+            tss[i] = future + datetime.timedelta(seconds=eid % 997)
+        elif m == 5:
+            tss[i] = past + datetime.timedelta(seconds=eid % 997)
+        elif m == 10 and i > 0:
+            tss[i] = tss[i - 1]
+        elif m == 15:
+            tss[i] = tss[i].replace(microsecond=999999)
+    t_idx = ev.schema.get_field_index("ts")
+    ev = ev.set_column(
+        t_idx, ev.field(t_idx), pa.array(tss, ev.field(t_idx).type)
+    )
+    pq.write_table(ev, out / "events.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+    marker.touch()
+    print(f"stage: wrote {out} (clockskew)", flush=True)
+
+
 def stage() -> None:
     import shutil
 
@@ -245,7 +358,8 @@ def main() -> None:
     ap.add_argument("--keys", default="")
     ap.add_argument("--record", default="")
     ap.add_argument("--variant", default="constant",
-                    choices=("constant", "zerovec", "sparse", "nulls"))
+                    choices=("constant", "zerovec", "sparse", "nulls",
+                             "hostiletext", "clockskew"))
     args = ap.parse_args()
     if args.record:
         args.record = os.path.abspath(args.record)
@@ -261,6 +375,12 @@ def main() -> None:
     elif args.variant == "nulls":
         OUT = Path("/tmp/spark_graft_degenerate_nulls")
         stage_nulls(OUT)
+    elif args.variant == "hostiletext":
+        OUT = Path("/tmp/spark_graft_degenerate_hostiletext")
+        stage_hostiletext(OUT)
+    elif args.variant == "clockskew":
+        OUT = Path("/tmp/spark_graft_degenerate_clockskew")
+        stage_clockskew(OUT)
     else:
         stage()
 
@@ -317,6 +437,14 @@ def main() -> None:
                         if args.variant == "sparse"
                         else "null-bearing (events.value / documents.text"
                              " / orders.o_totalprice NULL on key strides)"
+                        if args.variant == "nulls"
+                        else "hostile text content (CJK no-space, emoji/"
+                             "ZWJ/astral, combining+RTL, C0 controls, "
+                             "embedded tab/newline on doc_id strides)"
+                        if args.variant == "hostiletext"
+                        else "clock skew (far-future/pre-epoch ts, exact"
+                             " duplicate ts, microsecond-boundary ts on"
+                             " event_id strides)"
                     ),
                     "variant": args.variant,
                     "n_keys": len(keys),
