@@ -289,6 +289,13 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interpolation gap budget: fill holes up to one week of missing hourly
+# points; anything longer is a void to REPORT (ts_gap_report), not to
+# fabricate data across. Also the grid-size bound under corrupt clocks:
+# grid rows <= n_observed * (budget + 1) regardless of timestamp range.
+INTERP_MAX_GAP_HOURS = 168
+
+
 @query(
     "ts_interpolate_linear",
     oracle=f"""
@@ -298,25 +305,45 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), keyed AS (
         SELECT h, v, CAST(epoch(h) AS BIGINT) / 3600 AS hidx FROM hourly
     ), obs AS (
-        SELECT h, v FROM keyed WHERE hidx % 5 <> 2
+        SELECT h, v, hidx FROM keyed WHERE hidx % 5 <> 2
+    ), isl AS (
+        SELECT h, v, hidx,
+               CASE WHEN lag(hidx) OVER (ORDER BY h) IS NULL
+                     OR hidx - lag(hidx) OVER (ORDER BY h)
+                        > {INTERP_MAX_GAP_HOURS}
+                    THEN 1 ELSE 0 END AS st
+        FROM obs
+    ), isl2 AS (
+        SELECT h, v,
+               SUM(st) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                   AS island
+        FROM isl
     ), bounds AS (
-        SELECT min(h) AS lo, max(h) AS hi FROM keyed
+        SELECT island, min(h) AS lo, max(h) AS hi
+        FROM isl2 GROUP BY island
     ), grid AS (
-        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+        SELECT island,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
     ), j AS (
-        SELECT g.h, o.v FROM grid g LEFT JOIN obs o ON g.h = o.h
+        SELECT g.island, g.h, o.v FROM grid g
+        LEFT JOIN isl2 o ON g.h = o.h
     ), w AS (
         SELECT h, v,
                last_value(v IGNORE NULLS) OVER
-                   (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   (PARTITION BY island ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
                first_value(v IGNORE NULLS) OVER
-                   (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   (PARTITION BY island ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
                last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS BIGINT) END
                           IGNORE NULLS) OVER
-                   (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                   (PARTITION BY island ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
                first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(h) AS BIGINT) END
                            IGNORE NULLS) OVER
-                   (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+                   (PARTITION BY island ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
         FROM j
     )
     SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
@@ -338,12 +365,23 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (every 5th hour index) so the operator exercises
     real holes at any SF.
 
+    ISLAND-BOUNDED (r8 clockskew probe): the grid is built per island of
+    consecutive observations no more than INTERP_MAX_GAP_HOURS (168 = one
+    week) apart, never across the full min→max span. The unbounded form
+    detonates on corrupt clocks — ONE pre-epoch or far-future tick made
+    the grid span 61 years (534K rows through a single-partition window;
+    a 2262-dated tick would be 2.5M), and interpolating across a void
+    that size is fabrication, not repair. Voids longer than the budget
+    are left UNFILLED: no grid rows exist between islands (use
+    ts_gap_report — which correctly reports the void — to find them).
+    Grid size is now bounded by n_observed × 168 whatever the clocks
+    say, and the fill windows partition by island (no single-partition
+    window remains).
+
     Shape: aggregate to the hourly series first (partial-agg, exact davg),
-    THEN run the unpartitioned interpolation window — the same control-
-    plane stance as join_asof's rate series: the window's input is the
-    hourly aggregate (~9k rows/year), never the event corpus, so the
-    single-partition sort is microscopic at any corpus size (partition by
-    series id when interpolating many series).
+    THEN run the islanded interpolation windows — the window's input is
+    the hourly aggregate (~9k rows/year), never the event corpus
+    (partition by series id × island when interpolating many series).
 
     Parity: base values come from the exact decimal average; prev/next
     picks move identical doubles; the interpolation weight divides exact
@@ -356,15 +394,39 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = hourly.withColumn(
         "hidx", (F.unix_timestamp("h") / 3600).cast("long")
     )
-    obs = keyed.filter(F.col("hidx") % 5 != 2).select("h", "v")
-    bounds = keyed.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = bounds.select(
-        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h")
+    obs = keyed.filter(F.col("hidx") % 5 != 2).select("h", "v", "hidx")
+    wseq = Window.orderBy("h")
+    start = F.when(
+        F.lag("hidx").over(wseq).isNull()
+        | ((F.col("hidx") - F.lag("hidx").over(wseq)) > INTERP_MAX_GAP_HOURS),
+        1,
+    ).otherwise(0)
+    isl = obs.select(
+        "h",
+        "v",
+        F.sum(start)
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
     )
-    j = grid.join(obs, "h", "left")
+    bounds = isl.groupBy("island").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "island",
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h"),
+    )
+    j = grid.join(isl.select("h", "v"), "h", "left")
     t = F.unix_timestamp("h").cast("long")
-    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
-    w_next = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    w_prev = (
+        Window.partitionBy("island")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("island")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     marked = j.select(
         "h",
         "v",
