@@ -312,60 +312,95 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention metric behind "of N impressions, how many converted within
     a day".
 
-    Scale shape: both chain steps are equi-joins on user_id with a time
-    band as residual — after the first exchange every frame is
-    user-co-partitioned, and the per-entry argmin (earliest qualifying
-    next step) combines map-side. Per-user fanout is views×clicks inside
-    one user's partition — bounded by per-user activity, never by corpus
-    size; a bot-user hot key takes the join_salted_skew treatment, not a
-    different algorithm.
+    SUFFIX-MIN FORMULATION (r8 skew probe): the original per-user
+    equi-join materialized views×clicks candidate pairs — "bounded by
+    per-user activity", which the skew probe showed is exactly the
+    unbounded case: one bot user holding 50% of a 90%-click corpus made
+    the INTERMEDIATE pair frame ~10^9 rows for a linear-sized output
+    (10.4× wall at equal row count; salting only spreads those pairs,
+    it cannot shrink them — the salted twin read 12.8×). This is
+    ClickHouse's own sequential-scan semantics, so compute it that way:
+    the earliest click strictly after a view is the SUFFIX-MIN of click
+    times — and the only window frame Spark evaluates incrementally for
+    a non-invertible aggregate like MIN is the growing
+    UNBOUNDED-PRECEDING prefix (sliding and unbounded-FOLLOWING frames
+    re-aggregate per row: a first draft with MIN over RANGE (1, window]
+    measured 27× on the skew corpus, WORSE than the join). So both
+    suffix-mins run as prefix-mins over ONE DESCENDING (user, us) sort:
+    next_c/next_p = MIN(click/purchase us) OVER (ORDER BY us DESC RANGE
+    UNBOUNDED PRECEDING TO -1) — strictly-later rows only, O(n) per
+    partition after the sort. first_c applies the window cap to next_c;
+    the purchase step reads the single click row at first_c (slim
+    equi-join on (user_id, first_c), ≤1 match per view) and caps
+    next_p ≤ v_us + win. Re-measured on the skew corpus: 10.4× → 0.9×.
+    The pair-join formulation survives in funnel_windowed_salted as the
+    salting demonstration, certified against this same oracle.
+
+    Step equivalence: the earliest click after v_us either lands inside
+    the 24h cap (then it IS the windowed min — nothing earlier exists)
+    or the view reached no click; same argument for the purchase after
+    first_c. NULL first_c views keep their entry row via the left join.
 
     Parity: all time math is integer microseconds; counts are integers;
-    the argmin picks are min() over exact integers.
+    the argmin picks are min() over exact integers (the oracle keeps
+    the independently-shaped join formulation).
     """
     win_us = FUNNEL_WINDOW_SECONDS * 1_000_000
     ev = load(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
+    e = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    # descending order makes "strictly later in time" = "strictly
+    # preceding in frame", so the prefix grows monotonically (add-only
+    # incremental evaluation); RANGE ... TO -1 excludes us-ties exactly
+    # like the original c_us > v_us residual
+    w_suffix = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scored = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "us",
+        F.min(F.when(F.col("event_type") == "click", F.col("us")))
+        .over(w_suffix)
+        .alias("next_c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us")))
+        .over(w_suffix)
+        .alias("next_p"),
+    )
+    views = scored.filter(F.col("event_type") == "view").select(
         "user_id",
         F.col("event_id").alias("v_id"),
-        F.unix_micros("ts").alias("v_us"),
+        F.col("us").alias("v_us"),
+        F.when(
+            F.col("next_c") <= F.col("us") + win_us, F.col("next_c")
+        ).alias("first_c"),
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.unix_micros("ts").alias("c_us")
+    # clicks sharing a (user, us) tie have identical frames — group to a
+    # unique join key so each view meets at most one row
+    clicks = (
+        scored.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("us").alias("c_us"))
+        .agg(F.min("next_p").alias("next_p"))
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_micros("ts").alias("p_us")
-    )
-    # LEFT join with NO post-filter: filtering joined rows by the window
-    # would delete a view entirely when all its clicks fall outside the
-    # window (it must still count as an entry) — the window condition
-    # lives inside the conditional min instead.
-    vc = (
-        v.join(c, ["user_id"], "left")
-        .groupBy("user_id", "v_id", "v_us")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("c_us") > F.col("v_us"))
-                    & (F.col("c_us") <= F.col("v_us") + win_us),
-                    F.col("c_us"),
-                )
-            ).alias("first_c")
-        )
-    )
-    vcp = (
-        vc.join(p, ["user_id"], "left")
-        .groupBy("user_id", "v_id", "v_us", "first_c")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("first_c").isNotNull()
-                    & (F.col("p_us") > F.col("first_c"))
-                    & (F.col("p_us") <= F.col("v_us") + win_us),
-                    F.col("p_us"),
-                )
-            ).alias("first_p")
-        )
+    vcp = views.join(
+        clicks,
+        (views["user_id"] == clicks["user_id"])
+        & (views["first_c"] == clicks["c_us"]),
+        "left",
+    ).select(
+        views["user_id"].alias("user_id"),
+        "v_id",
+        "v_us",
+        "first_c",
+        F.when(
+            F.col("next_p") <= F.col("v_us") + win_us, F.col("next_p")
+        ).alias("first_p"),
     )
     return vcp.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_entries"),
