@@ -227,6 +227,14 @@ def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     on identical integers. No tiebreak needed: RANGE frames include all
     peers of the boundary row, so duplicate timestamps are deterministic —
     unlike ROWS frames, where peer order would leak partition order.
+
+    Density adjudication (r8 skew probe): Spark re-aggregates sliding
+    frames per row (no incremental remove), so per-row cost is the
+    frame's EVENT DENSITY — a 10×-denser hot series measured 3.7× wall
+    at equal corpus size (SKEW_PROBE_r08.json), correctness unaffected.
+    This key certifies the RANGE-frame SEMANTICS surface; for dense
+    feeds at scale, the rollup form (stream_tumbling / the hourly
+    groupBy bucket) is the linear-cost path for trailing-window stats.
     """
     ev = load(spark, sf_dir, "events")
     w = (
@@ -417,6 +425,12 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = grid.join(isl.select("h", "v"), "h", "left")
     t = F.unix_timestamp("h").cast("long")
+    # BOTH fill directions run as growing UNBOUNDED-PRECEDING frames —
+    # the only frame shape Spark evaluates incrementally for aggregate
+    # window functions (an unbounded-FOLLOWING frame re-aggregates per
+    # row, O(island²); the funnel_windowed suffix-min rule). The "next
+    # observation at-or-after h" is the "last at-or-before" of the
+    # DESCENDING order.
     w_prev = (
         Window.partitionBy("island")
         .orderBy("h")
@@ -424,18 +438,18 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_next = (
         Window.partitionBy("island")
-        .orderBy("h")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("h").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     marked = j.select(
         "h",
         "v",
         F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.last("v", ignorenulls=True).over(w_next).alias("nv"),
         F.last(F.when(F.col("v").isNotNull(), t), ignorenulls=True)
         .over(w_prev)
         .alias("pt"),
-        F.first(F.when(F.col("v").isNotNull(), t), ignorenulls=True)
+        F.last(F.when(F.col("v").isNotNull(), t), ignorenulls=True)
         .over(w_next)
         .alias("nt"),
     )

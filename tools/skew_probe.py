@@ -59,6 +59,15 @@ DEFAULT_KEYS = [
     "agg_hash", "agg_distinct",
     # custkey / multi-join aggregates
     "join_shuffle", "join_broadcast", "tpch_q13", "tpch_q18",
+    # custkey skew turns the (custkey, partkey) edge list into a hub
+    # graph — the degree-ordered orientation / frontier bounds face
+    # their worst case
+    "graph_pagerank", "graph_triangle_count", "graph_bipartite_projection",
+    "graph_khop_reach", "graph_assortativity",
+    # sliding RANGE frame: per-row cost is frame density (Spark
+    # re-aggregates sliding frames; no incremental remove) — measured
+    # under a 10x-denser hot series
+    "win_range_between",
 ]
 
 
