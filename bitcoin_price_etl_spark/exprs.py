@@ -16,6 +16,14 @@ far from any boundary (distance ~1e-5 vs ulp ~1e-11) and both engines
 convert identically. DECIMAL(38,4) holds sums to 1e34: no overflow at any
 scale factor.
 
+Domain contract: a single VALUE with |v| ≥ 1e34 (feed garbage — a parse
+glitch emitting 1e300) fails the element cast LOUDLY in both engines
+(ANSI CAST_OVERFLOW; DuckDB likewise), never silently wraps. That is
+deliberate: out-of-domain measurements are an INGEST-VALIDATION concern
+(plans/validate.py quarantines them, the reference's Pydantic stance),
+not something every aggregate should branch on. try_cast here would
+convert loud corruption into silent row loss.
+
 Quantize-then-double (round 2): when a checked value is inherently
 order-sensitive or libm-dependent — partial-agg double sums/averages
 (llm_embed_centroids), ln/exp derivatives (llm_tfidf), ratios of saturated
