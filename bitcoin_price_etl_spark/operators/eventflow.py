@@ -382,19 +382,24 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_c"),
     )
     # clicks sharing a (user, us) tie have identical frames — group to a
-    # unique join key so each view meets at most one row
+    # unique join key so each view meets at most one row; the key is
+    # renamed (c_user/c_us) so this shared-lineage self-join references
+    # structurally distinct attributes instead of leaning on Spark's
+    # dataset-id ambiguous-self-join resolution
     clicks = (
         scored.filter(F.col("event_type") == "click")
-        .groupBy("user_id", F.col("us").alias("c_us"))
+        .groupBy(
+            F.col("user_id").alias("c_user"), F.col("us").alias("c_us")
+        )
         .agg(F.min("next_p").alias("next_p"))
     )
     vcp = views.join(
         clicks,
-        (views["user_id"] == clicks["user_id"])
-        & (views["first_c"] == clicks["c_us"]),
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("first_c") == F.col("c_us")),
         "left",
     ).select(
-        views["user_id"].alias("user_id"),
+        "user_id",
         "v_id",
         "v_us",
         "first_c",

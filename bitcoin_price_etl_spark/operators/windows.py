@@ -383,8 +383,13 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     are left UNFILLED: no grid rows exist between islands (use
     ts_gap_report — which correctly reports the void — to find them).
     Grid size is now bounded by n_observed × 168 whatever the clocks
-    say, and the fill windows partition by island (no single-partition
-    window remains).
+    say, and the fill windows partition by island. One unpartitioned
+    window does remain: the island-assignment pass (wseq below — lag +
+    running sum ordered by hour) runs a single global ordered pass over
+    the HOURLY AGGREGATE (~9k rows/year, never the event corpus), which
+    is fine for one series; the many-series generalization must
+    partition that window by series id too, exactly like the fill
+    windows.
 
     Shape: aggregate to the hourly series first (partial-agg, exact davg),
     THEN run the islanded interpolation windows — the window's input is
