@@ -254,6 +254,155 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_MD5_SIG_COLS = ", ".join(
+    f"min(md5(concat(CAST({p} AS VARCHAR), ':', shingle))) AS mh{p}"
+    for p in range(MINHASH_PERMS)
+)
+def _near_md5_band_select(band: int) -> str:
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    parts = []
+    for r in range(rows_per_band):
+        if r:
+            parts.append("'|'")
+        parts.append(f"mh{band * rows_per_band + r}")
+    cols = ", ".join(f"mh{p}" for p in range(MINHASH_PERMS))
+    return (
+        f"SELECT doc_id, {band} AS band_id, "
+        f"md5(concat({', '.join(parts)})) AS band_hash, {cols} FROM sig"
+    )
+
+
+_NEAR_MD5_BANDS = " UNION ALL ".join(
+    _near_md5_band_select(band) for band in range(LSH_BANDS)
+)
+_NEAR_MD5_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - {SHINGLE_WORDS - 1}, 1) + 1),
+            i -> array_to_string(t[i:i + {SHINGLE_WORDS - 1}], ' ')
+        ))) AS shingle
+        FROM tok
+    ),
+    sig AS (
+        SELECT doc_id, {_NEAR_MD5_SIG_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS ({_NEAR_MD5_BANDS}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_band_collisions,
+               {" + ".join(f"MAX(CASE WHEN a.mh{p} = b.mh{p} THEN 1 ELSE 0 END)" for p in range(MINHASH_PERMS))} AS n_eq
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_band_collisions,
+           CAST(n_eq AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard
+    FROM pairs
+"""
+
+
+@query("llm_dedup_near_md5", oracle=_NEAR_MD5_ORACLE)
+def llm_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates with a FULLY ORACLE-CHECKED hash
+    primitive (r9, VERDICT r8 item 6): md5 hex strings instead of
+    xxhash64 longs. Spark's md5() and DuckDB's md5() emit the identical
+    lowercase-hex digest for identical input bytes, minhash component p
+    is min() over md5('p:' || shingle) — lexicographic min over ASCII
+    hex is byte-ordering-identical in both engines — and the band key is
+    md5 over the '|'-joined component hexes. Every intermediate value is
+    therefore bit-equal cross-engine and the whole LSH pipeline
+    (shingle → signature → banding → bucket self-join → estimator) gets
+    a hash-green driver row, not a rows-only one: the verification gap
+    that kept llm_dedup_near rows-only is closed by construction here.
+
+    Same pipeline shape as llm_dedup_near (the production path): distinct
+    word-5-gram shingles, 16 permutations, 4 bands x 4 rows, band-bucket
+    equi-join, est_jaccard = matching components / 16. Exact n/16
+    fractions are binary-exact doubles, so no quantization is needed.
+
+    Scale role: PARITY TWIN. md5-over-string costs ~4x xxhash64-over-long
+    per permutation (32-hex-char shuffle keys vs 8-byte longs, measured
+    at sf0.1); at 100 TB run llm_dedup_near and let this key certify the
+    banding logic at audit scale. The two share nothing downstream of the
+    shingle step, so a divergence in either implicates the banding
+    algebra, not a common helper — which is exactly what an oracle twin
+    is for. Structural cross-checks for the xxhash64 path itself live in
+    tests/test_dedup_near_structural.py."""
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.col("text").isNotNull())
+        .withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(F.expr(_shingles_expr())).alias("shingle"),
+        )
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))
+            ).alias(f"mh{p}")
+            for p in range(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(band).cast("int").alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{band * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{p}") for p in range(MINHASH_PERMS)],
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select(
+        "doc_id",
+        *[f"mh{p}" for p in range(MINHASH_PERMS)],
+        "b.band_id",
+        "b.band_hash",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_band_collisions"),
+            *[
+                F.max(
+                    (F.col(f"a.mh{p}") == F.col(f"b.mh{p}")).cast("int")
+                ).alias(f"eq{p}")
+                for p in range(MINHASH_PERMS)
+            ],
+        )
+    )
+    est = sum(F.col(f"eq{p}") for p in range(MINHASH_PERMS)) / float(MINHASH_PERMS)
+    return pairs.select(
+        "doc_a", "doc_b", "n_band_collisions", est.alias("est_jaccard")
+    )
+
+
 @query("llm_dedup_simhash", oracle=None)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only): 64-bit signature whose bits are the

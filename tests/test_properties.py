@@ -1313,9 +1313,25 @@ def test_ann_recall_floor_vs_exact(spark):
 
     rows = load_all()["llm_sim_search_recall"].fn(spark, SF_CORRECT).collect()
     got = {r["method"]: r["recall_at_k"] for r in rows}
-    assert set(got) == {"lsh", "ivf"}
+    assert set(got) == {"lsh", "lsh_multiprobe", "ivf", "ivf_escalate"}
     assert got["lsh"] >= 0.2, f"lsh recall@10 regressed: {got['lsh']}"
     assert got["ivf"] >= 0.4, f"ivf recall@10 regressed: {got['ivf']}"
+    # escalation variants (r9, VERDICT r8 item 7): the recall-repair
+    # paths must beat-or-match their fixed-probe bases AND clear 0.7 on
+    # the adversarial noise regime — that lift is their reason to exist.
+    # The 0.7 bar applies from sf0.01 (driver-gate scale, 500 vectors;
+    # measured 0.9/0.9 at sf0.01 AND sf0.1): the 50-vector sf0.001
+    # corpus is pure small-sample noise (measured 0.6/0.7), so the tiny
+    # fixture only gates the weaker beats-base property.
+    big = SF_CORRECT.rstrip("/").endswith(("0.01", "0.1"))
+    mp_floor = max(0.7, got["lsh"]) if big else max(0.5, got["lsh"])
+    iv_floor = max(0.7, got["ivf"]) if big else max(0.6, got["ivf"])
+    assert got["lsh_multiprobe"] >= mp_floor, (
+        f"multiprobe lsh no longer lifts noise recall: {got}"
+    )
+    assert got["ivf_escalate"] >= iv_floor, (
+        f"ivf escalation no longer lifts noise recall: {got}"
+    )
 
 
 def test_ann_recall_high_on_clustered_embeddings(spark, tmp_path):
@@ -1340,6 +1356,9 @@ def test_ann_recall_high_on_clustered_embeddings(spark, tmp_path):
     got = {r["method"]: r["recall_at_k"] for r in rows}
     assert got["lsh"] >= 0.9, f"lsh recall@10 on clustered data: {got['lsh']}"
     assert got["ivf"] >= 0.9, f"ivf recall@10 on clustered data: {got['ivf']}"
+    # escalation must never LOSE recall vs its base on the easy regime
+    assert got["lsh_multiprobe"] >= got["lsh"], f"multiprobe below base: {got}"
+    assert got["ivf_escalate"] >= got["ivf"], f"escalate below base: {got}"
 
 
 def test_semdedup_arrow_assignment_matches_reference(spark, monkeypatch):

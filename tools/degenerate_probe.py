@@ -360,28 +360,39 @@ def main() -> None:
     ap.add_argument("--variant", default="constant",
                     choices=("constant", "zerovec", "sparse", "nulls",
                              "hostiletext", "clockskew"))
+    ap.add_argument("--src", default=SRC,
+                    help="fixture dir to degrade (default sf0.001; r9 "
+                    "VERDICT item 4 runs the nulls axis at sf0.1 to "
+                    "scale-check the guard CASE wrappers)")
     args = ap.parse_args()
     if args.record:
         args.record = os.path.abspath(args.record)
 
     sys.path.insert(0, REPO)
-    global OUT
+    global OUT, SRC
+    # non-default source gets its own staging dirs (the .staged marker
+    # would otherwise silently reuse a corpus staged from another SF)
+    suffix = ""
+    if args.src != SRC:
+        SRC = args.src
+        suffix = "_" + Path(args.src.rstrip("/")).name
     if args.variant == "zerovec":
-        OUT = Path("/tmp/spark_graft_degenerate_zerovec")
+        OUT = Path(f"/tmp/spark_graft_degenerate_zerovec{suffix}")
         stage_zerovec(OUT)
     elif args.variant == "sparse":
-        OUT = Path("/tmp/spark_graft_degenerate_sparse")
+        OUT = Path(f"/tmp/spark_graft_degenerate_sparse{suffix}")
         stage_sparse(OUT)
     elif args.variant == "nulls":
-        OUT = Path("/tmp/spark_graft_degenerate_nulls")
+        OUT = Path(f"/tmp/spark_graft_degenerate_nulls{suffix}")
         stage_nulls(OUT)
     elif args.variant == "hostiletext":
-        OUT = Path("/tmp/spark_graft_degenerate_hostiletext")
+        OUT = Path(f"/tmp/spark_graft_degenerate_hostiletext{suffix}")
         stage_hostiletext(OUT)
     elif args.variant == "clockskew":
-        OUT = Path("/tmp/spark_graft_degenerate_clockskew")
+        OUT = Path(f"/tmp/spark_graft_degenerate_clockskew{suffix}")
         stage_clockskew(OUT)
     else:
+        OUT = Path(f"/tmp/spark_graft_degenerate{suffix}")
         stage()
 
     from bitcoin_price_etl_spark.registry import load_all
@@ -447,6 +458,7 @@ def main() -> None:
                              " event_id strides)"
                     ),
                     "variant": args.variant,
+                    "src": SRC,
                     "n_keys": len(keys),
                     "full_registry": len(keys) == len(reg),
                     "ok": ok,
