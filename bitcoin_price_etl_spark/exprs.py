@@ -147,3 +147,35 @@ def ts_str(col: str, alias: str) -> Column:
 
 def ts_str_sql(col: str, alias: str) -> str:
     return f"strftime({col}, '{TS_FMT_DUCK}') AS {alias}"
+
+
+def literal_rows_df(spark, rows, schema: str):
+    """One-partition, JVM-only literal frame for control-plane results.
+
+    spark.createDataFrame(list_of_tuples) ships the rows through a
+    Python RDD parallelized to spark.default.parallelism — for a 1-row
+    audit frame on local[32] that is 32 tasks, each paying a Python
+    worker round trip. Measured in the round-9 canonical bench session:
+    the noop write of validate_observe_metrics' ONE literal row cost
+    2-12 s mid-session (32 Python worker spin-ups under worker-pool
+    churn; 12.2 s warm MEDIAN over 5 reps) vs ~0.03 s for the same row
+    built JVM-side. At cluster scale the same shape is one scheduler
+    wave of empty Python tasks per audit row — pure waste.
+
+    This builds the frame as F.inline over an array of literal structs
+    on a single-partition range: zero Python workers, zero shuffle,
+    OneRowRelation-class cost at any session age. Types come from the
+    DDL schema string via casts, so the result schema is identical to
+    the createDataFrame(...) it replaces (NULLs included).
+    """
+    st = spark.createDataFrame([], schema).schema
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, st.fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.session import stage, stage_iter
 from bitcoin_price_etl_spark.catalog import load, parquet_num_rows
+from bitcoin_price_etl_spark.exprs import literal_rows_df
 from bitcoin_price_etl_spark.registry import query
 
 TOP_K = 10
@@ -916,8 +917,12 @@ def llm_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = {r.vec_id for r in fn(spark, sf_dir).collect()}
         rows.append((method, len(got & exact), len(exact),
                      len(got & exact) / len(exact)))
-    return spark.createDataFrame(
-        rows, "method string, n_hit long, k long, recall_at_k double"
+    # JVM-side literal result rows (exprs.literal_rows_df): the
+    # createDataFrame python-RDD path costs default-parallelism Python
+    # worker round trips per audit frame — the r9 validate_observe_metrics
+    # finding applies to every control-plane result row
+    return literal_rows_df(
+        spark, rows, "method string, n_hit long, k long, recall_at_k double"
     )
 
 

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.session import stage
 from bitcoin_price_etl_spark.catalog import load
-from bitcoin_price_etl_spark.exprs import davg, davg_sql, dsum, dsum_sql
+from bitcoin_price_etl_spark.exprs import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    literal_rows_df,
+)
 from bitcoin_price_etl_spark.registry import query
 
 
@@ -181,7 +187,10 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nested-loop over 3 rows — O(1) per fact row, no shuffle.
     """
     p = load(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    # literal_rows_df, not createDataFrame: the 3-row band table must not
+    # cost 32 Python-worker tasks to build (r9 control-plane-row finding)
+    bands = literal_rows_df(
+        spark,
         [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
         "band_name string, lo int, hi int",
     )

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import literal_rows_df
 from bitcoin_price_etl_spark.registry import query
 
 _ALLOWED_LANGS = ("en", "es", "de", "fr", "zh")
@@ -302,7 +303,14 @@ def validate_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_large = observed.filter(F.col("o_totalprice") >= 100000).count()
     m = obs.get
-    return spark.createDataFrame(
+    # JVM-side literal result row, NOT spark.createDataFrame(list): the
+    # python-RDD path parallelizes one audit row into default-parallelism
+    # tasks, each a Python worker round trip — measured 2-12 s for this
+    # single row mid-bench-session (the r9 "8.3x regression" that wasn't:
+    # the scan and observe were always fast, the result-row materialization
+    # was the cost). See exprs.literal_rows_df.
+    return literal_rows_df(
+        spark,
         [
             (
                 "orders_ingest",
