@@ -340,23 +340,20 @@ def validate_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
         GROUP BY digit
     ),
-    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs)
-    SELECT digit, n_obs,
-           CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,8))
-                AS DOUBLE) AS p_benford,
-           CAST(CAST(
-               n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
-                                   AS DECIMAL(18,8)) AS DOUBLE)
-               AS DECIMAL(18,4)) AS DOUBLE) AS n_expected,
-           CAST(CAST(
-               (n_obs - n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
-                                            AS DECIMAL(18,8)) AS DOUBLE))
-               * (n_obs - n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
-                                              AS DECIMAL(18,8)) AS DOUBLE))
-               / (n_total * CAST(CAST(log10(1.0 + 1.0 / digit)
-                                      AS DECIMAL(18,8)) AS DOUBLE))
-               AS DECIMAL(18,6)) AS DOUBLE) AS chi2_term
-    FROM obs CROSS JOIN tot
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+    scored AS (
+        SELECT digit, n_obs,
+               CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,8))
+                    AS DOUBLE) AS p_benford,
+               CAST(CAST(n_total AS DECIMAL(20,0))
+                    * CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,8))
+                    AS DOUBLE) AS n_expected
+        FROM obs CROSS JOIN tot
+    )
+    SELECT digit, n_obs, p_benford, n_expected,
+           (n_obs - n_expected) * (n_obs - n_expected) / n_expected
+               AS chi2_term
+    FROM scored
     """,
 )
 def validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,9 +370,18 @@ def validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting or log10-of-data, so digit assignment is bit-exact in both
     engines (exprs.py round-4 note 2). The nine Benford constants are
     libm log10 calls that may differ in the last ulp between JVM and C —
-    each is quantized through DECIMAL(18,8) BEFORE use (both sides), and
-    derived expectation/chi-square values re-quantize at the edge
-    (DECIMAL(18,4)/(18,6), the agg_corr rule).
+    each is quantized through DECIMAL(18,8) BEFORE use (both sides).
+    Downstream of that quantize every operand is exact and identical,
+    so the expectation is an EXACT decimal product
+    (BIGINT n_total x DECIMAL(18,8) p, single cast to double) and the
+    chi-square term a plain IEEE chain on identical operands — NO edge
+    re-quantize. The original DECIMAL(18,4)/(18,6) re-quantizes were the
+    rule-11 LATENT-BUG class (exprs.py round-7 note): they ADDED the
+    midpoint-lottery divergence where none existed, caught for real by
+    the r9 NULLS-at-sf0.1 probe — n_total = 145000 put
+    n_total x p(4) = 14051.95145 exactly on a half-quantum and Spark's
+    repr-HALF_UP split from DuckDB's exact-binary rounding (digits 4, 5
+    and 9 all diverged). Exact restatement, not tolerance.
 
     Scale shape: a map-side digit projection + ONE partial-agg groupBy to
     9 rows; the grand total is an unpartitioned window over the 9-row
@@ -403,18 +409,25 @@ def validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_tot = obs.withColumn(
         "n_total", F.expr("CAST(SUM(n_obs) OVER () AS BIGINT)")
     )
-    return with_tot.select(
+    scored = with_tot.select(
         "digit",
         "n_obs",
         F.expr(p_q).alias("p_benford"),
         F.expr(
-            f"CAST(CAST(n_total * {p_q} AS DECIMAL(18,4)) AS DOUBLE)"
+            "CAST(CAST(n_total AS DECIMAL(20,0))"
+            " * CAST(log10(1.0D + 1.0D / digit) AS DECIMAL(18,8))"
+            " AS DOUBLE)"
         ).alias("n_expected"),
-        F.expr(
-            f"""CAST(CAST(
-                (n_obs - n_total * {p_q}) * (n_obs - n_total * {p_q})
-                / (n_total * {p_q})
-                AS DECIMAL(18,6)) AS DOUBLE)"""
+    )
+    return scored.select(
+        "digit",
+        "n_obs",
+        "p_benford",
+        "n_expected",
+        (
+            (F.col("n_obs") - F.col("n_expected"))
+            * (F.col("n_obs") - F.col("n_expected"))
+            / F.col("n_expected")
         ).alias("chi2_term"),
     )
 

@@ -354,6 +354,7 @@ def stage() -> None:
 
 
 def main() -> None:
+    global OUT, SRC
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", default="")
     ap.add_argument("--record", default="")
@@ -369,7 +370,6 @@ def main() -> None:
         args.record = os.path.abspath(args.record)
 
     sys.path.insert(0, REPO)
-    global OUT, SRC
     # non-default source gets its own staging dirs (the .staged marker
     # would otherwise silently reuse a corpus staged from another SF)
     suffix = ""
