@@ -890,11 +890,13 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the approximate ANN paths against exact brute force —
     the honest metric every ANN deployment must report (a fast index with
-    unmeasured recall is not a search system). Runs the exact, LSH, and
-    IVF top-k for the standard probe vector and emits |approx ∩ exact|/k
-    per method (rows-only: three top-k collects are control-plane — 3·k
-    ids to the driver — not data movement; the underlying searches are the
-    audited distributed plans of their own registry keys).
+    unmeasured recall is not a search system). Runs the exact top-k plus
+    all four approximate paths (LSH, multiprobe LSH, IVF, mass-capped
+    IVF escalation) for the standard probe vector and emits
+    |approx ∩ exact|/k per method (rows-only: the top-k collects are
+    control-plane — 5·k ids to the driver — not data movement; the
+    underlying searches are the audited distributed plans of their own
+    registry keys).
 
     Expectation-setting: the fixture embeddings are isotropic gaussian
     noise, the hardest possible ANN regime — true neighbors are barely
