@@ -168,6 +168,12 @@ def literal_rows_df(spark, rows, schema: str):
     DDL schema string via casts, so the result schema is identical to
     the createDataFrame(...) it replaces (NULLs included).
     """
+    if not rows:
+        # F.inline over a zero-element array is array<null> — Analysis
+        # Exception. An empty createDataFrame is pure driver-side schema
+        # construction (no Python-RDD rows to ship), so it is the
+        # drop-in-safe empty form (r9 ADVICE).
+        return spark.createDataFrame([], schema)
     st = spark.createDataFrame([], schema).schema
     structs = [
         F.struct(

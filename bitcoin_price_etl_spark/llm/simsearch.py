@@ -368,6 +368,143 @@ def llm_sim_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
 
 
+def _lsh_checked_oracle() -> str:
+    """DuckDB twin of llm_sim_search_lsh_checked: the same 16 seeded
+    hyperplanes as plane literals (shortest-repr strings CAST to DOUBLE —
+    a bare numeric literal would parse as DECIMAL and double-round, the
+    round-4 divergence class), the same sequential index-order dot folds,
+    the same >= 0 sign rule, band equality on ANY band, exact cosine
+    re-score, deterministic top-k."""
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((16, DIM))
+
+    def dot_sql(plane) -> str:
+        lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in plane)
+        return (
+            f"list_reduce(list_transform(list_zip(embedding, [{lits}]),"
+            " p -> CAST(p[1] AS DOUBLE) * p[2]), (s, x) -> s + x)"
+        )
+
+    band_defs = ",\n               ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {dot_sql(planes[band * 4 + r])} >= 0"
+            f" THEN {2 ** r} ELSE 0 END)"
+            for r in range(4)
+        )
+        + f" AS INTEGER) AS band{band}"
+        for band in range(4)
+    )
+    any_band = " OR ".join(f"s.band{b} = q.band{b}" for b in range(4))
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               {band_defs}
+        FROM embeddings
+    ),
+    q AS (
+        SELECT * FROM sig
+        WHERE vec_id = (SELECT min(vec_id) FROM sig)
+    ),
+    cand AS (
+        SELECT s.vec_id, s.embedding, q.embedding AS qv
+        FROM sig s CROSS JOIN q
+        WHERE {any_band}
+    ),
+    scored AS (
+        SELECT vec_id,
+               list_reduce(list_transform(list_zip(embedding, qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (s, x) -> s + x) AS dot,
+               list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS norm2,
+               list_reduce(list_transform(qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS qnorm2
+        FROM cand
+    )
+    SELECT vec_id,
+           CASE WHEN norm2 > 0 AND qnorm2 > 0
+                THEN dot / (sqrt(norm2) * sqrt(qnorm2))
+                ELSE CAST(0.0 AS DOUBLE) END AS cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@query("llm_sim_search_lsh_checked", oracle=_lsh_checked_oracle())
+def llm_sim_search_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH search with a FULL HASH-CHECKED ORACLE
+    (VERDICT r9 item 4 applied to llm_sim_search_lsh's banding
+    structure): unlike the ANN keys that stay rows-only because recall
+    is probabilistic, the LSH *pipeline itself* — signature bits, band
+    keys, bucket probe, candidate dedup, exact re-score, top-k — is a
+    deterministic function of the seeded planes, so the whole thing gets
+    a DuckDB twin and a hash-green driver row.
+
+    Cross-engine determinism: each signature bit is the sign (>= 0) of a
+    dot product folded SEQUENTIALLY in index order over identical
+    operands — Spark `aggregate(zip_with(...))` from 0.0, DuckDB
+    `list_reduce` from the head (IEEE-identical since 0+x == x), plane
+    literals round-tripped through shortest-repr strings so both engines
+    hold bit-identical doubles. A sign flip would need a dot within 1
+    ulp of exactly 0 — and even that is deterministic, because both
+    folds produce the SAME double. Cosine re-scoring reuses the
+    llm_sim_search discipline (zero-norm => cos := 0).
+
+    Scale shape: identical to llm_sim_search_lsh — corpus explodes once
+    to (band_id, band_bits) bucket keys, the query's 4 keys broadcast
+    into the equi-join probe, multi-band hits dedup by vec_id before
+    scoring. The only difference is the signature stage: the pure-JVM
+    fold twin (_band_signature_cols) instead of the Arrow matmul, so the
+    certified path has zero Python in it. Role: ORACLE TWIN certifying
+    the banding algebra; production traffic runs llm_sim_search_lsh
+    (Arrow signatures, 5.1x faster at the signature stage — and
+    tests pin both stages to identical signatures)."""
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((16, DIM))
+
+    e = load(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", "embedding", *_band_signature_cols(planes))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.col(f"band{b}").alias("band_bits"),
+            )
+            for b in range(4)
+        ]
+    )
+    corpus_keys = sigs.select(
+        "vec_id", "embedding", F.explode(band_structs).alias("bb")
+    ).select("vec_id", "embedding", "bb.band_id", "bb.band_bits")
+    query_keys = (
+        sigs.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("qv"), F.explode(band_structs).alias("bb"))
+        .select("qv", "bb.band_id", "bb.band_bits")
+    )
+    candidates = corpus_keys.join(
+        F.broadcast(query_keys), ["band_id", "band_bits"]
+    ).dropDuplicates(["vec_id"])
+    scored = candidates.select(
+        "vec_id",
+        F.expr(
+            # zero-norm convention: cos := 0 (see llm_sim_search)
+            "CASE WHEN aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " AND aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v) > 0D"
+            " THEN aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+            " / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v))"
+            "    * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (s, v) -> s + v)))"
+            " ELSE 0.0D END"
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+
+
 @query(
     "llm_dedup_embed",
     oracle="""
@@ -573,6 +710,27 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_ESCALATE_MASS = 0.6
 
 
+def _escalate_probe_labels(ranked_counts, total, base_nprobe=3):
+    """Pick the probed cell labels: walk cells in centroid-distance order,
+    stop once cumulative mass >= IVF_ESCALATE_MASS — but NEVER before
+    min(base_nprobe, n_cells) cells are taken. The floor makes escalate
+    recall-monotone vs base IVF (nprobe=3) BY CONSTRUCTION: on a skewed
+    clustered corpus whose top-ranked cell alone holds >= the mass cap, a
+    pure mass cut would probe 1 cell while base ivf probes 3 — strictly
+    fewer candidates from the path that exists to ADD recall (r9 ADVICE).
+    With the floor, escalate's probed set is always a superset of the
+    base ranking prefix. Pure function over [(label, n_rows)] so the
+    monotonicity property is unit-testable without a corpus."""
+    base = min(base_nprobe, len(ranked_counts))
+    probe, seen = [], 0
+    for label, n in ranked_counts:
+        probe.append(label)
+        seen += n
+        if len(probe) >= base and seen >= IVF_ESCALATE_MASS * total:
+            break
+    return probe
+
+
 @query("llm_sim_search_ivf_escalate", oracle=None)
 def llm_sim_search_ivf_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with nprobe ESCALATION: probe centroid-ranked cells until the
@@ -604,38 +762,40 @@ def llm_sim_search_ivf_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic given the fixture."""
     e = load(spark, sf_dir, "embeddings")
 
+    # n_rows counts EVERY row of the cell — including NULL/empty
+    # embeddings, which the posexplode centroid pass never sees but the
+    # label-isin candidate filter DOES scan — so the mass cap prices the
+    # actual probe cost, not just the embeddable subset (r9 ADVICE).
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_rows"))
     cells = (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .agg(F.avg("x").alias("mx"))
         .groupBy("label")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm"),
-            F.max("n").alias("n_rows"),
         )
         .select(
             "label",
             F.expr("transform(pm, p -> p.mx)").alias("centroid"),
-            "n_rows",
         )
+        .join(counts, "label")
     )
 
     qv = e.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
     q = np.asarray(qv, dtype=np.float64)
 
     # control plane: rank cells by centroid distance, escalate nprobe
-    # until cumulative mass >= the cap (always probes >= 1 cell)
+    # until cumulative mass >= the cap, floored at the base nprobe
+    # (_escalate_probe_labels — never fewer cells than base IVF)
     ranked = sorted(
         cells.collect(),
         key=lambda r: float(np.linalg.norm(np.asarray(r["centroid"]) - q)),
     )
     total = sum(r["n_rows"] for r in ranked)
-    probe_labels, seen = [], 0
-    for r in ranked:
-        probe_labels.append(r["label"])
-        seen += r["n_rows"]
-        if seen >= IVF_ESCALATE_MASS * total:
-            break
+    probe_labels = _escalate_probe_labels(
+        [(r["label"], r["n_rows"]) for r in ranked], total
+    )
 
     candidates = e.filter(F.col("label").isin(probe_labels))
     q_df = _query_vector(spark, sf_dir)

@@ -173,9 +173,12 @@ TRI_MIN_SUPPORT = 2
            (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
                AS n_wedges,
            (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
-           (SELECT CAST(CAST(3.0 * t / nullif(
-                (SELECT sum(d * (d - 1) / 2) FROM deg), 0)
-                AS DECIMAL(14,8)) AS DOUBLE) FROM tri)
+           (SELECT CASE WHEN w IS NULL OR w = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST((600000000 * CAST(t AS HUGEINT) + w) // (2 * w)
+                          AS DOUBLE) / CAST(100000000 AS DOUBLE) END
+            FROM tri CROSS JOIN
+                 (SELECT CAST(sum(d * (d - 1) / 2) AS HUGEINT) AS w
+                  FROM deg))
                AS global_clustering
     """,
 )
@@ -277,9 +280,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             F.col("t").alias("n_triangles"),
+            # EXACT integer restatement of round-half-up(3t/w, 8dp)
+            # (r10, VERDICT r9 item 2): the old CAST(3.0*t/w AS
+            # DECIMAL(14,8)) drew one midpoint-lottery ticket per run
+            # (double -> decimal rounds shortest-repr-HALF_UP in Spark
+            # vs exact-binary in DuckDB) and was the last hunt site not
+            # certified at the 100x octave. round_half_up(3e8*t/w) =
+            # (6e8*t + w) DIV (2w) for non-negative ints — pure integer
+            # arithmetic, NO rounding discretion in either engine at ANY
+            # scale. Ranges: 3t <= w (a triangle closes 3 wedges), so
+            # the quotient <= 1e8 + 1 and CAST-to-double is exact; the
+            # DECIMAL(9,0)*DECIMAL(28,0) product keeps Spark's result
+            # precision at 9+28+1 = 38 (no silent demotion — the r9
+            # benford ADVICE class), covering t up to 1e28 triangles.
             F.expr(
-                "CAST(CAST(3.0 * t / nullif(n_wedges, 0)"
-                " AS DECIMAL(14,8)) AS DOUBLE)"
+                "CASE WHEN n_wedges = 0 THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST((CAST(600000000 AS DECIMAL(9,0))"
+                "            * CAST(t AS DECIMAL(28,0))"
+                "            + n_wedges) DIV (2 * n_wedges) AS DOUBLE)"
+                "      / CAST(100000000 AS DOUBLE) END"
             ).alias("global_clustering"),
         )
     )

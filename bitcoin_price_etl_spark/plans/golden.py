@@ -25,6 +25,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bitcoin_price_etl_spark.exprs import literal_rows_df
 from bitcoin_price_etl_spark.naming import snake_case
 from bitcoin_price_etl_spark.registry import query
 from bitcoin_price_etl_spark.sources.scans import BPI_SCHEMA, OER_SCHEMA, synth_bpi_documents
@@ -54,7 +55,9 @@ def synth_oer_documents() -> list[str]:
 
 def bpi_flat(spark: SparkSession) -> DataFrame:
     """Validated BPI ingest → flatten → projection → rename (R3, R9-R11)."""
-    raw = spark.createDataFrame([(d,) for d in synth_bpi_documents()], "payload string")
+    raw = literal_rows_df(
+        spark, [(d,) for d in synth_bpi_documents()], "payload string"
+    )
     doc = raw.select(F.from_json("payload", BPI_SCHEMA).alias("d"))
 
     # R10: fixed meta list + per-currency (code, description, rate_float) —
@@ -80,7 +83,9 @@ def bpi_flat(spark: SparkSession) -> DataFrame:
 
 def oer_rates(spark: SparkSession) -> DataFrame:
     """Validated OER ingest → (date, idr_rate) lookup table (R12)."""
-    raw = spark.createDataFrame([(d,) for d in synth_oer_documents()], "payload string")
+    raw = literal_rows_df(
+        spark, [(d,) for d in synth_oer_documents()], "payload string"
+    )
     doc = raw.select(F.from_json("payload", OER_SCHEMA).alias("d"))
     return doc.select(
         F.date_format(F.timestamp_seconds(F.col("d.timestamp")), "yyyy-MM-dd").alias(

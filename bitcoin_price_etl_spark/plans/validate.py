@@ -345,7 +345,7 @@ def validate_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT digit, n_obs,
                CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,8))
                     AS DOUBLE) AS p_benford,
-               CAST(CAST(n_total AS DECIMAL(20,0))
+               CAST(CAST(n_total AS DECIMAL(19,0))
                     * CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,8))
                     AS DOUBLE) AS n_expected
         FROM obs CROSS JOIN tot
@@ -374,7 +374,15 @@ def validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     Downstream of that quantize every operand is exact and identical,
     so the expectation is an EXACT decimal product
     (BIGINT n_total x DECIMAL(18,8) p, single cast to double) and the
-    chi-square term a plain IEEE chain on identical operands — NO edge
+    n_total operand is cast to DECIMAL(19,0) — NOT (20,0) — so the
+    Spark product type is DECIMAL(38,8) (19+18+1 = 38, inside the
+    38-digit cap). At (20,0) the nominal result precision was 39 and
+    Spark silently demoted to DECIMAL(38,7) with a HALF_UP re-round at
+    the 7th decimal, while DuckDB kept the exact (38,8) product: for
+    n_total = 1437, Spark read 139.2596844 vs DuckDB 139.25968437 — a
+    latent cross-engine divergence for any n_total not a multiple of 10
+    (r9 ADVICE, fixed r10; regression test in test_plans.py). The
+    chi-square term is a plain IEEE chain on identical operands — NO edge
     re-quantize. The original DECIMAL(18,4)/(18,6) re-quantizes were the
     rule-11 LATENT-BUG class (exprs.py round-7 note): they ADDED the
     midpoint-lottery divergence where none existed, caught for real by
@@ -414,7 +422,7 @@ def validate_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.expr(p_q).alias("p_benford"),
         F.expr(
-            "CAST(CAST(n_total AS DECIMAL(20,0))"
+            "CAST(CAST(n_total AS DECIMAL(19,0))"
             " * CAST(log10(1.0D + 1.0D / digit) AS DECIMAL(18,8))"
             " AS DOUBLE)"
         ).alias("n_expected"),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bitcoin_price_etl_spark.catalog import load
+from bitcoin_price_etl_spark.exprs import literal_rows_df
 from bitcoin_price_etl_spark.paths import scratch_dir
 from bitcoin_price_etl_spark.registry import query
 
@@ -188,7 +189,7 @@ def source_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has no DuckDB view.
     """
     docs = synth_bpi_documents()
-    raw = spark.createDataFrame([(d,) for d in docs], "payload string")
+    raw = literal_rows_df(spark, [(d,) for d in docs], "payload string")
     parsed = raw.select(F.from_json("payload", BPI_SCHEMA).alias("doc"))
     return parsed.select(
         F.col("doc.time.updated").alias("time_updated"),
@@ -248,7 +249,7 @@ def source_rest_authed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     auth = rest_auth_from_env(symbols=("IDR", "EUR"))
     doc_json = fetch_oer_historical("2022-12-18", auth)
-    raw = spark.createDataFrame([(doc_json,)], "payload string")
+    raw = literal_rows_df(spark, [(doc_json,)], "payload string")
     doc = raw.select(F.from_json("payload", OER_SCHEMA).alias("d"))
     return doc.select(
         F.date_format(F.timestamp_seconds(F.col("d.timestamp")), "yyyy-MM-dd").alias(

@@ -637,3 +637,14 @@ def test_runtime_bloom_filter_injects_might_contain(spark):
                 spark.conf.set(k, v)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_interpolate_multi_no_global_window(spark):
+    """ts_interpolate_multi exists to ship the per-series 100 TB form of
+    ts_interpolate_linear (VERDICT r9 item 3): every window — including
+    the island-assignment lag/running-sum pass that stays global in the
+    single-series key — must partition by series, so the plan may contain
+    NO SinglePartition exchange anywhere."""
+    plan = plan_of(q(spark, "ts_interpolate_multi"))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
