@@ -1088,6 +1088,232 @@ def llm_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# llm_sim_search_route thresholds on the Calinski-Harabasz-style
+# between/within cell-separation ratio. Justification from the measured
+# two-regime recall/mass table (bench_full_latest.json recall block +
+# BASELINE.md):
+#   isotropic noise fixture:   CH ~= 1.0  (sf0.001 0.99, sf0.01 1.06)
+#       — base banded recall 0.3-0.5; escalation reaches 0.9 only at
+#         60-78% candidate mass (near-exhaustive at 100 TB) => EXACT is
+#         the honest plan (recall 1.0 at ~1.3x that scan).
+#   clustered fixture (8 planted centroids, sigma 0.03): CH ~= 2239
+#       — base banded recall 1.0 at a tiny mass fraction => BANDED.
+# E[CH] ~= 1 on isotropic data for ANY cell assignment (between-variance
+# explained is 1/(K-1) of chance), so LO=2 sits 2x above the noise
+# ceiling and HI=20 is two orders of magnitude under the measured
+# clustered value — the middle band (weak-but-real structure) routes to
+# the ESCALATED paths, which bought 0.9 recall exactly when structure
+# was partial.
+ROUTE_CH_LO = 2.0
+ROUTE_CH_HI = 20.0
+
+
+@query(
+    "llm_sim_search_route",
+    oracle=f"""
+    WITH base AS (
+        SELECT label, vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    ex AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM base
+    ),
+    counts AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_k
+        FROM base GROUP BY label
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_cells
+        FROM counts
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(CAST(AVG(x) AS DECIMAL(18,6)) AS DOUBLE) AS m
+        FROM ex GROUP BY label, pos
+    ),
+    gmean AS (
+        SELECT c.pos,
+               CAST(SUM(CAST(co.n_k AS DECIMAL(18,0))
+                        * CAST(c.m AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST((SELECT n FROM tot) AS DOUBLE) AS g
+        FROM cent c JOIN counts co ON co.label = c.label
+        GROUP BY c.pos
+    ),
+    between_s AS (
+        SELECT SUM(CAST(co.n_k AS DECIMAL(18,0))
+                   * CAST((c.m - gm.g) * (c.m - gm.g) AS DECIMAL(18,8)))
+                   AS between_d
+        FROM cent c JOIN gmean gm ON c.pos = gm.pos
+        JOIN counts co ON co.label = c.label
+    ),
+    within_s AS (
+        SELECT SUM(CAST((e.x - c.m) * (e.x - c.m) AS DECIMAL(18,8)))
+                   AS within_d
+        FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+    ),
+    scored AS (
+        SELECT t.n, t.k_cells,
+               CASE WHEN t.k_cells < 2 OR t.n <= t.k_cells
+                         OR w.within_d IS NULL OR w.within_d = 0
+                    THEN CAST(NULL AS DOUBLE)
+                    ELSE CAST(CAST(
+                        (CAST(b.between_d AS DOUBLE)
+                         * CAST(t.n - t.k_cells AS DOUBLE))
+                        / (CAST(w.within_d AS DOUBLE)
+                           * CAST(t.k_cells - 1 AS DOUBLE))
+                        AS DECIMAL(18,6)) AS DOUBLE) END AS ch_ratio
+        FROM tot t CROSS JOIN between_s b CROSS JOIN within_s w
+    )
+    SELECT n AS n_rows, k_cells,
+           ch_ratio,
+           CASE WHEN ch_ratio IS NULL THEN
+                    CASE WHEN k_cells >= 2 THEN 'banded' ELSE 'exact' END
+                WHEN ch_ratio < {ROUTE_CH_LO} THEN 'exact'
+                WHEN ch_ratio < {ROUTE_CH_HI} THEN 'escalated'
+                ELSE 'banded' END AS route
+    FROM scored
+    """,
+)
+def llm_sim_search_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN ROUTER (VERDICT r9 item 7): pick exact vs banded vs escalated
+    search from a MEASURED corpus statistic instead of hoping — the
+    decision rule the r9 escalation work left implicit. The statistic is
+    the Calinski-Harabasz-style cell-separation ratio
+    CH = (between/(K-1)) / (within/(n-K)) over the IVF cell assignment
+    (the label column, exactly what llm_sim_search_ivf probes): it is
+    the quantity that separates the two measured regimes —
+    bench_full_latest.json's recall block reads banded recall 1.0 at
+    tiny mass when cells are real (clustered fixture, CH ~2239) and
+    0.3-0.5 base / 0.9-at-60-78%-mass when they are not (noise fixture,
+    CH ~1.0; E[CH] ~= 1 on isotropic data for any assignment). Routes:
+    CH < 2 -> 'exact' (structure indistinguishable from chance: banding
+    cannot beat the data and escalation already costs a near-full scan);
+    2 <= CH < 20 -> 'escalated' (partial structure: multiprobe/
+    mass-capped escalation is what measured 0.9 recall there);
+    CH >= 20 -> 'banded' (real cells: base LSH/IVF at a mass fraction).
+    Degenerate pins: K < 2 or n <= K -> 'exact' (no cells to prune);
+    within = 0 with K >= 2 -> 'banded' (all points AT their centroids —
+    perfectly clustered, CH = +inf).
+
+    Scale shape: ONE pass over the exploded corpus for the cell means
+    (partial-agg AVG, the llm_embed_centroids shape — the shuffle
+    carries (sum,count) pairs, never elements); the GLOBAL mean derives
+    from the (K x dim) cell-mean frame as an exact decimal weighted
+    average (no second corpus scan); one broadcast-sized centroid frame
+    joins back for the within terms, decimal term-sums for the two
+    scalars. No collect in the data path; the router's cost is ~one
+    llm_embed_centroids plus one re-scan for within, amortized over
+    every query that then runs the cheap path. 100 TB verdict: yes —
+    and the statistic should be cached per corpus snapshot.
+
+    Parity: means quantize through DECIMAL(18,6) (the
+    llm_embed_centroids discipline — partial double sums drift in the
+    last ulp, the 1e-6 quantum absorbs it), every squared term quantizes
+    through DECIMAL(18,8) before the order-insensitive exact decimal
+    SUM, and the final ratio — one double expression on identical
+    operands — re-quantizes through DECIMAL(18,6) so the emitted value
+    and the threshold compares are identical cross-engine. Decimal
+    scaled-ints stay far under 2^53 at any tested scale (within <= n*64
+    * max_term; the extreme-scale residual is documented in exprs.py
+    rule 8)."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).select("label", "vec_id", "embedding")
+    ex = base.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    # counts (K rows) and cent (K x dim rows) are control-plane-sized
+    # multi-consumer frames — stage() them so their THREE downstream uses
+    # (tot/gmean/between, within join) read the materialized rows instead
+    # of re-scanning the parquet corpus per consumer. Plan audit: 8
+    # parquet scans without staging; with it, total corpus reads = 2
+    # (one eager scan building cent, one in the final plan for within)
+    counts = base.groupBy("label").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_k")
+    ).transform(stage)
+    tot = counts.agg(
+        F.expr("CAST(SUM(n_k) AS BIGINT)").alias("n"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("k_cells"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.avg("x").cast("decimal(18,6)").cast("double").alias("m")
+    ).transform(stage)
+    # global mean derived from the (K x dim) cell means — an exact
+    # decimal weighted average (n_k x m products; m is 6dp-exact so the
+    # recast is lossless) — instead of a second full corpus scan; the
+    # single double division by n happens identically in the oracle
+    gmean = (
+        cent.join(counts, "label")
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(n_k AS DECIMAL(18,0)) * CAST(m AS DECIMAL(18,6))"
+                )
+            ).alias("gnum")
+        )
+        .crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            "pos",
+            F.expr("CAST(gnum AS DOUBLE) / CAST(n AS DOUBLE)").alias("g"),
+        )
+    )
+    between_s = (
+        cent.join(gmean, "pos")
+        .join(counts, "label")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(n_k AS DECIMAL(18,0))"
+                    " * CAST((m - g) * (m - g) AS DECIMAL(18,8))"
+                )
+            ).alias("between_d")
+        )
+    )
+    within_s = ex.join(cent, ["label", "pos"]).agg(
+        F.sum(
+            F.expr("CAST((x - m) * (x - m) AS DECIMAL(18,8))")
+        ).alias("within_d")
+    )
+    scored = (
+        tot.crossJoin(F.broadcast(between_s))
+        .crossJoin(F.broadcast(within_s))
+        .select(
+            "n",
+            "k_cells",
+            F.expr(
+                "CASE WHEN k_cells < 2 OR n <= k_cells"
+                "          OR within_d IS NULL OR within_d = 0"
+                " THEN CAST(NULL AS DOUBLE)"
+                " ELSE CAST(CAST("
+                "   (CAST(between_d AS DOUBLE) * CAST(n - k_cells AS DOUBLE))"
+                "   / (CAST(within_d AS DOUBLE) * CAST(k_cells - 1 AS DOUBLE))"
+                " AS DECIMAL(18,6)) AS DOUBLE) END"
+            ).alias("ch_ratio"),
+        )
+    )
+    return scored.select(
+        F.col("n").alias("n_rows"),
+        "k_cells",
+        "ch_ratio",
+        F.expr(
+            f"CASE WHEN ch_ratio IS NULL THEN"
+            f"   CASE WHEN k_cells >= 2 THEN 'banded' ELSE 'exact' END"
+            f" WHEN ch_ratio < {ROUTE_CH_LO} THEN 'exact'"
+            f" WHEN ch_ratio < {ROUTE_CH_HI} THEN 'escalated'"
+            f" ELSE 'banded' END"
+        ).alias("route"),
+    )
+
+
 KMEANS_K = 8
 
 

@@ -1567,3 +1567,34 @@ def test_midpoint_quantize_divergence_contract(spark):
             far.append(v)
     for v, got in zip(far, spark_cast(far)):
         assert got == duck(v), (v, got, duck(v))
+
+
+def test_sim_search_route_three_regimes(spark, tmp_path):
+    """The ANN router (VERDICT r9 item 7) must route each measured regime
+    to the path the recall/mass table justifies: isotropic noise (CH ~1,
+    banded recall 0.3-0.5 and escalation near-scan-cost) -> 'exact';
+    strongly clustered (CH ~2239, banded recall 1.0 at tiny mass) ->
+    'banded'; weak-but-real structure (sigma grown until CH lands in
+    [2, 20)) -> 'escalated'. Thresholds are constants, so a fixture
+    drift that moved a regime across a boundary fails loudly here."""
+    from bitcoin_price_etl_spark.llm.evalsets import write_clustered_embeddings
+    from bitcoin_price_etl_spark.llm.simsearch import ROUTE_CH_HI, ROUTE_CH_LO
+    from bitcoin_price_etl_spark.registry import load_all
+
+    fn = load_all()["llm_sim_search_route"].fn
+
+    noise = fn(spark, SF_SMOKE).collect()[0]
+    assert noise["route"] == "exact", noise
+    assert noise["ch_ratio"] < ROUTE_CH_LO
+
+    strong = str(tmp_path / "strong")
+    write_clustered_embeddings(strong)
+    r = fn(spark, strong).collect()[0]
+    assert r["route"] == "banded", r
+    assert r["ch_ratio"] >= ROUTE_CH_HI
+
+    weak = str(tmp_path / "weak")
+    write_clustered_embeddings(weak, sigma=0.53)
+    r = fn(spark, weak).collect()[0]
+    assert r["route"] == "escalated", r
+    assert ROUTE_CH_LO <= r["ch_ratio"] < ROUTE_CH_HI
