@@ -679,19 +679,49 @@ def with_phash_payloads(df: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "llm_multimodal_phash",
-    oracle=f"""
+def _phash_oracle() -> str:
+    """BYTE-exact DuckDB twin of llm_multimodal_phash (r10 hostile-text
+    finding at sf0.1): the decoder consumes the UTF-8 BYTES of the padded
+    text prefix, but the original oracle read ord(substring(s,i,1)) —
+    Unicode CODE POINTS. The two coincide on ASCII and split on
+    multibyte text (CJK/emoji strides): at sf0.1 the hostiletext corpus
+    produced 5237 Spark pairs vs 6157 oracle pairs. The oracle now
+    extracts true bytes via hex(encode(s)) — byte i is the hex pair at
+    (2i-1, 2i), parsed with ascii() arithmetic — so pixels, phashes and
+    pair sets are byte-identical by construction on ANY text. The BMP
+    branch applies the bottom-up row un-flip + BGR->RGB swap as a byte
+    permutation generated from the 4x4x3 geometry (identical to the
+    decoder loop), not a hand-written list."""
+
+    def by(p: int) -> str:
+        hi, lo = 2 * p - 1, 2 * p
+        def hv(pos: int) -> str:
+            return (f"(CASE WHEN ascii(substr(hx, {pos}, 1)) >= 65"
+                    f" THEN ascii(substr(hx, {pos}, 1)) - 55"
+                    f" ELSE ascii(substr(hx, {pos}, 1)) - 48 END)")
+        return f"({hv(hi)} * 16 + {hv(lo)})"
+
+    ppm_positions = list(range(1, IMG_W * IMG_H * 3 + 1))
+    bmp_positions = [
+        (IMG_H - 1 - r) * IMG_W * 3 + c * 3 + (2 - ch) + 1
+        for r in range(IMG_H)
+        for c in range(IMG_W)
+        for ch in range(3)
+    ]
+    ppm_list = ", ".join(by(p) for p in ppm_positions)
+    bmp_list = ", ".join(by(p) for p in bmp_positions)
+    return f"""
     WITH padded AS (
-        SELECT doc_id, rpad(substring(text, 1, 48), 48, ' ') AS s
+        SELECT doc_id,
+               hex(encode(rpad(substring(text, 1, 48), 48, ' '))) AS hx
         FROM documents
         WHERE text IS NOT NULL
     ),
     px AS (
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0
-                    THEN [ord(substring(s, 1, 1)), ord(substring(s, 2, 1)), ord(substring(s, 3, 1)), ord(substring(s, 4, 1)), ord(substring(s, 5, 1)), ord(substring(s, 6, 1)), ord(substring(s, 7, 1)), ord(substring(s, 8, 1)), ord(substring(s, 9, 1)), ord(substring(s, 10, 1)), ord(substring(s, 11, 1)), ord(substring(s, 12, 1)), ord(substring(s, 13, 1)), ord(substring(s, 14, 1)), ord(substring(s, 15, 1)), ord(substring(s, 16, 1)), ord(substring(s, 17, 1)), ord(substring(s, 18, 1)), ord(substring(s, 19, 1)), ord(substring(s, 20, 1)), ord(substring(s, 21, 1)), ord(substring(s, 22, 1)), ord(substring(s, 23, 1)), ord(substring(s, 24, 1)), ord(substring(s, 25, 1)), ord(substring(s, 26, 1)), ord(substring(s, 27, 1)), ord(substring(s, 28, 1)), ord(substring(s, 29, 1)), ord(substring(s, 30, 1)), ord(substring(s, 31, 1)), ord(substring(s, 32, 1)), ord(substring(s, 33, 1)), ord(substring(s, 34, 1)), ord(substring(s, 35, 1)), ord(substring(s, 36, 1)), ord(substring(s, 37, 1)), ord(substring(s, 38, 1)), ord(substring(s, 39, 1)), ord(substring(s, 40, 1)), ord(substring(s, 41, 1)), ord(substring(s, 42, 1)), ord(substring(s, 43, 1)), ord(substring(s, 44, 1)), ord(substring(s, 45, 1)), ord(substring(s, 46, 1)), ord(substring(s, 47, 1)), ord(substring(s, 48, 1))]
-                    ELSE [ord(substring(s, 39, 1)), ord(substring(s, 38, 1)), ord(substring(s, 37, 1)), ord(substring(s, 42, 1)), ord(substring(s, 41, 1)), ord(substring(s, 40, 1)), ord(substring(s, 45, 1)), ord(substring(s, 44, 1)), ord(substring(s, 43, 1)), ord(substring(s, 48, 1)), ord(substring(s, 47, 1)), ord(substring(s, 46, 1)), ord(substring(s, 27, 1)), ord(substring(s, 26, 1)), ord(substring(s, 25, 1)), ord(substring(s, 30, 1)), ord(substring(s, 29, 1)), ord(substring(s, 28, 1)), ord(substring(s, 33, 1)), ord(substring(s, 32, 1)), ord(substring(s, 31, 1)), ord(substring(s, 36, 1)), ord(substring(s, 35, 1)), ord(substring(s, 34, 1)), ord(substring(s, 15, 1)), ord(substring(s, 14, 1)), ord(substring(s, 13, 1)), ord(substring(s, 18, 1)), ord(substring(s, 17, 1)), ord(substring(s, 16, 1)), ord(substring(s, 21, 1)), ord(substring(s, 20, 1)), ord(substring(s, 19, 1)), ord(substring(s, 24, 1)), ord(substring(s, 23, 1)), ord(substring(s, 22, 1)), ord(substring(s, 3, 1)), ord(substring(s, 2, 1)), ord(substring(s, 1, 1)), ord(substring(s, 6, 1)), ord(substring(s, 5, 1)), ord(substring(s, 4, 1)), ord(substring(s, 9, 1)), ord(substring(s, 8, 1)), ord(substring(s, 7, 1)), ord(substring(s, 12, 1)), ord(substring(s, 11, 1)), ord(substring(s, 10, 1))]
+                    THEN [{ppm_list}]
+                    ELSE [{bmp_list}]
                END AS p
         FROM padded
     ),
@@ -729,8 +759,10 @@ def with_phash_payloads(df: DataFrame) -> DataFrame:
     SELECT doc_a, doc_b, n_band_collisions,
            CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM pairs WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM_MAX}
-    """,
-)
+    """
+
+
+@query("llm_multimodal_phash", oracle=_phash_oracle())
 def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate detection for the image modality — the
     multimodal counterpart of llm_dedup_simhash: a 48-bit average-hash
@@ -757,13 +789,16 @@ def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 0, which the property test pins against a full replay.
 
     Parity: a FULL differential despite the Python decode stage — the
-    oracle reconstructs the decoded pixel bytes arithmetically from the
-    text (ord() of the padded prefix), including the BMP path's
-    bottom-up row un-flip and BGR→RGB swap as a literal 48-element
-    permutation — so a decoder bug (wrong stride, missed flip, channel
-    order) hash-mismatches, the llm_multimodal_audio differential
-    stance. The float mean compare (int > sum/48.0) is the identical
-    IEEE comparison in both engines; everything else is integer."""
+    oracle reconstructs the decoded pixel BYTES arithmetically from the
+    text via hex(encode(s)) (true UTF-8 bytes; the original ord()-of-
+    character form read CODE POINTS, which coincide on ASCII and split
+    on multibyte text — caught by the r10 hostile-text probe at sf0.1,
+    920 missing pairs), including the BMP path's bottom-up row un-flip
+    and BGR→RGB swap as a generated byte permutation — so a decoder bug
+    (wrong stride, missed flip, channel order) hash-mismatches, the
+    llm_multimodal_audio differential stance. The float mean compare
+    (int > sum/48.0) is the identical IEEE comparison in both engines;
+    everything else is integer."""
     d = load(spark, sf_dir, "documents")
     mm = with_phash_payloads(d)
     hashed = (

@@ -56,7 +56,7 @@ DEFAULT_KEYS = [
     # event_type-partitioned series windows (hot window partition)
     "ts_ewma", "win_rolling_median", "ts_zscore_rolling",
     "ts_max_drawdown", "ts_resample_ohlc", "ts_seasonal_decompose",
-    "agg_hash", "agg_distinct",
+    "ts_interpolate_multi", "agg_hash", "agg_distinct",
     # custkey / multi-join aggregates
     "join_shuffle", "join_broadcast", "tpch_q13", "tpch_q18",
     # custkey skew turns the (custkey, partkey) edge list into a hub
