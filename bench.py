@@ -51,6 +51,7 @@ HEADLINE = [
     "llm_dedup_ngram",
     "llm_ngram_jaccard",
     "llm_dedup_near",
+    "llm_dedup_simhash_md5",
     "llm_dedup_cluster",
     "llm_sim_search",
     "llm_sim_search_fast",
@@ -67,6 +68,8 @@ HEADLINE = [
     "llm_tfidf",
     "llm_embed_quantize",
     "llm_sim_search_lsh",
+    "llm_sim_search_lsh_checked",
+    "llm_sim_search_route",
     "llm_split_train_eval",
     "pipeline_curate_corpus",
     "sink_merge_upsert",
@@ -85,6 +88,7 @@ HEADLINE = [
     # round-3 additions: time-series rollups, warehouse maintenance,
     # entity resolution, robust stats, per-domain caps, audio modality
     "ts_resample_ohlc",
+    "ts_interpolate_multi",
     "ts_vwap",
     "ts_anomaly_mad",
     "table_profile_stats",
