@@ -91,6 +91,32 @@ ts_lead_lag_xcorr, ts_cusum_changepoint):
   list_reduce is nondeterministic on multi-row ~700-element struct
   folds and mis-evaluates correlated lambda captures: oracle folds must
   be capture-free and small/single-row; see BASELINE.md r7 audit).
+
+Round-10 additions — two non-float divergence classes:
+
+- DECIMAL PRECISION-CAP DEMOTION: a Spark decimal product whose nominal
+  result precision exceeds 38 (p1+p2+1 > 38) is SILENTLY demoted — scale
+  shrinks and the value HALF_UP re-rounds one digit early — while DuckDB
+  keeps the exact wider product. Keep every product's operand precisions
+  at p1+p2+1 <= 38 on BOTH sides (validate_benford: DECIMAL(19,0) x
+  (18,8) -> (38,8) exact; the original (20,0) demoted to (38,7) and
+  diverged for any n_total not a multiple of 10 — r9 ADVICE, proven at
+  n_total=1437).
+- BYTES vs CODE POINTS: any oracle that reconstructs what the engine
+  consumes as UTF-8 BYTES must extract bytes — hex(encode(s)) hex-pair
+  arithmetic — never ord()/ascii() of characters, which read CODE POINTS
+  and coincide with bytes only on ASCII (llm_multimodal_phash: 920
+  missing pairs on the sf0.1 hostile-text corpus, invisible at fixture
+  scale). Same trap in reverse: Spark substring/rpad count characters,
+  so take the char-space prefix FIRST, identically on both sides, then
+  go to bytes.
+- EXACT INTEGER ROUND-HALF-UP beats quantize for single ratios of
+  integers: round_half_up(a/b, s dp) = (2*a*10^s + b) DIV (2*b) in pure
+  integer arithmetic (both engines, no rounding discretion at any
+  scale); cast the small quotient to double and divide by 10^s exactly.
+  Used by graph_triangle_count's clustering ratio — the preferred form
+  whenever numerator and denominator are exact integers/decimals (keep
+  Spark's product precision under the 38 cap per the demotion rule).
 """
 
 from __future__ import annotations
