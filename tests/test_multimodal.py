@@ -352,3 +352,50 @@ def test_phash_exact_dupes_collide_at_zero(spark):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert got[(ids[i], ids[j])][0] == 0
+
+
+def test_phash_oracle_is_byte_exact_on_multibyte_text(spark, tmp_path):
+    """Regression pin for the r10 hostile-text-at-sf0.1 catch: the phash
+    oracle must reconstruct the decoder's UTF-8 BYTES, not Unicode code
+    points — the two coincide on ASCII and split on CJK/emoji, so this
+    corpus is built to be near-duplicate-dense IN THE MULTIBYTE range
+    (shared CJK prefixes differing in one trailing char), where a
+    codepoint-reading oracle produces a different pair set. Full
+    differential at fixture scale so the class can never regress back to
+    needing the sf0.1 probe to notice."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle import compare_to_oracle
+
+    base = [
+        "中文字符串一样的前缀内容在这里延续到四十八字符之后 ",
+        "emoji 🎉🎊🧪🔬 heavy prefix with astral chars 𝔘𝔫𝔦 ",
+        "mixed ASCII then 中文 then more ASCII tail here ",
+    ]
+    rows = []
+    for i in range(24):
+        t = base[i % 3] + ("variant" + str(i // 3))
+        rows.append((i, t, "xx", "synthetic", len(t)))
+    tab = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    for f in os.listdir(SF_SMOKE):
+        os.symlink(os.path.join(SF_SMOKE, f), str(tmp_path / f))
+    os.unlink(str(tmp_path / "documents.parquet"))
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+
+    compare_to_oracle(spark, "llm_multimodal_phash", str(tmp_path))
+    # and the pair set must be non-trivial — shared multibyte prefixes
+    # MUST collide (an accidentally-empty result would make the
+    # differential vacuous)
+    out = load_all()["llm_multimodal_phash"].fn(spark, str(tmp_path)).collect()
+    assert len(out) >= 3, out
