@@ -165,6 +165,86 @@ def llm_sim_search_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_sim_search_fast_checked",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (s, x) -> s + x) AS dot,
+               list_reduce(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS norm2,
+               list_reduce(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS qnorm2
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id,
+           CAST(CAST(
+               CASE WHEN norm2 > 0 AND qnorm2 > 0
+                    THEN dot / (sqrt(norm2) * sqrt(qnorm2))
+                    ELSE CAST(0.0 AS DOUBLE) END
+               AS DECIMAL(18,6)) AS DOUBLE) AS cosine_q
+    FROM scored
+    ORDER BY cosine_q DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def llm_sim_search_fast_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of `llm_sim_search_fast` (VERDICT r10 item 5):
+    the SAME Arrow-batched numpy matmul cosine, with the score quantized
+    through DECIMAL(18,6) before ranking. The raw fast path is rows-only
+    because SIMD/matmul summation order drifts from the oracle's
+    sequential fold by last ulps; at the 1e-6 quantum that drift (~1e-16
+    relative) is invisible, so the quantized score hash-checks against
+    the exact-fold oracle and ties at 6dp break identically on vec_id in
+    both engines — the router's proven DECIMAL(18,6) discipline
+    (`llm_sim_search_route`) applied to the BLAS path. A wrong matmul,
+    broken zero-norm guard, or float32 truncation bug now flips a
+    hash-checked value instead of hiding behind a rows-only row.
+
+    Scale shape: identical to `llm_sim_search_fast` — one Arrow batch =
+    one (batch×64)·64 matrix-vector product, TakeOrderedAndProject top-k,
+    no global sort. Production keeps the raw-score form (full double
+    resolution for downstream thresholds); this twin is its per-release
+    parity audit."""
+    from pyspark.sql.functions import pandas_udf
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.orderBy("vec_id").limit(1).select("embedding").collect()[0][0]
+    q = np.asarray(qv, dtype=np.float64)
+    qn = math.sqrt(float(q @ q))
+
+    @pandas_udf("double")
+    def cosine_batch(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy())
+        m = m.astype(np.float64, copy=False)
+        dots = m @ q
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        denom = norms * qn
+        out = np.divide(dots, denom, out=np.zeros_like(dots),
+                        where=denom > 0)
+        return pd.Series(out)
+
+    return (
+        e.select(
+            "vec_id",
+            cosine_batch("embedding")
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("cosine_q"),
+        )
+        .orderBy(F.col("cosine_q").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 def _band_signature_cols(planes) -> list:
     """JVM reference implementation: 4 band columns (4 bits each) from 16
     seeded hyperplanes, each bit one `aggregate(zip_with(...))` double fold
@@ -1170,7 +1250,8 @@ ROUTE_CH_HI = 20.0
     SELECT n AS n_rows, k_cells,
            ch_ratio,
            CASE WHEN ch_ratio IS NULL THEN
-                    CASE WHEN k_cells >= 2 THEN 'banded' ELSE 'exact' END
+                    CASE WHEN k_cells >= 2 AND n > k_cells
+                         THEN 'banded' ELSE 'exact' END
                 WHEN ch_ratio < {ROUTE_CH_LO} THEN 'exact'
                 WHEN ch_ratio < {ROUTE_CH_HI} THEN 'escalated'
                 ELSE 'banded' END AS route
@@ -1195,8 +1276,10 @@ def llm_sim_search_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass-capped escalation is what measured 0.9 recall there);
     CH >= 20 -> 'banded' (real cells: base LSH/IVF at a mass fraction).
     Degenerate pins: K < 2 or n <= K -> 'exact' (no cells to prune);
-    within = 0 with K >= 2 -> 'banded' (all points AT their centroids —
-    perfectly clustered, CH = +inf).
+    within = 0 with K >= 2 and n > K -> 'banded' (all points AT their
+    centroids — perfectly clustered, CH = +inf). The n <= K pin wins
+    over the within pin when both hold (r10 ADVICE: the old branch sent
+    n <= K with K >= 2 to 'banded' against the documented contract).
 
     Scale shape: ONE pass over the exploded corpus for the cell means
     (partial-agg AVG, the llm_embed_centroids shape — the shuffle
@@ -1306,7 +1389,8 @@ def llm_sim_search_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ch_ratio",
         F.expr(
             f"CASE WHEN ch_ratio IS NULL THEN"
-            f"   CASE WHEN k_cells >= 2 THEN 'banded' ELSE 'exact' END"
+            f"   CASE WHEN k_cells >= 2 AND n > k_cells"
+            f"        THEN 'banded' ELSE 'exact' END"
             f" WHEN ch_ratio < {ROUTE_CH_LO} THEN 'exact'"
             f" WHEN ch_ratio < {ROUTE_CH_HI} THEN 'escalated'"
             f" ELSE 'banded' END"

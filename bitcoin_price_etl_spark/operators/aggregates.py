@@ -94,6 +94,57 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_checked",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(*) AS n_rows,
+           TRUE AS hll_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of `agg_approx_distinct` (VERDICT r10 item 5):
+    the HLL++ sketch value itself is not bit-comparable across engines
+    (DuckDB has no HLL++ with Spark's register layout), but its CONTRACT
+    is — |estimate − exact| ≤ 5·rsd·exact. This key runs the sketch AND
+    the exact distinct in one grouped aggregate and emits the bound check
+    as a boolean the oracle pins TRUE, so a sketch regression (bad rsd
+    plumbing, register merge bug, overflow at a larger SF) flips a
+    hash-checked value instead of hiding behind a rows-only row.
+
+    The bound compares in pure BIGINT arithmetic (|approx−exact|·10 ≤
+    exact ⟺ rel-err ≤ 10% = 5×rsd at rsd 0.02 — wide enough that a
+    healthy sketch never trips it, tight enough that a broken one always
+    does; HLL++ at rsd 0.02 measures <1% error on these cardinalities),
+    so the boolean is exact in both engines — no float discipline needed.
+
+    Scale shape: same single pass as the sketch alone plus the exact
+    distinct's expand — this is the AUDIT form you run on a sample or at
+    validation checkpoints; the dashboard default stays
+    `agg_approx_distinct` (sketch only, fixed memory, no expand)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "distinct_parts",
+            "n_rows",
+            (
+                F.abs(F.col("_approx") - F.col("distinct_parts")) * 10
+                <= F.col("distinct_parts")
+            ).alias("hll_within_10pct"),
+        )
+    )
+
+
+@query(
     "agg_rollup_cube",
     oracle=f"""
     SELECT l_returnflag,

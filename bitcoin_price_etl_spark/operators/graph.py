@@ -292,7 +292,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the quotient <= 1e8 + 1 and CAST-to-double is exact; the
             # DECIMAL(9,0)*DECIMAL(28,0) product keeps Spark's result
             # precision at 9+28+1 = 38 (no silent demotion — the r9
-            # benford ADVICE class), covering t up to 1e28 triangles.
+            # benford ADVICE class). Effective range: t and n_wedges are
+            # BIGINT counts upstream, so the real bounds are t <= ~9.2e18
+            # and 2*n_wedges <= ~9.2e18 (n_wedges <= ~4.6e18) — the
+            # decimal headroom past that is unreachable by construction;
+            # it exists only so the product can never demote.
             F.expr(
                 "CASE WHEN n_wedges = 0 THEN CAST(NULL AS DOUBLE)"
                 " ELSE CAST((CAST(600000000 AS DECIMAL(9,0))"

@@ -63,9 +63,20 @@ def stage(src: str, mult: int, suppliers: int, out: Path) -> dict:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # rmtree first: re-running with a different --src used to rewrite
+    # lineitem but keep stale copies of the other nine tables (r10
+    # ADVICE) — the staged dir must be all-one-fixture or the probe
+    # silently mixes sources.
+    if out.exists():
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
     li = pq.read_table(f"{src}/lineitem.parquet")
     thin = li.filter(pc.less_equal(li.column("l_suppkey"), suppliers))
+    if len(thin) == 0:
+        raise SystemExit(
+            f"no lineitem rows with l_suppkey <= {suppliers} in {src}; "
+            "raise --suppliers (empty thin table would stage a vacuous probe)"
+        )
     unit = pc.max(thin.column("l_orderkey")).as_py() + 1
     idx = thin.schema.get_field_index("l_orderkey")
     copies = []
