@@ -338,23 +338,53 @@ def main() -> None:
     # clustered fixture (llm/evalsets.py; floors >= 0.9). Lives in the
     # full record, not the budget-bounded final stdout line.
     recall: dict[str, dict[str, float]] = {}
+    route_audit: dict[str, dict] = {}
     try:
         import tempfile
 
         from bitcoin_price_etl_spark.llm.evalsets import (
             write_clustered_embeddings,
         )
+        from bitcoin_price_etl_spark.llm.simsearch import escalate_probe_mass
 
         clustered_dir = write_clustered_embeddings(
             tempfile.mkdtemp(prefix="graft_bench_recall_")
         )
-        for regime, rdir in (("noise", sf_dir), ("clustered", clustered_dir)):
+        # Mid-CH corpora (VERDICT r10 item 4): planted structure INSIDE
+        # the router's [2, 20) decision band — sigma=0.6 measures CH~6.9,
+        # sigma=0.35 measures CH~17.9 (ROUTE_CALIBRATION_r11.json) — so
+        # the exact/escalated/banded thresholds are checked against a
+        # measured middle regime every round, not just the two extremes.
+        mid_lo_dir = write_clustered_embeddings(
+            tempfile.mkdtemp(prefix="graft_bench_midlo_"), sigma=0.6
+        )
+        mid_hi_dir = write_clustered_embeddings(
+            tempfile.mkdtemp(prefix="graft_bench_midhi_"), sigma=0.35
+        )
+        regimes = (
+            ("noise", sf_dir),
+            ("clustered", clustered_dir),
+            ("mid_ch7", mid_lo_dir),
+            ("mid_ch18", mid_hi_dir),
+        )
+        for regime, rdir in regimes:
             rows = registry["llm_sim_search_recall"].fn(spark, rdir).collect()
             recall[regime] = {
                 r["method"]: round(r["recall_at_k"], 4) for r in rows
             }
+            # recall-vs-mass: every regime's recall row carries what the
+            # escalation path PAID (probed-mass fraction) plus the CH the
+            # router measured and the arm it picked — 'escalated bought
+            # 0.9' is only meaningful next to 'at 0.62 mass'.
+            rr = registry["llm_sim_search_route"].fn(spark, rdir).collect()[0]
+            route_audit[regime] = {
+                "ch_ratio": rr["ch_ratio"],
+                "route": rr["route"],
+                "escalate_mass": round(escalate_probe_mass(spark, rdir), 4),
+            }
     except Exception as ex:  # noqa: BLE001 — recall must not sink the bench
         recall = {}
+        route_audit = {}
         print(f"recall block failed: {type(ex).__name__}: {ex}", file=sys.stderr)
     # Self-describing artifact: which keys' numbers are post-prewarm
     # (ADVICE r6 — comparability with pre-r6 artifacts breaks silently
@@ -368,6 +398,7 @@ def main() -> None:
         "sf": float(sf),
         "prewarmed": prewarmed,
         "recall": recall,
+        "route_audit": route_audit,
     }
     if runs > 1:
         full["runs"] = runs

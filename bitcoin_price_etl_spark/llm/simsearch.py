@@ -16,7 +16,10 @@ corpus-fraction scan; at 1000 executors the bucket join co-locates by key
 and never broadcasts the corpus.
 """
 
+import hashlib
+import json
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -811,35 +814,12 @@ def _escalate_probe_labels(ranked_counts, total, base_nprobe=3):
     return probe
 
 
-@query("llm_sim_search_ivf_escalate", oracle=None)
-def llm_sim_search_ivf_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe ESCALATION: probe centroid-ranked cells until the
-    cumulative candidate mass reaches IVF_ESCALATE_MASS of the corpus,
-    instead of a fixed nprobe — the recall-repair knob for corpora where
-    fixed-nprobe recall measures low (llm_sim_search_recall's noise
-    regime: ivf@nprobe=3 ≈ 0.5 at sf0.01).
-
-    Why mass-based, not count-based: cells are skewed in practice; a
-    fixed nprobe can cover 5% or 95% of the data depending on which
-    cells rank first. Ranking cells by centroid distance and cutting on
-    cumulative ROW COUNT makes the cost bound explicit and
-    data-independent — the scan touches <= ceil(MASS*N) rows + one cell,
-    whatever the cell-size distribution. Cell row counts ride the same
-    distributed centroid build (one count aggregated alongside the
-    per-position means); only the k-row (label, centroid, n_rows)
-    control plane reaches the driver.
-
-    The honest scale story mirrors multiprobe LSH: on isotropic noise
-    recall ~= probed mass, so hitting 0.7+ recall NEEDS ~0.6 mass — the
-    escalation makes that cost explicit and bounded rather than
-    pretending a 3-cell probe suffices. On clustered corpora (the
-    realistic regime) neighbors concentrate in the first-ranked cells
-    and recall 1.0 arrives long before the mass cap; at 100 TB the
-    cell-partitioned layout makes each probed cell partition pruning,
-    exactly as in llm_sim_search_ivf.
-
-    Rows-only by design: recall is approximate; everything is
-    deterministic given the fixture."""
+def _escalate_control_plane(spark, sf_dir):
+    """Shared escalation control plane: (embeddings frame, probed cell
+    labels, probed mass fraction). Used by the registry key AND the bench
+    regime audit, which records the mass fraction next to each regime's
+    recall so 'escalated bought 0.9 recall' always carries its cost
+    (VERDICT r10 item 4 — recall-vs-mass, not recall alone)."""
     e = load(spark, sf_dir, "embeddings")
 
     # n_rows counts EVERY row of the cell — including NULL/empty
@@ -876,7 +856,52 @@ def llm_sim_search_ivf_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_labels = _escalate_probe_labels(
         [(r["label"], r["n_rows"]) for r in ranked], total
     )
+    probed = set(probe_labels)
+    mass = (
+        sum(r["n_rows"] for r in ranked if r["label"] in probed) / total
+        if total
+        else 0.0
+    )
+    return e, probe_labels, mass
 
+
+def escalate_probe_mass(spark: SparkSession, sf_dir: str) -> float:
+    """Probed-mass fraction the escalation path would scan on this corpus
+    — the cost half of the recall-vs-mass record (bench recall block)."""
+    _, _, mass = _escalate_control_plane(spark, sf_dir)
+    return mass
+
+
+@query("llm_sim_search_ivf_escalate", oracle=None)
+def llm_sim_search_ivf_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe ESCALATION: probe centroid-ranked cells until the
+    cumulative candidate mass reaches IVF_ESCALATE_MASS of the corpus,
+    instead of a fixed nprobe — the recall-repair knob for corpora where
+    fixed-nprobe recall measures low (llm_sim_search_recall's noise
+    regime: ivf@nprobe=3 ≈ 0.5 at sf0.01).
+
+    Why mass-based, not count-based: cells are skewed in practice; a
+    fixed nprobe can cover 5% or 95% of the data depending on which
+    cells rank first. Ranking cells by centroid distance and cutting on
+    cumulative ROW COUNT makes the cost bound explicit and
+    data-independent — the scan touches <= ceil(MASS*N) rows + one cell,
+    whatever the cell-size distribution. Cell row counts ride the same
+    distributed centroid build (one count aggregated alongside the
+    per-position means); only the k-row (label, centroid, n_rows)
+    control plane reaches the driver.
+
+    The honest scale story mirrors multiprobe LSH: on isotropic noise
+    recall ~= probed mass, so hitting 0.7+ recall NEEDS ~0.6 mass — the
+    escalation makes that cost explicit and bounded rather than
+    pretending a 3-cell probe suffices. On clustered corpora (the
+    realistic regime) neighbors concentrate in the first-ranked cells
+    and recall 1.0 arrives long before the mass cap; at 100 TB the
+    cell-partitioned layout makes each probed cell partition pruning,
+    exactly as in llm_sim_search_ivf.
+
+    Rows-only by design: recall is approximate; everything is
+    deterministic given the fixture."""
+    e, probe_labels, _mass = _escalate_control_plane(spark, sf_dir)
     candidates = e.filter(F.col("label").isin(probe_labels))
     q_df = _query_vector(spark, sf_dir)
     scored = candidates.crossJoin(F.broadcast(q_df)).select(
@@ -1188,9 +1213,9 @@ ROUTE_CH_LO = 2.0
 ROUTE_CH_HI = 20.0
 
 
-@query(
-    "llm_sim_search_route",
-    oracle=f"""
+# Shared by llm_sim_search_route and its snapshot-cached twin — cached
+# values must hash against the SAME contract the live computation does.
+_ROUTE_ORACLE = f"""
     WITH base AS (
         SELECT label, vec_id, embedding FROM embeddings
         WHERE embedding IS NOT NULL AND label IS NOT NULL
@@ -1256,8 +1281,10 @@ ROUTE_CH_HI = 20.0
                 WHEN ch_ratio < {ROUTE_CH_HI} THEN 'escalated'
                 ELSE 'banded' END AS route
     FROM scored
-    """,
-)
+    """
+
+
+@query("llm_sim_search_route", oracle=_ROUTE_ORACLE)
 def llm_sim_search_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN ROUTER (VERDICT r9 item 7): pick exact vs banded vs escalated
     search from a MEASURED corpus statistic instead of hoping — the
@@ -1290,7 +1317,8 @@ def llm_sim_search_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars. No collect in the data path; the router's cost is ~one
     llm_embed_centroids plus one re-scan for within, amortized over
     every query that then runs the cheap path. 100 TB verdict: yes —
-    and the statistic should be cached per corpus snapshot.
+    and llm_sim_search_route_cached materializes the per-corpus-snapshot
+    statistic cache, so steady-state queries pay zero statistic passes.
 
     Parity: means quantize through DECIMAL(18,6) (the
     llm_embed_centroids discipline — partial double sums drift in the
@@ -1395,6 +1423,96 @@ def llm_sim_search_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" WHEN ch_ratio < {ROUTE_CH_HI} THEN 'escalated'"
             f" ELSE 'banded' END"
         ).alias("route"),
+    )
+
+
+def _corpus_snapshot_key(sf_dir: str) -> str:
+    """Content-address a corpus snapshot by the embeddings table's path +
+    mtime_ns + size (every file if Spark wrote a directory) — the
+    table_profile_stats convention the route docstring recommends. Any
+    rewrite of the table changes mtime/size and so the cache key; two
+    readers of the same immutable snapshot share one entry."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(p):
+        for root, _dirs, files in sorted(os.walk(p)):
+            for fn in sorted(files):
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                parts.append(f"{fp}|{st.st_mtime_ns}|{st.st_size}")
+    else:
+        st = os.stat(p)
+        parts.append(f"{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:24]
+
+
+def route_stats_cache_dir() -> str:
+    """Cache root for per-corpus route statistics. Overridable via
+    GRAFT_ROUTE_STATS_DIR so tests isolate; defaults under the system
+    temp dir (same lifetime class as Spark's own local scratch)."""
+    import tempfile
+
+    d = os.environ.get("GRAFT_ROUTE_STATS_DIR") or os.path.join(
+        tempfile.gettempdir(), "graft_route_stats"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query("llm_sim_search_route_cached", oracle=_ROUTE_ORACLE)
+def llm_sim_search_route_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """llm_sim_search_route behind the per-corpus-snapshot statistic
+    cache its docstring recommends (VERDICT r10 item 4): the CH ratio is
+    a property of the corpus SNAPSHOT, not the query, so every query
+    against an unchanged corpus should pay zero statistic passes. The
+    cache entry is a 4-field JSON blob keyed by the embeddings table's
+    path+mtime_ns+size (_corpus_snapshot_key — a rewrite invalidates by
+    construction, no TTL guesswork); a hit rebuilds the 1-row result as a
+    JVM literal frame, a miss runs the full router once and persists its
+    single control-plane row. Cross-engine parity is inherited: cached
+    values are byte-identical to what the router emitted (ch_ratio
+    already quantized through DECIMAL(18,6) before caching), so hit and
+    miss hash identically against the same oracle.
+
+    100 TB shape: the cached artifact is O(1) regardless of corpus size —
+    this is what makes the router free in steady state; the one cold
+    pass per snapshot amortizes over every subsequent query."""
+    cpath = os.path.join(
+        route_stats_cache_dir(), _corpus_snapshot_key(sf_dir) + ".json"
+    )
+    schema = "n_rows long, k_cells long, ch_ratio double, route string"
+    if os.path.exists(cpath):
+        with open(cpath, encoding="utf-8") as fh:
+            rec = json.load(fh)
+        return literal_rows_df(
+            spark,
+            [
+                (
+                    rec["n_rows"],
+                    rec["k_cells"],
+                    rec["ch_ratio"],
+                    rec["route"],
+                )
+            ],
+            schema,
+        )
+    row = llm_sim_search_route(spark, sf_dir).collect()[0]
+    rec = {
+        "n_rows": row["n_rows"],
+        "k_cells": row["k_cells"],
+        "ch_ratio": row["ch_ratio"],
+        "route": row["route"],
+    }
+    tmp = cpath + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, cpath)
+    return literal_rows_df(
+        spark,
+        [(rec["n_rows"], rec["k_cells"], rec["ch_ratio"], rec["route"])],
+        schema,
     )
 
 

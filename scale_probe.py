@@ -37,6 +37,9 @@ DOC_KEYS = [
     # risk class the semdedup n^2/K catch exposed)
     "llm_dedup_near",
     "llm_dedup_simhash",
+    # round-11: the md5 algebra-parity twin of simhash (one token explode
+    # + ONE partial-agg groupBy carrying 64 integer sums)
+    "llm_dedup_simhash_md5",
     "llm_dedup_minhash_mllib",
     "llm_dedup_ngram",
     "llm_dedup_cluster",
@@ -159,6 +162,13 @@ EMB_KEYS = [
     "llm_cluster_eval",
     # posexplode + broadcast centroid grid + WindowGroupLimit top-5
     "llm_label_outliers",
+    # round-11 additions (VERDICT r10 item 7): the md5-banded LSH parity
+    # twin (bucket joins grow N x candidates), the router's one-pass CH
+    # statistic (partial-agg means + within re-scan — both linear), and
+    # the DECIMAL-quantized Arrow cosine twin (per-batch matmul)
+    "llm_sim_search_lsh_checked",
+    "llm_sim_search_route",
+    "llm_sim_search_fast_checked",
 ]
 
 
@@ -336,6 +346,11 @@ FACT_KEYS = {
     "ts_resample_ohlc": ("events", "event_id", None),
     "ts_anomaly_mad": ("events", "event_id", None),
     "ts_interpolate_linear": ("events", "event_id", None),
+    # round-11 (VERDICT r10 item 7): per-series interpolation — event_id
+    # shift keeps (user_id, event_type) series, so every series window
+    # gets mult x rows; and the HLL-vs-exact audit aggregate
+    "ts_interpolate_multi": ("events", "event_id", None),
+    "agg_approx_distinct_checked": ("lineitem", "l_orderkey", None),
     "table_profile_stats": ("lineitem", "l_orderkey", None),
     "agg_skew_kurt": ("lineitem", "l_orderkey", None),
     "agg_bitmap_distinct": ("lineitem", "l_orderkey", None),

@@ -70,6 +70,29 @@ DEFAULT_KEYS = [
     "win_range_between",
 ]
 
+# Adjudicated-kept DEMONSTRATION keys (BASELINE.md r8 skew adjudication;
+# VERDICT r10 item 6): their skew ratios are the documented property the
+# key exists to demonstrate, not a regression — recorded in a separate
+# block carrying the adjudication inline, so the main block's flatness
+# IS the probe's headline and no future reader re-investigates these.
+DEMONSTRATIONS: dict[str, str] = {
+    "funnel_windowed_salted": (
+        "KEPT, adjudicated (BASELINE.md r8): the pair-join formulation "
+        "is retained as the salting demonstration — its cost is the pair "
+        "count itself (workload-quadratic in the hot user's steps); the "
+        "salt only spreads it. funnel_windowed (suffix-min form, ~1.0x "
+        "under the same skew) is the scale default."
+    ),
+    "win_range_between": (
+        "KEPT, adjudicated frame-density-bound (BASELINE.md r8): Spark "
+        "re-aggregates sliding RANGE frames per row (no incremental "
+        "remove), so per-row cost is the 1-hour frame's event density — "
+        "10x-denser hot series => ~2-4x wall, correctness unaffected. "
+        "The key certifies the RANGE-frame semantics surface; dense "
+        "feeds take the rollup form (docstring steer)."
+    ),
+}
+
 
 def stage_skew(src: str, out: Path) -> None:
     import shutil
@@ -185,15 +208,23 @@ def main() -> None:
                 row["timing"] = f"fail:{type(ex).__name__}"
                 row["detail_timing"] = str(ex)[:300]
                 bad.append(k)
+        if k in DEMONSTRATIONS:
+            row["adjudication"] = DEMONSTRATIONS[k]
         record[k] = row
         print(f"{k}: {row}", flush=True)
 
+    main_block = {k: v for k, v in record.items() if k not in DEMONSTRATIONS}
+    demo_block = {k: v for k, v in record.items() if k in DEMONSTRATIONS}
     worst = sorted(
-        ((k, v.get("ratio")) for k, v in record.items()
+        ((k, v.get("ratio")) for k, v in main_block.items()
          if v.get("ratio") is not None),
         key=lambda t: -t[1],
     )[:5]
-    print(f"SUMMARY bad={len(bad)} {bad} worst_ratios={worst}", flush=True)
+    print(
+        f"SUMMARY bad={len(bad)} {bad} worst_main_ratios={worst} "
+        f"demonstrations={[(k, v.get('ratio')) for k, v in demo_block.items()]}",
+        flush=True,
+    )
     if args.record:
         with open(args.record, "w") as f:
             json.dump(
@@ -207,7 +238,8 @@ def main() -> None:
                     "timing_sf": None if args.no_timing else args.timing_sf,
                     "n_keys": len(keys),
                     "bad": len(bad),
-                    "keys": record,
+                    "keys": main_block,
+                    "demonstrations": demo_block,
                 },
                 f,
                 indent=1,
