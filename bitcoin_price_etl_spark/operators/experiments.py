@@ -263,14 +263,19 @@ def ab_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT variant, CAST(nv AS BIGINT) AS n_users,
            CAST(CAST(svy / nv AS DECIMAL(18,6)) AS DOUBLE) AS mean_post,
            CAST(CAST(svy / nv
-                     - ((g.n * g.sxy - g.sx * g.sy)
-                        / (g.n * g.sxx - g.sx * g.sx))
+                     - coalesce(
+                           CASE WHEN g.n * g.sxx - g.sx * g.sx <> 0
+                                THEN (g.n * g.sxy - g.sx * g.sy)
+                                     / (g.n * g.sxx - g.sx * g.sx) END,
+                           0.0)
                        * (svx / nv - g.sx / g.n)
                      AS DECIMAL(18,6)) AS DOUBLE) AS mean_cuped,
-           CAST(CAST((g.n * g.sxy - g.sx * g.sy)
-                     * (g.n * g.sxy - g.sx * g.sy)
-                     / ((g.n * g.sxx - g.sx * g.sx)
-                        * (g.n * g.syy - g.sy * g.sy))
+           CAST(CAST(CASE WHEN (g.n * g.sxx - g.sx * g.sx)
+                               * (g.n * g.syy - g.sy * g.sy) <> 0
+                          THEN (g.n * g.sxy - g.sx * g.sy)
+                               * (g.n * g.sxy - g.sx * g.sy)
+                               / ((g.n * g.sxx - g.sx * g.sx)
+                                  * (g.n * g.syy - g.sy * g.sy)) END
                      AS DECIMAL(12,8)) AS DOUBLE) AS var_reduction
     FROM v, g
     """,
@@ -332,7 +337,19 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = v.crossJoin(F.broadcast(g))
     theta_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     theta_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    theta = theta_num / theta_den
+    # Degenerate guard (r11 sparse-at-sf0.1 probe catch): a zero-variance
+    # pre-period covariate (every unit's x identical — e.g. a corpus
+    # whose events all land on one side of the split) makes theta 0/0.
+    # With a constant covariate the adjustment term is identically zero
+    # (x̄_v − x̄ = 0 for every variant), so the CUPED estimate falls back
+    # to the plain post mean: theta := 0, not a crash. corr² is genuinely
+    # undefined there (and when var(y) = 0): NULL. Mirrored in the oracle.
+    theta = F.coalesce(
+        F.when(theta_den != 0, theta_num / theta_den), F.lit(0.0)
+    )
+    vr_den = theta_den * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
     return j.select(
         "variant",
         F.col("nv").cast("long").alias("n_users"),
@@ -347,11 +364,7 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .cast("double")
         .alias("mean_cuped"),
-        (
-            theta_num
-            * theta_num
-            / (theta_den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
-        )
+        F.when(vr_den != 0, theta_num * theta_num / vr_den)
         .cast("decimal(12,8)")
         .cast("double")
         .alias("var_reduction"),
