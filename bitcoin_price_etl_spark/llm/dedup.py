@@ -61,6 +61,103 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental-dedup shard split: doc_id % 5 == 0 is the INCOMING shard
+# (~20% of the corpus); the rest is the already-indexed historical corpus.
+INCR_SHARD_MOD = 5
+
+
+@query(
+    "llm_dedup_incremental_audit",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+               doc_id % {INCR_SHARD_MOD} = 0 AS is_new
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hist AS (
+        SELECT text_hash, MIN(doc_id) AS hist_doc_id
+        FROM fp WHERE NOT is_new GROUP BY text_hash
+    ),
+    new_rank AS (
+        SELECT doc_id, text_hash,
+               MIN(doc_id) OVER (PARTITION BY text_hash) AS first_new
+        FROM fp WHERE is_new
+    )
+    SELECT n.doc_id, n.text_hash, h.hist_doc_id,
+           CASE WHEN h.hist_doc_id IS NOT NULL THEN 'dup_of_index'
+                WHEN n.doc_id > n.first_new THEN 'dup_in_shard'
+                ELSE 'keep' END AS verdict
+    FROM new_rank n LEFT JOIN hist h USING (text_hash)
+    """,
+)
+def llm_dedup_incremental_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup AUDIT: the per-document verdict/provenance view
+    of the shard-vs-index ingest — the triage complement of
+    llm_dedup_incremental (curation.py), which emits only the admitted
+    survivors. Production pipelines need BOTH surfaces: the admit list
+    feeds training, this view answers "why was my document dropped, and
+    which historical document did it collide with" (dedup lineage, the
+    thing users file tickets about). Each incoming doc gets a three-way
+    verdict: 'dup_of_index' (its
+    normalized-text hash exists in the historical index, with the
+    surviving historical doc_id attached for provenance), 'dup_in_shard'
+    (first seen inside this shard by a lower doc_id), or 'keep'.
+
+    Scale shape: the historical side reduces to its (text_hash,
+    min_doc_id) index — at 100 TB that index is a standing bucketed
+    table, REUSED across ingests rather than recomputed (here it derives
+    in-query from the same documents table so the whole pipeline is one
+    oracle-checkable plan; the hash-groupBy that builds it is exactly
+    llm_dedup_exact's shuffle). The shard-vs-index check is one
+    equi-join on the 32-char hash (bucket-pruned when the index is
+    bucketed by text_hash), and the within-shard check is a MIN window
+    over the same hash key — both shuffles carry (hash, id) pairs,
+    never text. NULL text (failed fetch) has no fingerprint and is
+    excluded on BOTH sides (the r8 NULL-axis contract:
+    llm_dedup_exact's convention).
+
+    Parity: md5 is shared exactly cross-engine (the llm_dedup_near_md5
+    discipline); verdicts are pure integer/string CASE logic; the left
+    join keeps hist_doc_id NULL for index misses in both engines."""
+    d = load(spark, sf_dir, "documents")
+    fp = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+            (F.col("doc_id") % INCR_SHARD_MOD == 0).alias("is_new"),
+        )
+    )
+    hist = (
+        fp.filter(~F.col("is_new"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("hist_doc_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash")
+    new_rank = (
+        fp.filter(F.col("is_new"))
+        .select(
+            "doc_id",
+            "text_hash",
+            F.min("doc_id").over(w).alias("first_new"),
+        )
+    )
+    return (
+        new_rank.join(hist, "text_hash", "left")
+        .select(
+            "doc_id",
+            "text_hash",
+            "hist_doc_id",
+            F.when(F.col("hist_doc_id").isNotNull(), F.lit("dup_of_index"))
+            .when(F.col("doc_id") > F.col("first_new"), F.lit("dup_in_shard"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
 def _shingles_expr(toks: str = "toks") -> str:
     """SQL expr producing the distinct word-5-gram shingle array from a
     pre-split token array column.

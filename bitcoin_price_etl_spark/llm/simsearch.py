@@ -248,6 +248,118 @@ def llm_sim_search_fast_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_QUERIES = 8
+
+
+@query(
+    "llm_sim_search_batch",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS qv
+        FROM embeddings ORDER BY vec_id LIMIT {BATCH_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_reduce(list_transform(list_zip(e.embedding, q.qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (s, x) -> s + x) AS dot,
+               list_reduce(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS norm2,
+               list_reduce(list_transform(q.qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (s, x) -> s + x) AS qnorm2
+        FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT q_id, vec_id,
+               CASE WHEN norm2 > 0 AND qnorm2 > 0
+                    THEN dot / (sqrt(norm2) * sqrt(qnorm2))
+                    ELSE CAST(0.0 AS DOUBLE) END AS cosine
+        FROM scored
+    )
+    SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT q_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, vec_id) AS rn
+          FROM ranked)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def llm_sim_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query exact top-k: the {BATCH_QUERIES} lowest-vec_id vectors
+    as a query BATCH, answered in ONE corpus pass — the shape every real
+    retrieval workload has (queries arrive in batches; per-query rescans
+    multiply the dominant cost, the corpus scan, by Q). Every other
+    search key here is single-query; this is the amortization story.
+
+    Scale shape: the Q-row (q_id, qv) frame broadcasts (Q x 64 floats);
+    the corpus meets all Q queries inside its own partitions
+    (BroadcastNestedLoopJoin attach, corpus never re-scanned or
+    shuffled), and per-query top-k runs as row_number over a q_id
+    window, which Spark 3.5+/4.x executes as WindowGroupLimit — each map
+    task keeps only k rows PER QUERY before the q_id exchange, so the
+    shuffle carries <= Q*k*tasks rows, never the Q-times-corpus score
+    matrix. The Q=8 single-reducer-per-query final rank is k-bounded.
+    At 100 TB: scan cost is paid once for the whole batch — Q times
+    cheaper than Q calls to llm_sim_search.
+
+    Parity: identical per-element sequential double folds as
+    llm_sim_search (bit-exact cross-engine, no quantization needed);
+    zero-norm rows pin cos := 0 (r8 convention); rank ties break on
+    vec_id in both engines. The query frame derives JVM-side (sort-limit
+    on the scan), no driver collect."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy("vec_id")
+        .limit(BATCH_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, qv,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("norm2"),
+        F.expr(
+            "aggregate(transform(qv,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("qnorm2"),
+    )
+    ranked = scored.select(
+        "q_id",
+        "vec_id",
+        F.when(
+            (F.col("norm2") > F.lit(0.0)) & (F.col("qnorm2") > F.lit(0.0)),
+            F.col("dot") / (F.sqrt("norm2") * F.sqrt("qnorm2")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        ranked.select(
+            "q_id",
+            "vec_id",
+            "cosine",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 def _band_signature_cols(planes) -> list:
     """JVM reference implementation: 4 band columns (4 bits each) from 16
     seeded hyperplanes, each bit one `aggregate(zip_with(...))` double fold

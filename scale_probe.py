@@ -40,6 +40,9 @@ DOC_KEYS = [
     # round-11: the md5 algebra-parity twin of simhash (one token explode
     # + ONE partial-agg groupBy carrying 64 integer sums)
     "llm_dedup_simhash_md5",
+    # r11: shard-vs-index incremental-dedup audit — the index groupBy and
+    # the hash equi-join both grow with the corpus
+    "llm_dedup_incremental_audit",
     "llm_dedup_minhash_mllib",
     "llm_dedup_ngram",
     "llm_dedup_cluster",
@@ -169,6 +172,10 @@ EMB_KEYS = [
     "llm_sim_search_lsh_checked",
     "llm_sim_search_route",
     "llm_sim_search_fast_checked",
+    # r11: Q=8 multi-query batch — the broadcast attach + WindowGroupLimit
+    # per-query top-k; the stress is Q x corpus score rows being pruned
+    # map-side before the q_id exchange
+    "llm_sim_search_batch",
 ]
 
 
