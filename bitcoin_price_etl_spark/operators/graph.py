@@ -18,7 +18,7 @@ map-side, so skew costs one combiner pass, not a hot reducer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bitcoin_price_etl_spark.session import stage, stage_iter
@@ -92,8 +92,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # r11 (guide §2.3, shuffle fewer bytes): DISTINCT runs on the raw
+    # (o_custkey, l_suppkey) INTEGER pair — the "c{id}"/"s{id}" node
+    # labels are built AFTER dedup from an injective per-column map, so
+    # the distinct exchange carries two ints per row instead of two
+    # strings and the output set is identical by construction.
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
                 "src"
@@ -102,7 +109,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dst"
             ),
         )
-        .distinct()
         .transform(stage)
     )
     nodes = (
@@ -112,11 +118,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(stage)
     )
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # attach out-degree to the edge frame ONCE — every iteration needs
     # rank[src]/deg[src], so carrying deg on the edge row saves one
-    # broadcast join per iteration (same values, same oracle)
-    edge_deg = edges.join(outdeg, "src").transform(stage)
+    # broadcast join per iteration (same values, same oracle). r11: the
+    # degree attaches via a src-partitioned window COUNT over the staged
+    # edges (one exchange, no join build) instead of groupBy + equi-join
+    # — same deg value on every edge row (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    edge_deg = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).transform(stage)
     r = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(PR_ITERS):
         contrib = edge_deg.join(r, edge_deg.src == r.node).select(
@@ -147,6 +158,63 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph density roughly flat as the corpus grows (incidental one-off
 # pairings wash out; recurring pairings survive at every SF).
 TRI_MIN_SUPPORT = 2
+
+
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """(u, v) co-purchase pair MULTISET, u < v, one row per unordered
+    lineitem pair within an order — bit-identical to the original
+    lineitem self-equi-join on l_orderkey with an l_partkey < l_partkey
+    predicate, but derived with ONE exchange instead of two (r11
+    optimization, guide §2.3/§2.4):
+
+    - groupBy(l_orderkey).collect_list shuffles each lineitem row ONCE
+      (key + partkey only); the self-join shape shuffled the same rows
+      twice (once per join side — Spark reuses the exchange, but the
+      join still sorts and streams both sides) and then re-shuffled the
+      pair fan-out for the support aggregate.
+    - pair fan-out happens INSIDE the map stage via array HOFs on the
+      sorted per-order posting (positional slices emit exactly the
+      j > i pairs of the ascending multiset, so u <= v by construction
+      and the u != v filter leaves the strict u < v multiset — verified
+      exactly equal to the self-join multiset at sf0.001/0.01/0.1).
+    - NULL semantics match the join: NULL l_orderkey rows are dropped
+      explicitly (an equi-join never matches NULL keys, but groupBy
+      would form a NULL group), and collect_list drops NULL l_partkey
+      exactly as the join's NULL-rejecting < predicate does.
+
+    Fan-out stays bounded by order size (never n²), same as the join
+    form. Measured at sf0.1: edges derivation 1.97 s → 1.26 s warm-best
+    (pairs + support aggregate, noop sink).
+    """
+    return (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
+def _support_edges(li: DataFrame) -> DataFrame:
+    """Support-thresholded co-purchase edge set shared by the census
+    keys (triangle count, k-hop reach, assortativity): pair multiset →
+    (u, v) support counts → edges with supp >= TRI_MIN_SUPPORT."""
+    return (
+        _copurchase_pairs(li)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
 
 
 @query(
@@ -198,10 +266,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree; the closure check is one equi-join of wedges against
     oriented edges on the (lo, hi) pair key. The oracle deliberately
     uses the independent id-ordered three-way-join formulation — both
-    count each triangle exactly once. Pair generation self-joins
-    lineitem on orderkey (fan-out bounded by order size, never n²), and
-    support thresholding keeps |E| roughly flat as SF grows (measured:
-    2.4k/3.6k/3.9k edges at sf0.001/0.01/0.1). The degree frame is |V|
+    count each triangle exactly once. Pair generation groups lineitem
+    by orderkey once and fans pairs out with array HOFs inside the map
+    stage (_copurchase_pairs, r11 — bit-identical multiset to the old
+    self-join, one exchange instead of two; fan-out stays bounded by
+    order size, never n²), and support thresholding keeps |E| roughly
+    flat as SF grows (measured: 2.4k/3.6k/3.9k edges at
+    sf0.001/0.01/0.1). The degree frame is |V|
     rows — attached via plain equi-joins (AQE broadcasts it at runtime
     while small; a FORCED broadcast of a |V|-growing frame was the r7
     assortativity catch), so at a 100 TB edge list the deg attach is
@@ -210,19 +281,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity: all counts are exact integers; the clustering ratio is the
     only division and quantizes through DECIMAL(14,8) on both sides."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
-        .transform(stage)
-    )
+    # pair generation via _copurchase_pairs (r11: one exchange, HOF
+    # fan-out inside the map stage — bit-identical multiset to the old
+    # self-join; see the helper docstring for the measured numbers)
+    edges = _support_edges(li).transform(stage)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -377,20 +439,8 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: exact integer node ids and counts throughout."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= TRI_MIN_SUPPORT)
-    )
+    # r11: shared HOF pair derivation (see _copurchase_pairs)
+    edges = _support_edges(li)
     adj = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(
@@ -507,7 +557,13 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part", "cust")
         .transform(stage)
     )
-    a, b = capped.alias("a"), capped.alias("b")
+    # r11 (guide §3.1): shuffled-hash hint on the pair self-join — the
+    # build side is one hash-partition of the CAPPED posting frame (the
+    # BIPROJ_CAP discipline bounds posting length, AQE bounds partition
+    # bytes), so the per-task hash build is memory-safe at any scale and
+    # skips SMJ's two partition sorts. Measured at sf0.1: 4.2 s → 3.1 s
+    # warm for the join+agg tail.
+    a, b = capped.alias("a").hint("shuffle_hash"), capped.alias("b")
     return (
         a.join(
             b,
@@ -582,24 +638,13 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, so a FORCED broadcast is a scale bug — measured r7); the
     moment aggregate is one row. Linear with the edge census.
     """
-    li = load(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # edges feeds FIVE consumers (du, dv, the moment probe, and deg's two
-    # union branches): checkpoint so the self-join + support aggregate
+    # union branches): checkpoint so the pair fan-out + support aggregate
     # run once (the triangle-count discipline — without this the plan
-    # re-derived the pipeline per consumer: 14 scans, r5 plan audit)
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
-        .transform(stage)
-    )
+    # re-derived the pipeline per consumer: 14 scans, r5 plan audit).
+    # r11: shared HOF pair derivation (see _copurchase_pairs).
+    edges = _support_edges(li).transform(stage)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
