@@ -1840,67 +1840,116 @@ SEMDEDUP_CELL_TARGET = 625
 SEMDEDUP_DIRECT_K = KMEANS_K
 
 
+def _emb_matrix(emb: pd.Series, dim: int) -> "np.ndarray":
+    """(batch, dim) float64 matrix from an Arrow embedding column.
+    NULL / ragged rows (never present in the shipped fixtures, but the
+    defensive contract of every degenerate axis) become all-NaN rows —
+    NaN then reproduces the JVM fold's NULL algebra downstream: an
+    all-NaN distance row argmins to index 0 (the smallest cid, exactly
+    the NULL-dist2 struct-min pick) and a NaN cosine never exceeds tau
+    (the `WHEN denom > 0` guard's NULL-comparison outcome)."""
+    vals = emb.to_numpy()
+    ok = True
+    for v in vals:
+        if v is None or len(v) != dim:
+            ok = False
+            break
+    if ok:
+        return np.vstack(vals).astype(np.float64, copy=False)
+    M = np.full((len(vals), dim), np.nan)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            M[i] = np.asarray(v, dtype=np.float64)
+    return M
+
+
+def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot of equal-shape float64 matrices with the EXACT
+    sequential left-fold summation order of `aggregate(zip_with(...),
+    0D, (s, v) -> s + v)` / DuckDB `list_reduce`: per-element products
+    are IEEE doubles and np.cumsum accumulates strictly left-to-right,
+    so the last prefix equals the fold bit-for-bit (0 + x == x).
+    Property-tested against a per-element Python fold in
+    tests/test_opt_r11 and exact-eq certified vs the DuckDB oracle;
+    this is what lets the Arrow fast path replace the interpreted
+    Catalyst lambda folds WITHOUT changing a single output bit
+    (optimization guide §4.2)."""
+    return np.cumsum(A * B, axis=-1)[..., -1]
+
+
 def _semdedup_assign_udf(cent: DataFrame):
     """pandas_udf("bigint"): EXACT argmin cell id for an embedding column,
-    over the collected K-row centroid control plane. b×K squared distances
-    via |x|² + |c|² − 2x·c (one BLAS matmul per Arrow batch); np.argmin
-    first-hit == smallest cid on ties (cids ascending)."""
+    over the collected K-row centroid control plane — bit-identical to
+    the crossJoin + struct-min fold form it replaced (r11): per-centroid
+    d2 is the same (CAST-to-double diff)² sequence folded in index order
+    (np.cumsum == the sequential fold, see _seq_dot), and np.argmin's
+    first-hit tie rule over cid-ascending centroids == min(struct(dist2,
+    cid)). One Arrow batch = K vectorized diff² passes; no join, no K×
+    row blow-up, no per-element interpreted lambda."""
     from pyspark.sql.functions import pandas_udf
 
     cent_rows = cent.orderBy("cid").collect()  # control plane: K rows
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    C = np.array([list(map(float, r["cvec"])) for r in cent_rows])
-    c2 = np.einsum("ij,ij->i", C, C)
-    Ct = C.T.copy()  # (dim, K), contiguous for the batch matmul
+    C = np.array(
+        [
+            [float(v) for v in (r["cvec"] or [])]
+            for r in cent_rows
+        ]
+    )
+    dim = C.shape[1] if C.ndim == 2 else 0
 
     @pandas_udf("bigint")
     def assign(emb: pd.Series) -> pd.Series:
-        M = np.vstack(emb.to_numpy()).astype(np.float64, copy=False)
-        d = np.einsum("ij,ij->i", M, M)[:, None] + c2[None, :] - 2.0 * (M @ Ct)
+        M = _emb_matrix(emb, dim)
+        d = np.empty((M.shape[0], len(cids)))
+        for k in range(len(cids)):
+            diff = M - C[k]
+            d[:, k] = _seq_dot(diff, diff)
+        # all-NaN rows (NULL embeddings): argmin -> 0 -> smallest cid,
+        # the same pick as the fold form's NULL-dist2 struct-min
         return pd.Series(cids[np.argmin(d, axis=1)])
 
     return assign
 
 
-def _semdedup_assign(e: DataFrame, cent: DataFrame, diff2) -> DataFrame:
-    """(vec_id, cell): EXACT nearest-centroid assignment in the
-    oracle-mirrored fold form — broadcast crossJoin + struct-min, used at
-    and below SEMDEDUP_DIRECT_K. Past that K, llm_semdedup bypasses this
-    helper entirely: _semdedup_assign_udf rides the scan so the cell
-    lands next to the payload without a join (ADVICE r7 removed the
-    Arrow branch that used to sit here unreachably). Tie rule in both
-    formulations: smaller centroid id wins (struct-min lexicographic /
-    np.argmin first-hit over id-ascending centroids)."""
-    return (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", diff2.alias("dist2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dist2", "cid")).alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cell"))
-    )
-
-
 def _semdedup_kept_cells(assigned: DataFrame) -> DataFrame:
     """(vec_id, cell, kept) from a (vec_id, cell, embedding) frame: the
-    within-cell pair probe as a per-cell gram matrix (applyInPandas) — the
+    within-cell pair probe as a per-cell pair sweep (applyInPandas) — the
     SemDeDup paper's actual form. kept = no lower-vec_id cell-mate with
-    cosine > tau; the gram is computed in 1024-row blocks against the
-    id-ascending prefix so a skewed cell stays memory-bounded (block ×
-    cell doubles, ~5 MB per block at the 625-target)."""
+    cosine > tau.
+
+    r11: dots and norms use the EXACT sequential-fold summation order
+    (_seq_dot — np.cumsum over the per-element double products), NOT a
+    BLAS gram, so every cosine is bit-identical to the Catalyst
+    `aggregate(zip_with(...))` fold this path replaced AND to the DuckDB
+    list_reduce oracle — the whole key is hash-checkable through the
+    Arrow path at every scale. The pair sweep runs in row blocks against
+    the id-ascending prefix so a skewed cell stays memory-bounded (the
+    block × prefix × dim product buffer is capped at ~32 MB)."""
     tau = SEMDEDUP_TAU
 
     def kept(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
-        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        dims = [len(v) for v in pdf["embedding"].to_numpy() if v is not None]
+        dim = max(dims) if dims else 0
+        M = _emb_matrix(pdf["embedding"], dim)
+        # norm fold: sqrt(sum(x64²)) in strict index order, NULL -> NaN
+        nrm = np.sqrt(_seq_dot(M, M)) if dim else np.zeros(len(pdf))
         n = len(pdf)
         dup = np.zeros(n, dtype=bool)
-        B = 1024
+        B = max(1, int(4_000_000 // max(1, n * max(dim, 1))))
         for s0 in range(0, n, B):
             e0 = min(s0 + B, n)
             denom = nrm[s0:e0, None] * nrm[None, :e0]
-            # zero-norm convention: cos := 0 (see llm_sim_search)
-            G = np.divide(M[s0:e0] @ M[:e0].T, denom,
+            # (block, prefix, dim) double products folded sequentially
+            # along dim — each pair's dot is the exact fold value
+            dots = _seq_dot(M[s0:e0, None, :], M[None, :e0, :]) if dim else (
+                np.zeros((e0 - s0, e0))
+            )
+            # zero-norm convention: cos := 0 (see llm_sim_search);
+            # NaN denom/dot (NULL rows) never exceeds tau, matching the
+            # fold form's NULL-comparison outcome
+            G = np.divide(dots, denom,
                           out=np.zeros((e0 - s0, e0)), where=denom > 0)
             rows = np.arange(s0, e0)[:, None]
             cols = np.arange(e0)[None, :]
@@ -1969,30 +2018,29 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the SemDeDup trick IS the cell blocking — pairwise
     cosine runs only inside a cell (Σ cell², like llm_dedup_embed's label
     blocks, but the blocking key is LEARNED from the geometry, so it
-    works on unlabeled corpora). Centroids broadcast (K rows); the
-    assignment argmin combines map-side; the within-cell pair probe is a
-    cell-keyed self-equi-join feeding a LEFT SEMI (exists) — the corpus
-    embedding payload shuffles once, on the cell key. K GROWS WITH THE
-    CORPUS (max(KMEANS_K, n // SEMDEDUP_CELL_TARGET), mirrored in the
-    oracle's computed LIMIT) so average cell size stays ~625 and the
-    Σ cell² probe stays linear — the r6 probe measured fixed K=8 at
-    3.2→87 s over 1×→8× corpus (pairs ∝ n²/K); with scaled K the same
-    axis reads linear. Assignment past SEMDEDUP_DIRECT_K centroids moves
-    to an Arrow-batched numpy pass over the SAME exact argmin
-    (_semdedup_assign; approximate two-level assignment was measured and
-    REJECTED — it skews the cells and the Σ cell² pair probe pays 3×;
-    every fixture scale keeps the fold-form direct path, K=8 ≤ 64). n
-    comes from a
+    works on unlabeled corpora). The K-row centroid control plane ships
+    in the assignment UDF's closure; assignment rides the corpus scan as
+    one Arrow projection (no join, no K× candidate blow-up); the
+    within-cell pair probe is a per-cell blocked pair sweep in
+    applyInPandas — the corpus embedding payload shuffles ONCE, on the
+    cell key. K GROWS WITH THE CORPUS (max(KMEANS_K,
+    n // SEMDEDUP_CELL_TARGET), mirrored in the oracle's computed LIMIT)
+    so average cell size stays ~625 and the Σ cell² probe stays linear —
+    the r6 probe measured fixed K=8 at 3.2→87 s over 1×→8× corpus
+    (pairs ∝ n²/K); with scaled K the same axis reads linear.
+    (Approximate two-level assignment was measured and REJECTED — it
+    skews the cells and the Σ cell² pair probe pays 3×.) n comes from a
     driver-side parquet FOOTER read (catalog.parquet_num_rows — no Spark
     job at DataFrame-construction time; schema-only consumers stay
     lazy), falling back to one control-plane count on non-local stores.
 
-    Parity: assignment + cosine reuse the bit-exact sequential-fold
-    discipline of llm_kmeans_assign / llm_dedup_embed; the kept flag is a
-    boolean EXISTS over exact comparisons, so no float ever reaches the
-    output. K equals KMEANS_K at every fixture scale (5000 // 625 = 8),
-    so the certified sf0.01 output and the sf0.1 bench row are
-    bit-unchanged.
+    Parity: the Arrow stages compute every double sum in the SAME
+    sequential fold order as the oracle's list_reduce (np.cumsum ==
+    left fold, _seq_dot), so assignment argmin, norms, and cosines are
+    bit-identical to the retired crossJoin + Catalyst-fold form (r11 —
+    re-certified exact-eq vs the oracle at sf0.001/0.01/0.1 and on the
+    degenerate axes); the kept flag is a boolean EXISTS over exact
+    comparisons, so no float ever reaches the output.
     """
     e = load(spark, sf_dir, "embeddings")
     n = parquet_num_rows(sf_dir, "embeddings")
@@ -2004,73 +2052,25 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     )
-    diff2 = F.expr(
-        "aggregate(zip_with(embedding, cvec,"
-        " (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
-        " * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),"
-        " 0.0D, (s, x) -> s + x)"
+    # r11: ONE path at every K — the Arrow assignment rides the scan (no
+    # join, the cell lands next to the payload in one projection) and the
+    # within-cell pair probe is a per-cell blocked pair sweep in
+    # applyInPandas — the SemDeDup paper's actual form, ONE shuffle
+    # (payload on the cell key), no staging (single straight-line
+    # consumer). Bit-exactness is preserved by construction: both stages
+    # compute their double sums in the fold's sequential order via
+    # np.cumsum (_seq_dot), so assignment argmin, norms, and cosines are
+    # identical to the retired crossJoin + Catalyst-fold form at any K —
+    # which is what lets the certified fold path be REPLACED instead of
+    # guarded behind SEMDEDUP_DIRECT_K (guide §4.2: hand whole batches to
+    # vectorized native code; measured at sf0.1: 3.8 s → see
+    # OPTIMIZATION_r11.md). The old fold form evaluated ~n²/K · dim
+    # interpreted lambda steps in the pair join alone.
+    assign = _semdedup_assign_udf(cent)
+    assigned_arrow = e.select(
+        "vec_id", assign("embedding").alias("cell"), "embedding"
     )
-    norm = F.expr(
-        "sqrt(aggregate(transform(embedding,"
-        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-        " 0D, (s, v) -> s + v))"
-    )
-    if k > SEMDEDUP_DIRECT_K:
-        # Beyond-fixture scale: Arrow assignment rides the scan (no join —
-        # the cell lands next to the payload in one projection) and the
-        # within-cell pair probe is a per-cell gram matrix in
-        # applyInPandas — the SemDeDup paper's actual form. One shuffle
-        # (payload on the cell key), per-cell row-blocked BLAS instead of
-        # per-pair catalyst lambda folds (numbers in BASELINE.md r7
-        # follow-up). No staging: single consumer, straight-line plan.
-        assign = _semdedup_assign_udf(cent)
-        assigned_arrow = e.select(
-            "vec_id", assign("embedding").alias("cell"), "embedding"
-        )
-        return _semdedup_kept_cells(assigned_arrow)
-    best = _semdedup_assign(e, cent, diff2)
-    # Materialize the assigned frame once: three consumers fan out from it
-    # (both pair-join aliases + the kept-flag base), and Spark re-evaluates
-    # unshared subtrees — without this the corpus scan and the K-way argmin
-    # run 3× (9-scan plan). Same move as dedup._posting_with_df; at cluster
-    # scale this is persist(DISK_ONLY) or a staging table.
-    assigned = (
-        e.join(best, "vec_id")
-        .select("vec_id", "cell", "embedding", norm.alias("norm"))
-        .transform(stage)
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.embedding, b.embedding,"
-        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " 0D, (s, v) -> s + v)"
-    )
-    dup_of_smaller = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .filter(
-            # zero-norm convention: cos := 0 (see llm_sim_search)
-            F.when(
-                F.col("a.norm") * F.col("b.norm") > F.lit(0.0),
-                dot / (F.col("a.norm") * F.col("b.norm")),
-            ).otherwise(F.lit(0.0))
-            > SEMDEDUP_TAU
-        )
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dup_of_smaller.withColumn("dup", F.lit(True)),
-                      "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.coalesce(~F.col("dup"), F.lit(True)).alias("kept"),
-        )
-    )
+    return _semdedup_kept_cells(assigned_arrow)
 
 
 @query(
