@@ -2327,12 +2327,15 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer operands — floor is unambiguous, so every iteration's state
     is bit-identical by construction, not by tolerance.
 
-    Scale shape: per iteration — ONE broadcast of the K-row centroid
-    array frame against the checkpointed quantized corpus (K candidate
-    rows per vector, argmin partial-combines K→1 map-side, embedding
-    arrays never shuffle), then ONE (cluster, pos)-keyed partial-agg
-    for the update (K·dim output rows). localCheckpoint between rounds
-    (the graph_pagerank plan-growth stance). Inertia sums exact
+    Scale shape (r11): the K-row centroid state is a driver-side control
+    plane shipped into the assignment UDF's closure (K = 8 fixed seeds);
+    per iteration the corpus pays ONE Arrow projection for the exact
+    argmin (embedding arrays never shuffle, no crossJoin blow-up, no
+    vec_id argmin exchange or re-join) plus ONE (cluster, pos)-keyed
+    partial-agg whose K·dim-row RESULT is collected to advance the
+    state — bounded by K and dim, never by n. Closure-shipped centroids
+    also cut lineage between rounds (the graph_pagerank plan-growth
+    stance, without the checkpoint barriers). Inertia sums exact
     DECIMAL(38,0) integer distances (no double-order sensitivity), cast
     to double once at the edge."""
     e = load(spark, sf_dir, "embeddings")
@@ -2343,34 +2346,69 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * {KMT_SCALE}.0 + 0.5) AS BIGINT))"
         ).alias("q"),
     ).transform(stage)
-    cent = (
-        q.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .select(F.col("vec_id").alias("cid"), F.col("q").alias("c"))
-        .transform(stage)
-    )
-    d2 = F.expr(
-        "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)),"
-        " CAST(0 AS BIGINT), (s, x) -> s + x)"
-    )
+    # r11 (guide §4.2 + §5): the centroid state is a K-row CONTROL PLANE
+    # (K = 8 fixed seeds, K·dim = 512 values) — it lives driver-side
+    # between iterations instead of as a per-iteration joined +
+    # checkpointed DataFrame chain. Per iteration that leaves exactly ONE
+    # distributed job: the (cluster, pos)-keyed partial-agg update
+    # (collected at K·dim rows — bounded by K and dim, never by n).
+    # Assignment rides the staged quantized corpus as an Arrow pandas UDF
+    # — K vectorized int64 diff² passes per batch instead of a K×
+    # crossJoin blow-up + a vec_id-keyed argmin exchange + a vec_id
+    # re-join for the update. Distances are EXACT int64 sums (integer
+    # addition is associative, |diff²·dim| ≤ ~2.6e14 ≪ 2⁶³), so every
+    # iteration's state is identical to the retired fold/join form by
+    # arithmetic, not tolerance; np.argmin's first-hit over cid-ascending
+    # centroids is the min(struct(d2, cid)) tie rule. The closure-shipped
+    # centroids also cut lineage between rounds for free (each assignment
+    # is a fresh projection over the staged q), so the stage_iter
+    # barriers and the cent join chain disappear. Warm median at sf0.1:
+    # 1.89 s → see OPTIMIZATION_r11.md.
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in q.orderBy("vec_id").limit(KMEANS_K).collect()
+    ]  # control plane: K rows, seeded by lowest vec_ids
+
+    def _assign_on_scan(cent_rows):
+        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        C = np.array([v for _, v in cent_rows], dtype=np.int64)
+
+        @pandas_udf("cluster_id bigint, d2 bigint")
+        def assign_fn(qcol: pd.Series) -> pd.DataFrame:
+            Q = np.vstack(qcol.to_numpy()).astype(np.int64, copy=False)
+            d = np.empty((Q.shape[0], len(cids)), dtype=np.int64)
+            for kk in range(len(cids)):
+                diff = Q - C[kk]
+                d[:, kk] = np.einsum("ij,ij->i", diff, diff)
+            best = np.argmin(d, axis=1)
+            return pd.DataFrame(
+                {"cluster_id": cids[best],
+                 "d2": d[np.arange(len(best)), best]}
+            )
+
+        return assign_fn
+
     assign = None
     for t in range(KMT_ITERS):
-        scored = q.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid", d2.alias("d2")
-        )
-        best = scored.groupBy("vec_id").agg(
-            F.min(F.struct("d2", "cid")).alias("b")
-        )
-        assign = best.select(
+        afn = _assign_on_scan(cents)
+        assign = q.select(
+            "vec_id", "q", afn("q").alias("s")
+        ).select(
             "vec_id",
-            F.col("b.cid").alias("cluster_id"),
-            F.col("b.d2").alias("d2"),
-        ).transform(stage_iter)
+            "q",
+            F.col("s.cluster_id").alias("cluster_id"),
+            F.col("s.d2").alias("d2"),
+        )
         if t == KMT_ITERS - 1:
             break
-        upd = (
-            q.join(assign.select("vec_id", "cluster_id"), "vec_id")
-            .select("cluster_id", F.posexplode("q").alias("pos0", "v"))
+        # the update stays distributed (it aggregates the n-row corpus);
+        # only its K·dim-row RESULT crosses to the driver. cq is computed
+        # by the same Spark floor(sum/count + 0.5) expression as before —
+        # the collected values are bit-identical to the old cent chain.
+        upd_rows = (
+            assign.select("cluster_id", F.posexplode("q").alias("pos0", "v"))
             .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
             .agg(
                 F.floor(
@@ -2379,26 +2417,31 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("cq")
             )
+            .collect()
         )
-        ncent = upd.groupBy("cluster_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, cq))),"
-                " p -> p.cq)"
-            ).alias("nc")
-        )
-        cent = (
-            cent.join(
-                ncent.withColumnRenamed("cluster_id", "cid"), "cid", "left"
+        newc: dict[int, dict[int, int]] = {}
+        for r in upd_rows:
+            newc.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(
+                r["cq"]
             )
-            .select("cid", F.coalesce("nc", "c").alias("c"))
-            .transform(stage_iter)
-        )
-    l1 = cent.select(
-        F.col("cid").alias("cluster_id"),
-        F.expr(
-            "aggregate(transform(c, x -> abs(x)), CAST(0 AS BIGINT),"
-            " (s, x) -> s + x)"
-        ).alias("centroid_l1"),
+        # empty clusters carry the previous centroid (the oracle's
+        # COALESCE(n.c, p.c))
+        cents = [
+            (
+                cid,
+                [newc[cid][p] for p in sorted(newc[cid])]
+                if cid in newc
+                else c,
+            )
+            for cid, c in cents
+        ]
+    # final centroid L1 norms: exact ints, computed from the driver-side
+    # state and shipped back as a JVM literal frame (exprs.literal_rows_df
+    # — zero Python workers, zero shuffle)
+    l1 = literal_rows_df(
+        spark,
+        [(cid, sum(abs(v) for v in c)) for cid, c in cents],
+        "cluster_id bigint, centroid_l1 bigint",
     )
     return (
         assign.groupBy("cluster_id")
