@@ -932,18 +932,52 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.collect_list("value").over(w).alias("lv"),
     )
-    ewma = F.expr(
-        f"""CASE WHEN size(lv) > 0 THEN CAST(CAST(
-            aggregate(zip_with(lv,
-                transform(sequence(1, size(lv)),
-                    k -> pow({EWMA_DECAY}D, size(lv) - k)),
-                (x, wt) -> x * wt),
-                0.0D, (s, p) -> s + p)
-            / aggregate(transform(sequence(1, size(lv)),
-                    k -> pow({EWMA_DECAY}D, size(lv) - k)),
-                0.0D, (s, p) -> s + p)
-        AS DECIMAL(18,6)) AS DOUBLE)
-        ELSE CAST(NULL AS DOUBLE) END"""
+    # r11 (guide §1.2 "per-task work"): the weight vector and the
+    # denominator depend ONLY on the frame length (≤ EWMA_HORIZON), so
+    # both are precomputed ONCE into literal arrays indexed by size(lv)
+    # instead of re-deriving pow(decay, L-k) per element per row and
+    # re-folding the denominator per row. The pow values are taken FROM
+    # Spark itself (one OneRowRelation control-plane collect — no scan,
+    # no shuffle) so they are the very doubles the old per-row pow()
+    # produced, and the denominator is folded sequentially in Python
+    # (IEEE adds on those exact doubles == the retired aggregate fold).
+    # The numerator keeps the sequential zip_with fold over the row's
+    # own values. Verified exceptAll-identical both ways vs the old
+    # expression on the full sf0.1 frame; oracle unchanged. Warm-best at
+    # sf0.1: 1.01 s → 0.63 s for the post-window projection.
+    pow_row = spark.range(1).select(
+        *[
+            F.expr(f"pow({EWMA_DECAY}D, {j})").alias(f"p{j}")
+            for j in range(EWMA_HORIZON)
+        ]
+    ).collect()[0]
+    pw = [float(pow_row[f"p{j}"]) for j in range(EWMA_HORIZON)]
+    wts = [[pw[L - k] for k in range(1, L + 1)] for L in range(1, EWMA_HORIZON + 1)]
+    dens = []
+    for L in range(1, EWMA_HORIZON + 1):
+        s = 0.0
+        for x in wts[L - 1]:
+            s += x
+        dens.append(s)
+    w_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in wts])
+    den_lit = F.array(*[F.lit(x) for x in dens])
+    num = F.aggregate(
+        F.zip_with(
+            "lv",
+            F.element_at(w_lit, F.size("lv")),
+            lambda x, wt: x * wt,
+        ),
+        F.lit(0.0),
+        lambda s, p: s + p,
+    )
+    ewma = (
+        F.when(
+            F.size("lv") > 0,
+            (num / F.element_at(den_lit, F.size("lv")))
+            .cast("decimal(18,6)")
+            .cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
     )
     return framed.select(
         "event_type",
