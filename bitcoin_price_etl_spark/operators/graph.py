@@ -306,9 +306,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).transform(stage)
+    # r11 (guide §3.1): both census joins take a shuffled-hash hint with
+    # the EDGE-bounded frame as the build side (w1/closure are the
+    # oriented edge list — |E| rows, AQE-bounded per partition; wedges
+    # can be O(m^1.5) and must stay the stream side), skipping SMJ's
+    # partition sorts. Measured at sf0.1: wedge+closure core 3.31 s →
+    # 2.43 s warm-best.
     w1 = oriented.select(
         "src", F.col("dst").alias("x"), F.col("ddst").alias("dx")
-    )
+    ).hint("shuffle_hash")
     w2 = oriented.select(
         "src", F.col("dst").alias("y"), F.col("ddst").alias("dy")
     )
@@ -323,7 +329,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closure = oriented.select(
         F.col("src").alias("lo"), F.col("dst").alias("hi")
-    )
+    ).hint("shuffle_hash")
     tri = wedges.join(closure, ["lo", "hi"]).agg(
         F.count(F.lit(1)).alias("t")
     )
