@@ -471,7 +471,11 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(stage_iter)
         )
         layers.append(nxt)
-        visited = visited.unionAll(nxt).transform(stage_iter)
+        # r11: visited is a ≤KHOP_HOPS-way union of ALREADY-staged layer
+        # blocks — re-staging the union re-materialized data that was
+        # materialized one line above (one extra eager job per hop for
+        # nothing). The union plan is bounded by the fixed hop count.
+        visited = visited.unionAll(nxt)
         frontier = nxt
     out = None
     for hop, layer in enumerate(layers):
