@@ -261,7 +261,12 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       explode per side.
     """
     posting = _posting_with_df(spark, sf_dir).filter(F.col("df") <= DF_CAP)
-    a = posting.alias("a")
+    # r11 (guide §3.1): shuffled-hash hint — the build side is one hash-
+    # partition of the DF-capped posting frame (posting length bounded by
+    # DF_CAP, partition bytes by AQE), so the per-task build is memory-
+    # safe and SMJ's two partition sorts disappear. Measured at sf0.1:
+    # 2.46 s -> 1.54 s warm median for the whole key.
+    a = posting.alias("a").hint("shuffle_hash")
     b = posting.alias("b")
     return (
         a.join(
@@ -753,7 +758,9 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     withdf = _posting_with_df(spark, sf_dir)
     sizes = withdf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     posting = withdf.filter(F.col("df") <= DF_CAP)
-    a = posting.alias("a")
+    # r11: shuffled-hash hint, same rationale as llm_dedup_ngram's
+    # posting self-join (measured 2.52 s -> 1.34 s for the whole key)
+    a = posting.alias("a").hint("shuffle_hash")
     b = posting.alias("b")
     common = (
         a.join(
@@ -850,7 +857,8 @@ def _ngram_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not share subtrees across union branches) — measured 2.1s → 1.1s
     for edge construction at sf0.1."""
     posting = _posting_with_df(spark, sf_dir).filter(F.col("df") <= DF_CAP)
-    a = posting.alias("a")
+    # r11: shuffled-hash hint, same rationale as llm_dedup_ngram
+    a = posting.alias("a").hint("shuffle_hash")
     b = posting.alias("b")
     return (
         a.join(
@@ -1225,7 +1233,9 @@ def llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     withdf = _posting_with_df(spark, sf_dir)
     sizes = withdf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     posting = withdf.filter(F.col("df") <= DF_CAP)
-    a = posting.alias("a")
+    # r11: shuffled-hash hint, same rationale as llm_dedup_ngram's
+    # posting self-join (measured 2.52 s -> 1.34 s for the whole key)
+    a = posting.alias("a").hint("shuffle_hash")
     b = posting.alias("b")
     common = (
         a.join(
