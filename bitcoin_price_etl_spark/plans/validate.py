@@ -534,55 +534,64 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
     validate_expectations' column-level rules with a cross-table rule.
 
     Scale shape: per edge, the child collapses to a key-grid FIRST
-    (groupBy(fk) partial-aggregated count — the exchange carries one
-    (key, count) pair per child key, never child rows), then a left_anti
-    join against the parent key column resolves orphans; parent key
-    frames here are dimension-sized (Catalyst broadcasts them under
-    AQE). The 5 per-edge one-row summaries union into a 5-row report —
-    the fact table is scanned once per edge touching only its FK column
-    (columnar pruning makes this a single-column scan).
+    (groupBy(fk) partial-aggregated count, NULL group kept — the
+    exchange carries one (key, count) pair per child key, never child
+    rows), then ONE broadcast left-outer join against the parent key
+    column marks orphanhood per key and a single aggregate folds all
+    four statistics (child rows, child keys, orphan rows, orphan keys)
+    out of the grid — the child is scanned ONCE per edge touching only
+    its FK column (r12; the previous shape paid a second full child
+    scan for the COUNT/COUNT DISTINCT stats pass). Parent key frames
+    are dimension-sized (broadcast). The 5 per-edge one-row summaries
+    union into a 5-row report.
 
     Parity: all-integer counts and an equality flag. Nothing to quantize.
     NULL FKs are excluded from both key counts and orphan counts in both
     engines (NOT IN with NULLs is the classic SQL trap — the oracle
     filters IS NOT NULL before the NOT IN for identical semantics).
     """
+    # r12 (guide §6 — scan once): each child table used to be scanned
+    # TWICE per edge (key grid for orphans + a separate COUNT/COUNT
+    # DISTINCT stats pass). One groupBy WITH the NULL group now yields
+    # every statistic from a single scan: child_rows = Σ per-key counts
+    # over all groups (incl. the NULL-fk group), child_keys = COUNT of
+    # non-NULL groups, and orphanhood resolves per key through a
+    # broadcast LEFT OUTER against the (distinct) parent key column —
+    # __pk IS NULL on a non-NULL __fk is exactly the old left_anti
+    # membership test, so all four counts fold in ONE aggregate over the
+    # key grid. Values are identical by construction: the same per-key
+    # counts are summed/counted, only the number of passes changed.
     out = None
     for label, child, fk, parent, pk in _RI_EDGES:
         c = load(spark, sf_dir, child)
         p = load(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
-        keyed = (
-            c.filter(F.col(fk).isNotNull())
-            .groupBy(F.col(fk).alias("__fk"))
-            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__n"))
+        keyed = c.groupBy(F.col(fk).alias("__fk")).agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("__n")
         )
-        orphans = keyed.join(
-            F.broadcast(p), keyed["__fk"] == p["__pk"], "left_anti"
+        marked = keyed.join(
+            F.broadcast(p), keyed["__fk"] == p["__pk"], "left_outer"
         )
-        row = (
-            orphans.agg(
-                F.expr("CAST(COALESCE(SUM(__n), 0) AS BIGINT)").alias("orphan_rows"),
-                F.expr("CAST(COUNT(*) AS BIGINT)").alias("orphan_keys"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    c.agg(
-                        F.expr("CAST(COUNT(*) AS BIGINT)").alias("child_rows"),
-                        F.expr(
-                            f"CAST(COUNT(DISTINCT CASE WHEN {fk} IS NOT NULL"
-                            f" THEN {fk} END) AS BIGINT)"
-                        ).alias("child_keys"),
-                    )
-                )
-            )
-            .select(
-                F.lit(label).alias("edge"),
-                "child_rows",
-                "child_keys",
-                "orphan_rows",
-                "orphan_keys",
-                (F.col("orphan_rows") == 0).alias("ri_ok"),
-            )
+        row = marked.agg(
+            F.expr("CAST(COALESCE(SUM(__n), 0) AS BIGINT)").alias("child_rows"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN __fk IS NOT NULL THEN 1 END)"
+                " AS BIGINT)"
+            ).alias("child_keys"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN __fk IS NOT NULL"
+                " AND __pk IS NULL THEN __n END), 0) AS BIGINT)"
+            ).alias("orphan_rows"),
+            F.expr(
+                "CAST(COUNT(CASE WHEN __fk IS NOT NULL"
+                " AND __pk IS NULL THEN 1 END) AS BIGINT)"
+            ).alias("orphan_keys"),
+        ).select(
+            F.lit(label).alias("edge"),
+            "child_rows",
+            "child_keys",
+            "orphan_rows",
+            "orphan_keys",
+            (F.col("orphan_rows") == 0).alias("ri_ok"),
         )
         out = row if out is None else out.unionByName(row)
     return out
