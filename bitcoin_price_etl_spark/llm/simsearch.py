@@ -1873,41 +1873,123 @@ def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
     tests/test_opt_r11 and exact-eq certified vs the DuckDB oracle;
     this is what lets the Arrow fast path replace the interpreted
     Catalyst lambda folds WITHOUT changing a single output bit
-    (optimization guide §4.2)."""
+    (optimization guide §4.2).
+
+    dim=0 (empty/None vectors) returns the fold's initial value 0.0 —
+    the same result the empty-array aggregate produces — instead of
+    cumsum's IndexError on an empty last axis (ADVICE r11)."""
+    if A.shape[-1] == 0:
+        return np.zeros(A.shape[:-1])
     return np.cumsum(A * B, axis=-1)[..., -1]
 
 
-def _semdedup_assign_udf(cent: DataFrame):
-    """pandas_udf("bigint"): EXACT argmin cell id for an embedding column,
-    over the collected K-row centroid control plane — bit-identical to
-    the crossJoin + struct-min fold form it replaced (r11): per-centroid
-    d2 is the same (CAST-to-double diff)² sequence folded in index order
-    (np.cumsum == the sequential fold, see _seq_dot), and np.argmin's
-    first-hit tie rule over cid-ascending centroids == min(struct(dist2,
-    cid)). One Arrow batch = K vectorized diff² passes; no join, no K×
-    row blow-up, no per-element interpreted lambda."""
+# Centroid-plane shipping bound (r12, VERDICT r11 item 3): K grows with
+# the corpus (n // SEMDEDUP_CELL_TARGET), so the assignment control plane
+# must not ride the pickled task closure unboundedly. Up to this many
+# centroid rows ship in the closure exactly as before (zero extra jobs —
+# the bench-scale hot path); above it the plane streams off the cluster
+# in CAP-row slabs (toLocalIterator — no single unbounded collect) and
+# each slab ships as a torrent broadcast, so a task deserializes the
+# plane once per executor instead of once per task.
+SEMDEDUP_ASSIGN_K_CAP = 4096
+# Scratch bound for the blocked argmin: the (batch × centroid-block ×
+# dim) diff² buffer stays ≤ ~32 MB of float64 per step.
+_ASSIGN_BLOCK_ELEMS = 4_000_000
+
+
+def _blocked_argmin(M: "np.ndarray", slabs, resolve) -> "np.ndarray":
+    """EXACT argmin cell id of each row of M over a cid-ascending chunked
+    centroid plane — bit-identical to the single-matrix
+    np.argmin(d, axis=1) it generalizes (r12): per-centroid d2 is the
+    same (diff)² sequence folded in index order (_seq_dot — identical
+    IEEE ops per element regardless of chunking), within a block
+    np.argmin keeps the FIRST minimum (lowest cid), and across
+    blocks/slabs the strictly-less update keeps the earlier winner — so
+    ties resolve to the smallest cid exactly like the full-matrix
+    first-hit, and all-NaN rows (NULL embeddings) never update and keep
+    the initial smallest cid, the fold form's NULL-dist2 struct-min pick.
+    Pinned against the retired full-matrix form in tests/test_opt_r12."""
+    n = M.shape[0]
+    best = np.full(n, np.inf)
+    first_cids = resolve(slabs[0])[0] if slabs else np.zeros(1, np.int64)
+    bcid = np.full(n, first_cids[0] if len(first_cids) else 0, dtype=np.int64)
+    rows = np.arange(n)
+    for slab in slabs:
+        cids_c, C_c = resolve(slab)
+        kc = len(cids_c)
+        dim = C_c.shape[1] if C_c.ndim == 2 else 0
+        step = max(1, _ASSIGN_BLOCK_ELEMS // max(1, n * max(dim, 1)))
+        for b0 in range(0, kc, step):
+            Cb = C_c[b0 : b0 + step]
+            diff = M[:, None, :] - Cb[None, :, :]
+            d = _seq_dot(diff, diff)  # (n, block)
+            arg = np.argmin(d, axis=1)
+            mn = d[rows, arg]
+            upd = mn < best  # strict: earlier (lower cid) keeps ties
+            best[upd] = mn[upd]
+            bcid[upd] = cids_c[b0 + arg[upd]]
+    return bcid
+
+
+def _semdedup_assign_udf(cent: DataFrame, k: int):
+    """pandas_udf("bigint"): EXACT argmin cell id for an embedding column
+    over the K-row centroid control plane — bit-identical to the
+    crossJoin + struct-min fold form it replaced (r11): per-centroid d2
+    is the same (CAST-to-double diff)² sequence folded in index order
+    (np.cumsum == the sequential fold, see _seq_dot), and the blocked
+    argmin's first-hit tie rule over cid-ascending centroids ==
+    min(struct(dist2, cid)). One Arrow batch = blocked vectorized diff²
+    passes; no join, no K× row blow-up, no per-element interpreted
+    lambda.
+
+    r12 (VERDICT r11 item 3): K ≤ SEMDEDUP_ASSIGN_K_CAP keeps the
+    zero-extra-job closure ship; a corpus-grown K streams the plane in
+    CAP-row slabs (no unbounded driver collect) and ships each slab as
+    a broadcast, so executors hold the plane once, not once per task,
+    and the per-batch work is blocked-vectorized rather than a Python
+    loop over all K."""
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = cent.orderBy("cid").collect()  # control plane: K rows
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    C = np.array(
-        [
-            [float(v) for v in (r["cvec"] or [])]
-            for r in cent_rows
-        ]
-    )
-    dim = C.shape[1] if C.ndim == 2 else 0
+    def _pack(cids_buf, vecs_buf):
+        return (
+            np.array(cids_buf, dtype=np.int64),
+            np.array(vecs_buf),
+        )
+
+    slabs = []
+    if k <= SEMDEDUP_ASSIGN_K_CAP:
+        rows_iter = cent.orderBy("cid").collect()  # one job, ≤ CAP rows
+    else:
+        rows_iter = cent.orderBy("cid").toLocalIterator()
+    buf_c: list[int] = []
+    buf_v: list[list[float]] = []
+    for r in rows_iter:
+        buf_c.append(r["cid"])
+        buf_v.append([float(v) for v in (r["cvec"] or [])])
+        if len(buf_c) == SEMDEDUP_ASSIGN_K_CAP:
+            slabs.append(_pack(buf_c, buf_v))
+            buf_c, buf_v = [], []
+    if buf_c:
+        slabs.append(_pack(buf_c, buf_v))
+    first = slabs[0][1] if slabs else np.zeros((0, 0))
+    dim = first.shape[1] if first.ndim == 2 else 0
+    if len(slabs) > 1:
+        sc = cent.sparkSession.sparkContext
+        handles = [sc.broadcast(s) for s in slabs]
+
+        def resolve(h):
+            return h.value
+
+    else:
+        handles = slabs
+
+        def resolve(s):
+            return s
 
     @pandas_udf("bigint")
     def assign(emb: pd.Series) -> pd.Series:
         M = _emb_matrix(emb, dim)
-        d = np.empty((M.shape[0], len(cids)))
-        for k in range(len(cids)):
-            diff = M - C[k]
-            d[:, k] = _seq_dot(diff, diff)
-        # all-NaN rows (NULL embeddings): argmin -> 0 -> smallest cid,
-        # the same pick as the fold form's NULL-dist2 struct-min
-        return pd.Series(cids[np.argmin(d, axis=1)])
+        return pd.Series(_blocked_argmin(M, handles, resolve))
 
     return assign
 
@@ -2066,7 +2148,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectorized native code; measured at sf0.1: 3.8 s → see
     # OPTIMIZATION_r11.md). The old fold form evaluated ~n²/K · dim
     # interpreted lambda steps in the pair join alone.
-    assign = _semdedup_assign_udf(cent)
+    assign = _semdedup_assign_udf(cent, k)
     assigned_arrow = e.select(
         "vec_id", assign("embedding").alias("cell"), "embedding"
     )
