@@ -76,13 +76,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: out-degree attaches to the edge list ONCE before the
     loop (r5: the first shape re-joined outdeg every iteration — 5
     redundant broadcast builds); each iteration is then a single
-    edge⋈rank join (rank frame is |V| rows — broadcastable far longer
-    than edges fit anywhere) + a dst-keyed partial-aggregated sum + a
-    left join back to nodes. Fixed iteration count unrolls into one
-    declarative plan per iteration with a localCheckpoint between rounds
-    (plan-growth control, same move as llm_dedup_cluster's propagation
-    loop). A 100 TB edge list runs the identical loop with persist-to-
-    disk checkpoints; hot destinations partial-combine map-side.
+    edge⋈rank shuffled-hash join whose BUILD side is the |V|-row rank
+    frame (per-partition build is |V|/P rows at any scale; the edge list
+    streams) + a dst-keyed partial-aggregated sum + a left shuffled-hash
+    join back to nodes. The fixed iteration count unrolls into ONE
+    bounded declarative plan — r12 dropped the per-round localCheckpoint
+    barriers (two eager jobs per round) after the 8x-scale A/B showed
+    the fused form strictly faster; an unbounded-iteration variant would
+    re-introduce checkpointing every ~10 rounds for lineage control.
+    Hot destinations partial-combine map-side.
 
     Parity: contributions quantize to DECIMAL(38,12) BEFORE the sum
     (rank ~1e-4 → quantum/ulp ≈ 1e8, far above the conversion-disagree
@@ -128,9 +130,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge_deg = edges.withColumn(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
     ).transform(stage)
+    # r12 (guide §2.4/§3.1, VERDICT r11 item 7): the per-iteration
+    # stage_iter barriers are gone — PR_ITERS is a small fixed constant,
+    # so the unrolled 3-iteration plan stays bounded and the two eager
+    # materialization jobs per round (localCheckpoint + its rescan)
+    # disappear; and both per-iteration joins carry SHUFFLE_HASH hints
+    # whose BUILD side is the |V|-row frame (rank resp. dst-sums — per
+    # shuffle partition the build is |V|/P rows at any scale; the |E|-row
+    # edge list stays the stream side), replacing two sort-merge sorts of
+    # the edge fan-in per round. Values are untouched: barriers and join
+    # hints change plan shape only. A/B at 1x/8x of sf0.1 (committed in
+    # OPTIMIZATION_r12.md): 2.63/3.95 s -> 2.52/3.48 s, row-identical
+    # output at both scales.
     r = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(PR_ITERS):
-        contrib = edge_deg.join(r, edge_deg.src == r.node).select(
+        rr = r.hint("shuffle_hash")
+        contrib = edge_deg.join(rr, edge_deg.src == rr.node).select(
             "dst",
             (F.col("rank") / F.col("deg"))
             .cast("decimal(38,12)")
@@ -139,17 +154,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums = contrib.groupBy("dst").agg(
             F.expr("CAST(SUM(c) AS DOUBLE)").alias("s")
         )
-        r = nodes.join(sums, nodes.node == sums.dst, "left").select(
+        ss = sums.hint("shuffle_hash")
+        r = nodes.join(ss, nodes.node == ss.dst, "left").select(
             "node",
             (
                 F.lit(0.15 / n)
                 + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
         )
-        # checkpoint BETWEEN rounds only: plan-growth control without
-        # hiding the final iteration's shape from the plan snapshot
-        if it < PR_ITERS - 1:
-            r = r.transform(stage_iter)
     return r
 
 
