@@ -1100,11 +1100,35 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Correlation-matrix plumbing: the four lineitem measures at their natural
 # decimal scales (exprs.py rule: convert each INPUT to decimal first, then
 # multiply in decimal — squaring doubles first loses the half-quantum race).
+#
+# r12 (guide §1.2 per-task work, VERDICT r11 item 8): each column carries
+# a SUM cast and a narrower MULTIPLY cast. Spark's decimal agg buffer is a
+# mutable long while the accumulator precision stays ≤ 18 and a per-row
+# BigDecimal byte array above it, and a decimal multiply is a long
+# multiply while p1+p2+1 ≤ 18 — so the narrowest PROVABLY-safe precision
+# per column buys long-path arithmetic without changing one output bit
+# (sums are exact integers in quantum units either way; the measured
+# interleaved A/B at sf0.1 reads 2.28 s → 1.95 s with exceptAll-identical
+# output; the all-DECIMAL(18,*) form pays BigDecimal on every row).
+# Ceiling audit at 100 TB lineitem (~8.7e11 rows; values generator-bounded
+# at ANY SF: qty ≤ 50, price ≤ 104,949.50, disc ≤ 0.10, tax ≤ 0.08):
+#   s_qty   SUM(DEC(8,1))  → DEC(18,1), cap 1e17 vs 4.4e13  (2300×, long)
+#   s_price SUM(DEC(18,2)) → DEC(28,2), cap 1e26 vs 9.2e16  (wide: a long
+#           accumulator would cap at 1e16 — the one single sum that MUST
+#           stay BigDecimal)
+#   s_disc/s_tax SUM(DEC(8,2)) → DEC(18,2), cap 1e16 vs 8.7e10 (1e5×, long)
+#   qty²  (4,1)²   → SUM DEC(19,2), cap 1e17 vs 2.2e15  (45×)
+#   price²(8,2)²   → SUM DEC(27,4), cap 1e23 vs 9.6e21  (10×)
+#   qty·price      → SUM DEC(23,3), cap 1e20 vs 4.6e18  (22×)
+#   price·disc/tax → SUM DEC(22,4), cap 1e18 vs 9.2e15  (110×)
+#   qty·disc/tax   → SUM DEC(17,3), cap 1e14 vs 4.4e12  (23×, long)
+#   disc²/tax²/disc·tax → SUM DEC(16,4), cap 1e12 vs ≤ 8.7e9 (115×+, long)
+# Overflow past these caps raises under ANSI (loud), never corrupts.
 _CM_COLS = (
-    ("l_quantity", "DECIMAL(18,1)"),
-    ("l_extendedprice", "DECIMAL(18,2)"),
-    ("l_discount", "DECIMAL(18,2)"),
-    ("l_tax", "DECIMAL(18,2)"),
+    ("l_quantity", "DECIMAL(8,1)", "DECIMAL(4,1)"),
+    ("l_extendedprice", "DECIMAL(18,2)", "DECIMAL(8,2)"),
+    ("l_discount", "DECIMAL(8,2)", "DECIMAL(3,2)"),
+    ("l_tax", "DECIMAL(8,2)", "DECIMAL(3,2)"),
 )
 _CM_PAIRS = tuple(
     (_CM_COLS[i][0], _CM_COLS[j][0])
@@ -1116,19 +1140,19 @@ _CM_PAIRS = tuple(
 def _cm_moment_sql() -> str:
     """The shared one-scan moment list (identical text both engines)."""
     parts = ["COUNT(*) AS n"]
-    for c, d in _CM_COLS:
+    for c, d, m in _CM_COLS:
         parts.append(f"CAST(SUM(CAST({c} AS {d})) AS DOUBLE) AS s_{c}")
         parts.append(
-            f"CAST(SUM(CAST({c} AS {d}) * CAST({c} AS {d})) AS DOUBLE)"
+            f"CAST(SUM(CAST({c} AS {m}) * CAST({c} AS {m})) AS DOUBLE)"
             f" AS ss_{c}"
         )
-    for (x, dx), (y, dy) in (
+    for (x, _, mx), (y, _, my) in (
         (_CM_COLS[i], _CM_COLS[j])
         for i in range(len(_CM_COLS))
         for j in range(i + 1, len(_CM_COLS))
     ):
         parts.append(
-            f"CAST(SUM(CAST({x} AS {dx}) * CAST({y} AS {dy})) AS DOUBLE)"
+            f"CAST(SUM(CAST({x} AS {mx}) * CAST({y} AS {my})) AS DOUBLE)"
             f" AS sp_{x}_{y}"
         )
     return ",\n               ".join(parts)
@@ -1191,21 +1215,21 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     moment_aggs = [F.count(F.lit(1)).alias("n")]
-    for c, d in _CM_COLS:
+    for c, d, m in _CM_COLS:
         moment_aggs.append(
             F.expr(f"CAST(SUM(CAST({c} AS {d})) AS DOUBLE)").alias(f"s_{c}")
         )
         moment_aggs.append(
             F.expr(
-                f"CAST(SUM(CAST({c} AS {d}) * CAST({c} AS {d})) AS DOUBLE)"
+                f"CAST(SUM(CAST({c} AS {m}) * CAST({c} AS {m})) AS DOUBLE)"
             ).alias(f"ss_{c}")
         )
     for i in range(len(_CM_COLS)):
         for j in range(i + 1, len(_CM_COLS)):
-            (x, dx), (y, dy) = _CM_COLS[i], _CM_COLS[j]
+            (x, _, mx), (y, _, my) = _CM_COLS[i], _CM_COLS[j]
             moment_aggs.append(
                 F.expr(
-                    f"CAST(SUM(CAST({x} AS {dx}) * CAST({y} AS {dy}))"
+                    f"CAST(SUM(CAST({x} AS {mx}) * CAST({y} AS {my}))"
                     " AS DOUBLE)"
                 ).alias(f"sp_{x}_{y}")
             )
