@@ -816,10 +816,10 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
            COUNT(*) AS n_trades,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS total_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)
-               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS vwap
+           CAST(SUM(CAST(l_quantity AS DECIMAL(8,1))) AS DOUBLE) AS total_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(8,1))) AS DOUBLE) AS vwap
     FROM lineitem
     GROUP BY ship_month
     """,
@@ -831,28 +831,54 @@ def ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     against), computed as Σ(price·qty)/Σ(qty) from decimal-exact sums.
 
     Parity: the price·qty cross-moment multiplies in decimal at natural
-    scales (18,2)×(18,1) — the agg_corr input-first rule — and both exact
-    sums cast to double BEFORE the division, so both engines divide
-    identical doubles (never divide decimals: result scales differ
-    between engines, the tpch_q14 lesson).
+    scales (9,2)×(4,1) — the agg_corr input-first rule, at the narrowest
+    provably-safe precisions (r12: p1+p2+1 ≤ 18 keeps the multiply a
+    long multiply; accumulator ceilings at 100 TB lineitem ~8.7e11 rows:
+    qty sum (18,1) cap 1e17 vs 4.4e13, product sum (24,3) cap 1e21 vs
+    4.6e18 — values are exact integers in quantum units at any width) —
+    and both exact sums cast to double BEFORE the division, so both
+    engines divide identical doubles (never divide decimals: result
+    scales differ between engines, the tpch_q14 lesson).
 
-    Scale shape: one partial-aggregated groupBy on the month bucket —
-    three fixed-width accumulators per group; month cardinality is tiny
-    so AQE coalesces the post-shuffle partitions.
+    Scale shape: one partial-aggregated groupBy on the (year, month)
+    INTEGER pair — three fixed-width accumulators per group; the month
+    STRING renders after aggregation on dozens of rows instead of a
+    per-row date_format (r12, guide §1.2: identical text by
+    construction for 4-digit years — concat(year, '-', lpad(month)) ==
+    date_format 'yyyy-MM'). Month cardinality is tiny so AQE coalesces
+    the post-shuffle partitions.
     """
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
-    ).agg(
-        F.count(F.lit(1)).alias("n_trades"),
-        dsum("l_quantity", "total_qty", scale=1),
-        (
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("__y"),
+            F.month("l_shipdate").alias("__m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
             F.expr(
-                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
-                " * CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)"
-            )
-            / F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE)")
-        ).alias("vwap"),
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(8,1))) AS DOUBLE)"
+            ).alias("total_qty"),
+            (
+                F.expr(
+                    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))"
+                    " * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE)"
+                )
+                / F.expr(
+                    "CAST(SUM(CAST(l_quantity AS DECIMAL(8,1))) AS DOUBLE)"
+                )
+            ).alias("vwap"),
+        )
+        .select(
+            F.concat(
+                F.col("__y").cast("string"),
+                F.lit("-"),
+                F.lpad(F.col("__m").cast("string"), 2, "0"),
+            ).alias("ship_month"),
+            "n_trades",
+            "total_qty",
+            "vwap",
+        )
     )
 
 
