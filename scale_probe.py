@@ -645,6 +645,13 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--keys", default="", help="comma list; default all")
     ap.add_argument(
+        "--json-out",
+        default="",
+        help="write {key: {mult: median_sec}} plus run metadata (cpus, "
+        "mults, runs) to this path — the committed core-scaling evidence "
+        "format (VERDICT r11 item 4)",
+    )
+    ap.add_argument(
         "--growth",
         choices=("density", "users"),
         default="density",
@@ -762,6 +769,7 @@ def main() -> None:
         # buffer boundaries — unflushed rows read as a hung probe
         print(f"{'query':28s} " + " ".join(f"{m}x".rjust(8) for m in mults),
               flush=True)
+        results: dict[str, dict[str, float]] = {}
         for key in selected:
             cells = []
             for mult in mults:
@@ -778,12 +786,35 @@ def main() -> None:
                     ).save()
                     ts.append(time.perf_counter() - t0)
                 cells.append(statistics.median(ts))
+            results[key] = {
+                f"x{m}": round(c, 3) for m, c in zip(mults, cells)
+            }
             print(
                 f"{key:28s} "
                 + " ".join(f"{c:7.2f}s" for c in cells)
                 + f"   {cells[-1] / cells[0]:.1f}x at {mults[-1]}x data",
                 flush=True,
             )
+        if args.json_out:
+            import json
+            import os
+
+            with open(args.json_out, "w") as f:
+                json.dump(
+                    {
+                        "cpus": int(os.environ.get(
+                            "SPARK_GRAFT_CPUS", os.cpu_count() or 4
+                        )),
+                        "sf_dir": args.sf_dir,
+                        "mults": mults,
+                        "runs": args.runs,
+                        "growth": args.growth,
+                        "per_key": results,
+                    },
+                    f,
+                    indent=1,
+                )
+            print(f"wrote {args.json_out}", flush=True)
     finally:
         if not args.keep:
             shutil.rmtree(SCRATCH, ignore_errors=True)
